@@ -1,0 +1,38 @@
+"""PySpark-native community-detection (WCC) analytics engine.
+
+A from-scratch re-expression of the capabilities of
+jiahezhu0312/community-detection-flink (Flink 1.13 DataSet + Gelly, Scala)
+as an idiomatic PySpark DataFrame engine, plus large-scale training-data
+pipeline operators (dedup, similarity search, text analysis, multimodal
+columns, event-time windows).
+
+Public API (stable):
+
+    from community_detection_flink_spark import (
+        get_spark, load_edges_csv, symmetrize_edges, run_wcc,
+    )
+
+Everything is DataFrame-first: logical plans are declared with the
+DataFrame API and Catalyst/Tungsten pick the physical strategy.  The only
+driver-side loops are the two genuinely iterative algorithms (center
+election and WCC refinement), which follow the iterative-Spark discipline
+of ``localCheckpoint`` per round to keep lineage flat.
+"""
+
+from community_detection_flink_spark.session import get_spark
+from community_detection_flink_spark.sources.edges import (
+    load_edges_csv,
+    symmetrize_edges,
+    vertices_of,
+    co_purchase_edges,
+)
+from community_detection_flink_spark.operators.refinement import run_wcc
+
+__all__ = [
+    "get_spark",
+    "load_edges_csv",
+    "symmetrize_edges",
+    "vertices_of",
+    "co_purchase_edges",
+    "run_wcc",
+]

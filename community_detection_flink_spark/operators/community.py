@@ -1,0 +1,236 @@
+"""Community statistics, global WCC, and best-movement (SURVEY.md A3-A8, I4).
+
+All reference driver-side materialization is kept distributed:
+the reference ``collect()``s community stats to the driver and ships
+them in closures (``DistributedWCC.scala:359-364,443-456``) — at 100 TB
+that map is O(C) and cannot live on the driver, so community stats stay
+a DataFrame and every use is a broadcast-hash join (Catalyst broadcasts
+under the threshold; explicit ``F.broadcast`` hints where the side is
+provably small relative to edges).
+
+Input conventions:
+  * ``vertices``: vId, t, vt, cc, cId
+  * ``edges``: doubled symmetric edge set (src, dst)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from community_detection_flink_spark.functions.wcc_metric import (
+    wcc_i_col,
+    wcc_r_col,
+    wcc_v_col,
+)
+from community_detection_flink_spark.operators.triangles import triangles
+
+
+def edges_with_communities(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """J2 triplets pattern — attach both endpoints' community ids
+    (``DistributedWCC.scala:340-347``): two equi-joins on vertex id."""
+    cmap = vertices.select("vId", "cId")
+    return (
+        edges.join(cmap.withColumnsRenamed({"vId": "src", "cId": "c_src"}), "src")
+        .join(cmap.withColumnsRenamed({"vId": "dst", "cId": "c_dst"}), "dst")
+        .select("src", "dst", "c_src", "c_dst")
+    )
+
+
+def community_stats(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """A3+A4 — per-community size r, internal edges a, external edges b,
+    density d = 2a/r² (``DistributedWCC.scala:536-564``,
+    ``CommunityData.scala:13``).
+
+    With doubled edges: an internal undirected edge contributes two
+    same-community directed rows grouped under its community (÷2 = a);
+    a boundary undirected edge contributes exactly one directed row
+    whose src is inside each of its two communities (no correction = b).
+    """
+    sizes = vertices.groupBy("cId").agg(F.count("*").cast("int").alias("r"))
+    ewc = edges_with_communities(vertices, edges)
+    agg = ewc.groupBy(F.col("c_src").alias("cId")).agg(
+        (F.sum(F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0)) / 2.0)
+        .cast("double")
+        .alias("a"),
+        F.sum(F.when(F.col("c_src") != F.col("c_dst"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    return sizes.join(agg, "cId", "left").select(
+        "cId",
+        "r",
+        F.coalesce("a", F.lit(0.0)).alias("a"),
+        F.coalesce("b", F.lit(0)).alias("b"),
+        (2.0 * F.coalesce("a", F.lit(0.0)) / F.pow(F.col("r").cast("double"), 2.0)).alias("d"),
+    )
+
+
+def vertex_community_degrees(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """A5 — per-(vertex, community) edge count: ``(vId, cId, dIn)``
+    (``DistributedWCC.scala:348-357``).  Stays a flat table — the
+    reference re-groups into a per-vertex Map; relationally the flat
+    shape is the joinable one."""
+    ewc = edges_with_communities(vertices, edges)
+    return ewc.groupBy(F.col("src").alias("vId"), F.col("c_dst").alias("cId")).agg(
+        F.count("*").cast("int").alias("dIn")
+    )
+
+
+def global_wcc(
+    vertices: DataFrame,
+    edges: DataFrame,
+    stats: DataFrame,
+    vertex_count: int,
+) -> float:
+    """A6+A7+A8 — global WCC = Σ_v wccV(v) / |V|
+    (``DistributedWCC.scala:440-507``; kernel ``WCCMetric.scala:16-21``).
+
+    * vtC (same-community neighbor count) = intra-community degree —
+      the reference's community-neighbor array length
+      (``DistributedWCC.scala:509-533``).
+    * tC (triangles v closes inside its community) — the reference
+      intersects community-neighbor lists per intra-community edge and
+      halves (``DistributedWCC.scala:462-507``); equivalently we
+      enumerate triangles of the intra-community edge subgraph (all
+      three corners must share the community) with the oriented
+      enumerator and credit each corner.
+    """
+    ewc = edges_with_communities(vertices, edges)
+    intra = ewc.where(F.col("c_src") == F.col("c_dst")).select("src", "dst")
+    vtc = intra.groupBy(F.col("src").alias("vId")).agg(
+        F.count("*").cast("int").alias("vtC")
+    )
+    tri = triangles(intra)
+    tc = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("vId"))
+        .groupBy("vId")
+        .agg(F.count("*").cast("int").alias("tC"))
+    )
+    per_vertex = (
+        vertices.join(vtc, "vId", "left")
+        .join(tc, "vId", "left")
+        .join(F.broadcast(stats.select("cId", "r")), "cId", "left")
+        .select(
+            wcc_v_col(
+                F.col("t"),
+                F.col("vt"),
+                F.col("r"),
+                F.coalesce("vtC", F.lit(0)),
+                F.coalesce("tC", F.lit(0)),
+            ).alias("wccV")
+        )
+    )
+    total = per_vertex.agg(F.sum("wccV").alias("s")).first()["s"]
+    return float(total or 0.0) / float(vertex_count)
+
+
+def best_movement(
+    vertices: DataFrame,
+    edges: DataFrame,
+    stats: DataFrame,
+    global_cc: float,
+    vertex_count: int,
+) -> DataFrame:
+    """I4 kernel — one simultaneous best-movement pass over all vertices
+    (``DistributedWCC.scala:331-419``).  Returns ``vertices`` with an
+    updated ``cId``.
+
+    Relational shape: the per-vertex candidate loop of the reference
+    becomes one row per (vertex, neighbor community) joined against
+    broadcast community stats; argmax via struct-max.
+
+    Faithfulness note: the reference's candidate scan takes the FIRST
+    strictly-better candidate in Scala Map iteration order (arbitrary);
+    we take max wccT with ties broken by smallest community id —
+    deterministic, same fixed points.
+    """
+    vcd = vertex_community_degrees(vertices, edges)
+    tot = vcd.groupBy("vId").agg(F.sum("dIn").cast("int").alias("degTot"))
+
+    own = (
+        vertices.select("vId", "cId")
+        .join(tot, "vId", "left")
+        .join(vcd.withColumnsRenamed({"dIn": "dIn_own"}), ["vId", "cId"], "left")
+        .join(F.broadcast(stats), "cId", "left")
+        .select(
+            "vId",
+            F.col("cId").alias("c_own"),
+            F.coalesce("degTot", F.lit(0)).alias("degTot"),
+            F.coalesce("dIn_own", F.lit(0)).alias("dIn_own"),
+            F.col("r").alias("r_own"),
+            F.col("a").alias("a_own"),
+            F.col("b").alias("b_own"),
+        )
+        .withColumn(
+            "wccR",
+            wcc_r_col(
+                F.col("r_own"),
+                F.col("a_own"),
+                F.col("b_own"),
+                F.col("dIn_own"),
+                F.col("degTot") - F.col("dIn_own"),
+                F.lit(float(global_cc)),
+                F.lit(int(vertex_count)),
+            ),
+        )
+    )
+
+    cand = (
+        vcd.join(own.select("vId", "c_own", "degTot", "wccR"), "vId")
+        .where(F.col("cId") != F.col("c_own"))
+        .join(F.broadcast(stats), "cId")
+        .where(F.col("r") > 1)
+        .withColumn(
+            "wccT",
+            F.col("wccR")
+            + wcc_i_col(
+                F.col("r"),
+                F.col("a"),
+                F.col("b"),
+                F.col("dIn"),
+                F.col("degTot") - F.col("dIn"),
+                F.lit(float(global_cc)),
+                F.lit(int(vertex_count)),
+            ),
+        )
+        .groupBy("vId")
+        .agg(F.max(F.struct(F.col("wccT"), (-F.col("cId")).alias("negc"))).alias("best"))
+        .select(
+            "vId",
+            F.col("best.wccT").alias("wccT"),
+            (-F.col("best.negc")).alias("bestC"),
+        )
+    )
+
+    decided = (
+        own.join(cand, "vId", "left")
+        .select(
+            "vId",
+            "c_own",
+            "wccR",
+            F.coalesce("wccT", F.lit(0.0)).alias("wccT"),
+            F.coalesce("bestC", F.col("c_own")).alias("bestC"),
+        )
+        .select(
+            "vId",
+            F.when(
+                ((F.col("wccR") - F.col("wccT")) > 0.00001) & (F.col("wccR") > 0.0),
+                F.col("vId"),
+            )
+            .when(F.col("wccT") > 0.0, F.col("bestC"))
+            .otherwise(F.col("c_own"))
+            .alias("newC"),
+        )
+    )
+
+    return (
+        vertices.join(decided, "vId", "left")
+        .select(
+            "vId",
+            "t",
+            "vt",
+            "cc",
+            F.coalesce("newC", F.col("cId")).alias("cId"),
+        )
+    )
