@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship WCC run on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+§2.10 extensions); each callable takes (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — exact DuckDB equivalents.  Hashing is portable
+(md5-derived), float folds use identical left-fold op order, and sums
+of money-like doubles go through DECIMAL — so even MinHash/SimHash/
+cosine queries hash-match bit-for-bit.
+
+Graph queries run on the part co-purchase graph derived from
+``lineitem`` (FIXTURES.md "graph oracle trick"); deterministic
+community labels ``cId = vId % 10`` stand in for a partition when the
+operator under test consumes one.  The full WCC pipeline itself
+(iterative, not SQL-expressible) is exposed as rows-only queries.
 """
 
 from __future__ import annotations
@@ -12,27 +20,634 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from community_detection_flink_spark.sources.edges import co_purchase_edges
+from community_detection_flink_spark.sources.tables import load_table
+from community_detection_flink_spark.operators.triangles import (
+    degrees,
+    triangles,
+    triangle_counts,
+)
+from community_detection_flink_spark.operators.preprocess import preprocess
+from community_detection_flink_spark.operators.community import (
+    community_stats,
+    edges_with_communities,
+    vertex_community_degrees,
+)
+from community_detection_flink_spark.operators.refinement import run_wcc
+from community_detection_flink_spark.operators import dedup as D
+from community_detection_flink_spark.operators import similarity as S
+from community_detection_flink_spark.operators import textual as T
+from community_detection_flink_spark.operators import multimodal as M
+from community_detection_flink_spark.streaming import windows as W
+
+# ----------------------------------------------------------------------
+# shared graph state (per sf_dir, materialized once per session)
+# ----------------------------------------------------------------------
+
+_GRAPH_CACHE: dict[str, tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    """(edges, clean_vertices, clean_edges) for the co-purchase graph."""
+    if sf_dir not in _GRAPH_CACHE:
+        from community_detection_flink_spark.plans.iteration import Materializer
+
+        mat = Materializer(spark)
+        edges = mat(co_purchase_edges(spark, sf_dir), "entry-edges")
+        vertices, clean = preprocess(edges)
+        _GRAPH_CACHE[sf_dir] = (edges, mat(vertices, "entry-cv"), mat(clean, "entry-ce"))
+    return _GRAPH_CACHE[sf_dir]
+
+
+def _labeled(vertices: DataFrame) -> DataFrame:
+    """Deterministic community labels for stats-operator tests."""
+    return vertices.withColumn("cId", F.col("vId") % 10)
+
+
+# ----------------------------------------------------------------------
+# entry
+# ----------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full WCC community detection on the sf0.001 co-purchase
+    graph (E1 pipeline: preprocess → center election → refinement)."""
+    edges = co_purchase_edges(spark, "/root/testdata/sf0.001")
+    return run_wcc(edges).communities
 
+
+# ----------------------------------------------------------------------
+# Spark queries
+# ----------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def g_edges(spark, sf):
+        e, _, _ = _graph(spark, sf)
+        return e
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def g_degrees(spark, sf):
+        e, _, _ = _graph(spark, sf)
+        return degrees(e).select("vId", F.col("degree").cast("long").alias("degree"))
+
+    def g_triangle_counts(spark, sf):
+        e, _, _ = _graph(spark, sf)
+        return triangle_counts(e).select("vId", F.col("t").cast("long").alias("t"))
+
+    def g_vertex_metrics(spark, sf):
+        _, v, _ = _graph(spark, sf)
+        return v.select(
+            "vId", F.col("t").cast("long").alias("t"),
+            F.col("vt").cast("long").alias("vt"), "cc",
+        )
+
+    def g_community_stats(spark, sf):
+        _, v, ce = _graph(spark, sf)
+        return community_stats(_labeled(v), ce).select(
+            "cId", F.col("r").cast("long").alias("r"), "a",
+            F.col("b").cast("long").alias("b"), "d",
+        )
+
+    def g_vertex_community_degrees(spark, sf):
+        _, v, ce = _graph(spark, sf)
+        return vertex_community_degrees(_labeled(v), ce).select(
+            "vId", "cId", F.col("dIn").cast("long").alias("dIn")
+        )
+
+    def g_intra_degree(spark, sf):
+        _, v, ce = _graph(spark, sf)
+        ewc = edges_with_communities(_labeled(v), ce)
+        return (
+            ewc.where(F.col("c_src") == F.col("c_dst"))
+            .groupBy(F.col("src").alias("vId"))
+            .agg(F.count("*").cast("long").alias("vtC"))
+        )
+
+    def g_community_triangles(spark, sf):
+        _, v, ce = _graph(spark, sf)
+        ewc = edges_with_communities(_labeled(v), ce)
+        intra = ewc.where(F.col("c_src") == F.col("c_dst")).select("src", "dst")
+        tri = triangles(intra)
+        return (
+            tri.select(F.explode(F.array("u", "v", "w")).alias("vId"))
+            .groupBy("vId")
+            .agg(F.count("*").cast("long").alias("tC"))
+        )
+
+    def wcc_communities(spark, sf):
+        e, _, _ = _graph(spark, sf)
+        return run_wcc(e).communities
+
+    def wcc_stats(spark, sf):
+        e, _, _ = _graph(spark, sf)
+        res = run_wcc(e)
+        return res.stats.select(
+            "cId", F.col("r").cast("long").alias("r"), "a",
+            F.col("b").cast("long").alias("b"), "d",
+        )
+
+    # ---------------- relational (T/J/A operator coverage) ------------
+
+    def rel_pricing_summary(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
+                F.count("*").cast("long").alias("count_order"),
+            )
+        )
+
+    def rel_top_orders(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).cast("double").alias("revenue")
+            )
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10)
+        )
+
+    def rel_nation_revenue(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        s = load_table(spark, sf, "supplier")
+        n = load_table(spark, sf, "nation")
+        r = load_table(spark, sf, "region")
+        return (
+            li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).cast("double").alias("revenue"),
+                F.count("*").cast("long").alias("n_items"),
+            )
+        )
+
+    def rel_window_top_customers(spark, sf):
+        from pyspark.sql import Window
+
+        c = load_table(spark, sf, "customer")
+        w = Window.partitionBy("c_nationkey").orderBy(
+            F.col("c_acctbal").desc(), F.col("c_custkey")
+        )
+        return (
+            c.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select(
+                F.col("c_custkey").cast("long").alias("c_custkey"),
+                F.col("c_nationkey").cast("long").alias("c_nationkey"),
+                "c_acctbal",
+                F.col("rn").cast("long").alias("rn"),
+            )
+        )
+
+    def rel_rollup_orders(spark, sf):
+        o = load_table(spark, sf, "orders")
+        return (
+            o.rollup("o_orderpriority", "o_orderstatus")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+                F.count("*").cast("long").alias("n"),
+            )
+            .select(
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                "total",
+                "n",
+            )
+        )
+
+    def rel_customers_without_orders(spark, sf):
+        c = load_table(spark, sf, "customer")
+        o = load_table(spark, sf, "orders")
+        return c.join(
+            o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        ).select(F.col("c_custkey").cast("long").alias("c_custkey"))
+
+    def rel_parts_in_lineitem(spark, sf):
+        p = load_table(spark, sf, "part")
+        li = load_table(spark, sf, "lineitem")
+        return p.join(
+            li, F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+        ).select(F.col("p_partkey").cast("long").alias("p_partkey"))
+
+    def rel_parts_never_ordered(spark, sf):
+        p = load_table(spark, sf, "part").select(
+            F.col("p_partkey").cast("long").alias("p_partkey")
+        )
+        li = load_table(spark, sf, "lineitem").select(
+            F.col("l_partkey").cast("long").alias("p_partkey")
+        )
+        return p.exceptAll(li.distinct()).distinct()
+
+    # ---------------- events (event-time windows, json) ---------------
+
+    def ev_tumbling(spark, sf):
+        return W.tumbling_agg(load_table(spark, sf, "events"), 60)
+
+    def ev_sliding(spark, sf):
+        return W.sliding_agg(load_table(spark, sf, "events"), 60, 30)
+
+    def ev_session(spark, sf):
+        return W.session_agg(load_table(spark, sf, "events"), 30)
+
+    def ev_json_props(spark, sf):
+        return W.json_props(load_table(spark, sf, "events"))
+
+    # ---------------- documents (dedup + text analysis) ---------------
+
+    def doc_exact_dedup(spark, sf):
+        return D.exact_dedup(load_table(spark, sf, "documents"))
+
+    def doc_minhash_signatures(spark, sf):
+        sigs = D.minhash_signatures(load_table(spark, sf, "documents"), 8, 3)
+        return sigs.select(
+            "doc_id", F.posexplode("sig").alias("pos", "h")
+        ).select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
+
+    def doc_minhash_lsh_pairs(spark, sf):
+        return D.minhash_lsh_pairs(load_table(spark, sf, "documents"), 8, 4, 3)
+
+    def doc_simhash(spark, sf):
+        return D.simhash(load_table(spark, sf, "documents"), 32)
+
+    def doc_jaccard_pairs(spark, sf):
+        return D.ngram_jaccard_pairs(load_table(spark, sf, "documents"), 0.5, 1)
+
+    def doc_token_stats(spark, sf):
+        return T.token_stats(load_table(spark, sf, "documents"))
+
+    def doc_quality(spark, sf):
+        return T.quality_score(load_table(spark, sf, "documents"))
+
+    def doc_lang_id(spark, sf):
+        return T.lang_id(load_table(spark, sf, "documents"))
+
+    def doc_fingerprint(spark, sf):
+        return T.fingerprint(load_table(spark, sf, "documents"))
+
+    # ---------------- embeddings (similarity search) ------------------
+
+    def emb_cosine_topk(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        return S.cosine_topk(emb, emb.where(F.col("vec_id") < 10), 5)
+
+    def emb_lsh_ann(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        return S.ann_topk_lsh(emb, emb.where(F.col("vec_id") < 10), 5)
+
+    # ---------------- multimodal (binary columns) ---------------------
+
+    def mm_blob_meta(spark, sf):
+        return M.blob_metadata(load_table(spark, sf, "documents"))
+
+    def mm_decode_features(spark, sf):
+        return M.decode_features(load_table(spark, sf, "documents"))
+
+    def mm_frame_sample(spark, sf):
+        return M.frame_sample_stub(load_table(spark, sf, "documents"), 128)
+
+    return {
+        "g_edges": g_edges,
+        "g_degrees": g_degrees,
+        "g_triangle_counts": g_triangle_counts,
+        "g_vertex_metrics": g_vertex_metrics,
+        "g_community_stats": g_community_stats,
+        "g_vertex_community_degrees": g_vertex_community_degrees,
+        "g_intra_degree": g_intra_degree,
+        "g_community_triangles": g_community_triangles,
+        "wcc_communities": wcc_communities,
+        "wcc_stats": wcc_stats,
+        "rel_pricing_summary": rel_pricing_summary,
+        "rel_top_orders": rel_top_orders,
+        "rel_nation_revenue": rel_nation_revenue,
+        "rel_window_top_customers": rel_window_top_customers,
+        "rel_rollup_orders": rel_rollup_orders,
+        "rel_customers_without_orders": rel_customers_without_orders,
+        "rel_parts_in_lineitem": rel_parts_in_lineitem,
+        "rel_parts_never_ordered": rel_parts_never_ordered,
+        "ev_tumbling": ev_tumbling,
+        "ev_sliding": ev_sliding,
+        "ev_session": ev_session,
+        "ev_json_props": ev_json_props,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_minhash_signatures": doc_minhash_signatures,
+        "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+        "doc_simhash": doc_simhash,
+        "doc_jaccard_pairs": doc_jaccard_pairs,
+        "doc_token_stats": doc_token_stats,
+        "doc_quality": doc_quality,
+        "doc_lang_id": doc_lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "emb_cosine_topk": emb_cosine_topk,
+        "emb_lsh_ann": emb_lsh_ann,
+        "mm_blob_meta": mm_blob_meta,
+        "mm_decode_features": mm_decode_features,
+        "mm_frame_sample": mm_frame_sample,
+    }
+
+
+# ----------------------------------------------------------------------
+# DuckDB oracles
+# ----------------------------------------------------------------------
+
+# shared CTE prefixes
+_G = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+edges AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM li a JOIN li b USING (ok) WHERE a.pk <> b.pk),
+tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  WHERE e1.src < e1.dst AND e1.dst < e2.dst
+),
+tcnt AS (
+  SELECT x AS vId, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT u AS x FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
+  ) GROUP BY x
+),
+tedges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT u AS src, v AS dst FROM tri UNION ALL SELECT v, u FROM tri
+    UNION ALL SELECT u, w FROM tri UNION ALL SELECT w, u FROM tri
+    UNION ALL SELECT v, w FROM tri UNION ALL SELECT w, v FROM tri
+  )
+),
+vm AS (
+  SELECT t.vId, t.t, d.vt,
+         CASE WHEN d.vt < 2 THEN 0.0 ELSE 2.0 * t.t / (d.vt * (d.vt - 1)) END AS cc
+  FROM tcnt t JOIN (SELECT src AS vId, CAST(COUNT(*) AS BIGINT) AS vt FROM tedges GROUP BY src) d USING (vId)
+),
+lab AS (SELECT vId, vId % 10 AS cId FROM vm),
+ewc AS (
+  SELECT e.src, e.dst, ls.cId AS c_src, ld.cId AS c_dst
+  FROM tedges e JOIN lab ls ON ls.vId = e.src JOIN lab ld ON ld.vId = e.dst
+)
+"""
+
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+)
+_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+h AS (SELECT doc_id, {_H60.format(x='tok')} AS h FROM toks),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+"""
+
+
+def _minhash_sig_sql(num_hashes: int = 8) -> str:
+    coeffs = D.minhash_coeffs(num_hashes)
+    a_list = "[" + ", ".join(str(a) for a, _ in coeffs) + "]"
+    b_list = "[" + ", ".join(str(b) for _, b in coeffs) + "]"
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+    ELSE list_transform(range(len(tk) - 2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+    END AS s
+  FROM toks
+),
+based AS (
+  SELECT doc_id, list_transform(s, x -> {_H60.format(x='x')} % {D.MINHASH_MOD}) AS base FROM sh
+),
+sig AS (
+  SELECT doc_id, list_transform(range({num_hashes}), i ->
+    list_min(list_transform(base, x -> (x * ({a_list})[i+1] + ({b_list})[i+1]) % {D.MINHASH_MOD}))
+  ) AS sig
+  FROM based
+)
+"""
+
+
+
+_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(len({a})), "
+    "i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE))), (x, y) -> x + y)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cosine = (
+        _DOT.format(a="qv", b="cv")
+        + " / (sqrt("
+        + _DOT.format(a="qv", b="qv")
+        + ") * sqrt("
+        + _DOT.format(a="cv", b="cv")
+        + "))"
+    )
+    return {
+        "g_edges": _G + "SELECT src, dst FROM edges",
+        "g_degrees": _G + "SELECT src AS vId, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src",
+        "g_triangle_counts": _G + """
+SELECT v.vId, COALESCE(t.t, 0) AS t
+FROM (SELECT DISTINCT src AS vId FROM edges) v LEFT JOIN tcnt t USING (vId)""",
+        "g_vertex_metrics": _G + "SELECT vId, t, vt, cc FROM vm",
+        "g_community_stats": _G + """,
+sizes AS (SELECT cId, CAST(COUNT(*) AS BIGINT) AS r FROM lab GROUP BY cId),
+agg AS (
+  SELECT c_src AS cId,
+         CAST(SUM(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END) / 2.0 AS DOUBLE) AS a,
+         CAST(SUM(CASE WHEN c_src <> c_dst THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM ewc GROUP BY c_src
+)
+SELECT s.cId, s.r, COALESCE(a.a, 0.0) AS a, COALESCE(a.b, 0) AS b,
+       2.0 * COALESCE(a.a, 0.0) / (CAST(s.r AS DOUBLE) * CAST(s.r AS DOUBLE)) AS d
+FROM sizes s LEFT JOIN agg a USING (cId)""",
+        "g_vertex_community_degrees": _G + """
+SELECT e.src AS vId, ld.cId AS cId, CAST(COUNT(*) AS BIGINT) AS dIn
+FROM tedges e JOIN lab ld ON ld.vId = e.dst GROUP BY 1, 2""",
+        "g_intra_degree": _G + """
+SELECT src AS vId, CAST(COUNT(*) AS BIGINT) AS vtC FROM ewc WHERE c_src = c_dst GROUP BY src""",
+        "g_community_triangles": _G + """,
+tri3 AS (
+  SELECT u, v, w FROM tri
+  JOIN lab lu ON lu.vId = u JOIN lab lv ON lv.vId = v JOIN lab lw ON lw.vId = w
+  WHERE lu.cId = lv.cId AND lv.cId = lw.cId
+)
+SELECT x AS vId, CAST(COUNT(*) AS BIGINT) AS tC FROM (
+  SELECT u AS x FROM tri3 UNION ALL SELECT v FROM tri3 UNION ALL SELECT w FROM tri3
+) GROUP BY x""",
+        # wcc_communities / wcc_stats: iterative fixed point — rows-only check
+        "rel_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus""",
+        "rel_top_orders": """
+SELECT o_orderkey,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        "rel_nation_revenue": """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name""",
+        "rel_window_top_customers": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       c_acctbal, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 3""",
+        "rel_rollup_orders": """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority, COALESCE(o_orderstatus, 'ALL') AS status,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+        "rel_customers_without_orders": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+        "rel_parts_in_lineitem": """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""",
+        "rel_parts_never_ordered": """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey FROM part
+EXCEPT
+SELECT CAST(l_partkey AS BIGINT) FROM lineitem""",
+        "ev_tumbling": """
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "ev_sliding": """
+WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+cand AS (
+  SELECT event_type, (es // 1800) * 1800 AS ws FROM e
+  UNION ALL
+  SELECT event_type, (es // 1800) * 1800 - 1800 AS ws FROM e
+)
+SELECT ws AS window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY 1, 2""",
+        "ev_session": """
+WITH s AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp FROM s)
+SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM g GROUP BY user_id, grp""",
+        "ev_json_props": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k FROM events""",
+        "doc_exact_dedup": """
+SELECT MIN(doc_id) AS representative, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)""",
+        "doc_minhash_signatures": _minhash_sig_sql(8) + """
+SELECT doc_id, CAST(t.i AS BIGINT) AS pos, sig.sig[t.i + 1] AS h
+FROM sig, UNNEST(range(8)) AS t(i)""",
+        "doc_minhash_lsh_pairs": _minhash_sig_sql(8) + """,
+banded AS (
+  SELECT doc_id, b, md5(array_to_string(sig[b*2+1 : b*2+2], ',')) AS bucket
+  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
+)
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+FROM banded a JOIN banded b2 USING (b, bucket)
+WHERE a.doc_id < b2.doc_id GROUP BY 1, 2""",
+        "doc_simhash": _simhash_sql(32),
+        "doc_jaccard_pairs": f"""
+WITH sh AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS s FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5""",
+        "doc_token_stats": f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
+  CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+  CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS space_ratio
+FROM documents""",
+        "doc_quality": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents)
+SELECT doc_id,
+  0.4 * (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.0 END)
+  + 0.3 * greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 5.0)
+  + 0.3 * least(CAST(len(list_intersect(tk, ['the','and','of','to','is','in','that','with'])) AS DOUBLE) / 4.0, 1.0)
+  AS quality
+FROM t""",
+        "doc_lang_id": f"""
+WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents),
+h AS (
+  SELECT doc_id,
+    len(list_intersect(tk, ['the','and','of','to','is','in','that','with'])) AS h_en,
+    len(list_intersect(tk, ['der','die','das','und','ist','nicht','mit','ein'])) AS h_de,
+    len(list_intersect(tk, ['le','la','les','et','est','dans','que','pour'])) AS h_fr,
+    len(list_intersect(tk, ['el','la','los','y','es','en','que','por'])) AS h_es
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de AND h_fr > 0 THEN 'fr'
+       WHEN h_es >= h_en AND h_es >= h_de AND h_es > 0 THEN 'es'
+       WHEN h_en >= h_de AND h_en > 0 THEN 'en'
+       WHEN h_de > 0 THEN 'de'
+       ELSE 'und' END AS lang_pred
+FROM h""",
+        "doc_fingerprint": f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform({_TOKS}, t -> {_H60.format(x='t')} % 1000000007)),
+    (acc, h) -> (acc * 131 + h) % 1000000007
+  ) AS fingerprint
+FROM documents""",
+        "emb_cosine_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id, {cosine} AS cosine
+  FROM q, c WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM scored
+) WHERE rn <= 5""",
+        # emb_lsh_ann: sin() differs across libm implementations — rows-only
+        "mm_blob_meta": """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256
+FROM documents""",
+        "mm_decode_features": """
+WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS bl FROM documents)
+SELECT doc_id, bl % 256 AS width, (bl // 256) % 256 AS height,
+  CAST(3 AS BIGINT) AS channels, (bl * 2654435761) % 2147483647 AS checksum
+FROM b""",
+        "mm_frame_sample": """
+WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS bl FROM documents)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_no, CAST(f * 128 AS BIGINT) AS byte_offset
+FROM b, UNNEST(range(0, CAST(greatest(floor((bl - 1) / 128.0), 0) AS BIGINT) + 1)) AS t(f)""",
+    }

@@ -1,0 +1,237 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Extension surface required by BASELINE.json (SURVEY.md §2.10) — not in
+the reference repo; designed Spark-first for 100 TB document tables.
+
+Portability note: all hashing is md5-based (``conv(substr(md5(x),1,15),
+16,10)`` → 60-bit non-negative int) so every operator here has an
+exact DuckDB oracle (``('0x'||substr(md5(x),1,15))::BIGINT``) — unlike
+Spark's ``xxhash64``/``hash`` which are engine-private.  md5 is a few
+ns/row slower than xxhash64 but keeps the correctness gate closed; swap
+``_hash60`` for ``xxhash64`` in production if oracle parity is not
+needed.
+
+Input convention: ``docs`` has columns ``doc_id`` (long), ``text``
+(string) — extra columns pass through where noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+
+def _hash60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex digits of md5 as a bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased whitespace tokens (empty strings removed)."""
+    return F.array_remove(F.split(F.lower(text), TOKEN_RE), "")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings ("a b c")."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by text hash: one row per distinct text
+    with the representative (min doc_id) and the duplicate count.
+
+    Hash-groupBy — one shuffle on the md5 of the text, which also
+    handles multi-TB inputs (the text itself never shuffles twice).
+    """
+    return (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("representative"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .select("representative", "n_copies")
+    )
+
+
+MINHASH_MOD = 1_000_000_007
+MINHASH_A = 48_271  # MINSTD multiplier; a_i = A^(i+1) mod p, b_i = i·B
+MINHASH_B = 2_147_483_647
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: ``doc_id, sig array<long>[num_hashes]``.
+
+    Standard one-base-hash construction: each shingle is md5-hashed
+    ONCE (the expensive part), then the i-th permutation is the affine
+    map h_i(x) = (a_i·x + b_i) mod p with p = 1e9+7, a_i = 48271^(i+1)
+    mod p, b_i = i·(2^31−1) mod p.  All operands stay < 2^61 so the
+    arithmetic is exact in int64 on any engine — the DuckDB oracle
+    reproduces it bit-for-bit.  All JVM-side (``transform`` +
+    ``array_min``), no shuffle: signatures compute in the scan stage.
+    """
+    sh = shingles_col(F.col("text"), shingle_n)
+    base = F.transform(sh, lambda s: _hash60(s) % MINHASH_MOD)
+    # two-step select so the md5 base array is computed once, not once
+    # per permutation (CollapseProject keeps multi-referenced non-cheap
+    # expressions un-inlined)
+    with_base = docs.select("doc_id", base.alias("mh_base"))
+
+    def _affine(a_i: int, b_i: int):
+        # PySpark inspects lambda arity: keep exactly one parameter
+        return lambda x: (x * a_i + b_i) % MINHASH_MOD
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("mh_base"), _affine(a_i, b_i)))
+            for a_i, b_i in minhash_coeffs(num_hashes)
+        ]
+    )
+    return with_base.select("doc_id", sig.alias("sig"))
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) for the affine MinHash permutations (shared with the
+    DuckDB oracle generator)."""
+    coeffs = []
+    a = 1
+    for i in range(num_hashes):
+        a = (a * MINHASH_A) % MINHASH_MOD
+        coeffs.append((a, (i * MINHASH_B) % MINHASH_MOD))
+    return coeffs
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any band land in the same bucket (shuffle keyed on
+    (band, bucket-hash) — never on the raw text), then pairs are
+    emitted per bucket with a self-join.  Output:
+    ``doc_a < doc_b, n_bands`` (number of agreeing bands).
+
+    Scale: bucket sizes are the skew risk; genuinely identical texts
+    produce identical signatures, so buckets are bounded by duplicate
+    multiplicity, and the (band, bucket) shuffle key spreads load.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.withColumnsRenamed({"doc_id": "doc_a"})
+    b = banded.withColumnsRenamed({"doc_id": "doc_b"})
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 1
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over distinct word n-grams.
+
+    explode → self-join on the shingle → |A∩B| per pair → Jaccard with
+    precomputed set sizes.  The join is keyed on the shingle: frequent
+    shingles are the skew risk, so pair generation cost is
+    sum over shingles of freq² — use ``minhash_lsh_pairs`` first at
+    scale and this as the verifier on candidates.
+
+    Output: ``doc_a < doc_b, jaccard`` (double), filtered ≥ threshold.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col(F.col("text"), shingle_n))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.withColumnsRenamed({"doc_id": "doc_a"})
+    b = sh.withColumnsRenamed({"doc_id": "doc_b"})
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint over word tokens: ``doc_id, simhash``.
+
+    Classic bit-vote construction: each token votes ±1 on each bit of
+    its 60-bit md5-derived hash; the fingerprint takes the sign of each
+    bit's total.  Implemented as ``bits`` parallel conditional sums in
+    ONE hash aggregate (all whole-stage codegen; no explode to
+    (token × bit) rows).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).withColumn("h", _hash60(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force).
+
+    ``emb``: vec_id long, embedding array<float>.  Cosine via
+    JVM ``aggregate``/``zip_with`` expressions.  O(n²) — the scale path
+    buckets by LSH first (``similarity.random_hyperplane_buckets``) and
+    runs this within buckets.
+    """
+    from community_detection_flink_spark.operators.similarity import cosine_col
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.10).
+
+Language-ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting — all built-in column expressions over the
+``documents`` table, each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from community_detection_flink_spark.operators.dedup import _hash60, tokens_col
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "en", "que", "por"],
+}
+
+# BPE-ish token pattern: words, numbers, or single non-space symbols
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token / length / punctuation statistics per document.
+
+    n_tokens: whitespace tokens; n_bpeish: regexp token count
+    (word/number/symbol pieces — a cheap BPE proxy); punct_ratio and
+    space_ratio over characters.
+    """
+    text = F.col("text")
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(text, r"\s", ""))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0)).cast("long").alias("n_bpeish"),
+        F.try_divide(n_punct.cast("double"), n_chars.cast("double")).alias("punct_ratio"),
+        F.try_divide(n_space.cast("double"), n_chars.cast("double")).alias("space_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0, 1]: length band + word shape.
+
+    score = 0.4·len_ok + 0.3·(1 − punct_ratio·5 clamped) + 0.3·stopword
+    presence — the standard cheap pre-filter shape for pretraining
+    corpora (exact formula is this engine's own; oracle mirrors it).
+    """
+    text = F.col("text")
+    toks = tokens_col(text)
+    n_chars = F.length(text).cast("double")
+    n_punct = (F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))).cast("double")
+    punct_ratio = F.try_divide(n_punct, n_chars)
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 10000), 1.0).otherwise(0.0)
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    sw_hits = F.size(F.array_intersect(toks, sw)).cast("double")
+    sw_ok = F.least(F.try_divide(sw_hits, F.lit(4.0)), F.lit(1.0))
+    punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5.0)
+    return docs.select(
+        "doc_id",
+        (0.4 * len_ok + 0.3 * punct_ok + 0.3 * sw_ok).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID over {en, de, fr, es}; 'und' if no hits.
+
+    Deterministic: the winner is the lexicographic max of
+    (hit_count, code) — ties broken by code DESCENDING.  The DuckDB
+    oracle mirrors the same max.
+    """
+    toks = F.array_distinct(tokens_col(F.col("text")))
+    entries = []
+    for code, words in sorted(STOPWORDS.items()):
+        sw = F.array([F.lit(w) for w in words])
+        hits = F.size(F.array_intersect(toks, sw))
+        entries.append(F.struct(hits.alias("hits"), F.lit(code).alias("code")))
+    best = F.reverse(F.array_sort(F.array(*entries)))[0]
+    return docs.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def fingerprint(docs: DataFrame, mod: int = 1_000_000_007, mult: int = 131) -> DataFrame:
+    """Order-sensitive rolling document fingerprint.
+
+    fold over tokens: acc = (acc·mult + h(token) mod M) mod M with a
+    portable md5-derived token hash — same value computable in DuckDB
+    via ``list_reduce``.  Keeps intermediate values < 2^40 so the fold
+    never overflows signed 64-bit in either engine.
+    """
+    toks = tokens_col(F.col("text"))
+    hashed = F.transform(toks, lambda t: _hash60(t) % mod)
+    fp = F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * mult + h) % mod,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

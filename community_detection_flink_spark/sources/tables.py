@@ -8,6 +8,7 @@ scan — verify with ``df.explain`` (``PushedFilters`` / ``ReadSchema``).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -24,6 +25,19 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table; normalizes nanosecond timestamps.
+
+    Spark 4 rejects parquet TIMESTAMP(NANOS) outright
+    (PARQUET_TYPE_ILLEGAL); with ``legacy.parquet.nanosAsLong`` the
+    column arrives as raw nanos — converted here to a proper timestamp
+    via exact integer division (``div 1000``, no double rounding).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,99 @@
+"""Event-time windowing over the ``events`` table (SURVEY.md §2.9/§2.10).
+
+The reference has no true streaming surface (its "stream" is id-range
+micro-batches over a bounded DataSet, ``CSVGraph.scala:47-103``).  The
+engine exposes real event-time semantics: the same functions work on a
+batch DataFrame and on a ``readStream`` DataFrame (add
+``withWatermark`` upstream for late data; see ``streaming_session``).
+
+Window starts are emitted as epoch seconds (long) so results
+hash-compare across engines regardless of timestamp precision
+(the parquet carries ns timestamps; Spark truncates to µs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Tumbling event-time window: count + sum(value) per (window, type)."""
+    w = F.window("ts", f"{minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            # decimal-backed sum: exact & order-independent (money-like values)
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, length_minutes: int = 60, slide_minutes: int = 30) -> DataFrame:
+    """Sliding event-time window (length, slide) per event_type."""
+    w = F.window("ts", f"{length_minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session windows with an inactivity gap.
+
+    Uses ``session_window`` (the native Spark stateful window, works in
+    Structured Streaming with a watermark).  Output keyed by
+    (user_id, session start epoch).
+    """
+    w = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def json_props(events: DataFrame) -> DataFrame:
+    """Typed extraction from the JSON ``props`` column (``from_json``)."""
+    parsed = F.from_json(F.col("props"), "k INT")
+    return events.select(
+        "event_id",
+        parsed["k"].cast("long").alias("prop_k"),
+    )
+
+
+def streaming_session(spark, source_dir: str, gap_minutes: int = 30, watermark: str = "2 hours"):
+    """Structured Streaming variant: file source → watermarked session agg.
+
+    Returns an unstarted streaming DataFrame; callers attach
+    ``writeStream``.  Demonstrates the real streaming path the batch
+    functions share.
+    """
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        )
+        .parquet(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    return session_agg(stream, gap_minutes)
