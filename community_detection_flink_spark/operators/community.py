@@ -82,6 +82,7 @@ def global_wcc(
     edges: DataFrame,
     stats: DataFrame,
     vertex_count: int,
+    mat=None,
 ) -> float:
     """A6+A7+A8 — global WCC = Σ_v wccV(v) / |V|
     (``DistributedWCC.scala:440-507``; kernel ``WCCMetric.scala:16-21``).
@@ -98,10 +99,12 @@ def global_wcc(
     """
     ewc = edges_with_communities(vertices, edges)
     intra = ewc.where(F.col("c_src") == F.col("c_dst")).select("src", "dst")
+    if mat is not None:
+        intra = mat(intra, "gwcc-intra")  # feeds vtC and the triangle pass
     vtc = intra.groupBy(F.col("src").alias("vId")).agg(
         F.count("*").cast("int").alias("vtC")
     )
-    tri = triangles(intra)
+    tri = triangles(intra, mat=mat)
     tc = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("vId"))
         .groupBy("vId")
@@ -131,6 +134,7 @@ def best_movement(
     stats: DataFrame,
     global_cc: float,
     vertex_count: int,
+    mat=None,
 ) -> DataFrame:
     """I4 kernel — one simultaneous best-movement pass over all vertices
     (``DistributedWCC.scala:331-419``).  Returns ``vertices`` with an
@@ -146,6 +150,11 @@ def best_movement(
     deterministic, same fixed points.
     """
     vcd = vertex_community_degrees(vertices, edges)
+    if mat is not None:
+        # vcd feeds three branches (degree totals, own-community row,
+        # candidate scan); materializing avoids recomputing the
+        # edge-triplet joins three times per refinement round
+        vcd = mat(vcd, "vcd")
     tot = vcd.groupBy("vId").agg(F.sum("dIn").cast("int").alias("degTot"))
 
     own = (
@@ -175,6 +184,8 @@ def best_movement(
             ),
         )
     )
+    if mat is not None:
+        own = mat(own, "own")
 
     cand = (
         vcd.join(own.select("vId", "c_own", "degTot", "wccR"), "vId")

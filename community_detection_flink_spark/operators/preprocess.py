@@ -24,15 +24,20 @@ from community_detection_flink_spark.operators.triangles import (
 )
 
 
-def preprocess(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+def preprocess(edges: DataFrame, mat=None) -> tuple[DataFrame, DataFrame]:
     """Return ``(vertices, clean_edges)``.
 
     ``vertices``: vId, t, vt, cc — only vertices with t > 0
     (``DistributedWCC.scala:110``).
     ``clean_edges``: doubled-edge set restricted to triangle edges
     (``DistributedWCC.scala:111``).
+
+    ``mat`` materializes the triangle list once — it feeds both the
+    per-vertex counts and the cleaned edge set.
     """
-    tri = triangles(edges)
+    tri = triangles(edges, mat=mat)
+    if mat is not None:
+        tri = mat(tri, "tri")
     clean_edges = triangle_edges(tri)
 
     t = (

@@ -64,17 +64,18 @@ def refine_partition(
 
     best = mat(vertices, "best")
     best_cs = mat(community_stats(best, clean_edges), "cs")
-    best_wcc = global_wcc(best, clean_edges, best_cs, vertex_count)
+    best_wcc = global_wcc(best, clean_edges, best_cs, vertex_count, mat=mat)
 
     retries = max_retries
     rounds = 0
     improved = True
     while improved and retries > 0:
         moved = mat(
-            best_movement(best, clean_edges, best_cs, global_cc, vertex_count), "moved"
+            best_movement(best, clean_edges, best_cs, global_cc, vertex_count, mat=mat),
+            "moved",
         )
         new_cs = mat(community_stats(moved, clean_edges), "cs")
-        new_wcc = global_wcc(moved, clean_edges, new_cs, vertex_count)
+        new_wcc = global_wcc(moved, clean_edges, new_cs, vertex_count, mat=mat)
         retries -= 1
         rounds += 1
         if new_wcc > best_wcc:
@@ -114,7 +115,7 @@ def run_wcc(
             iterations=0,
         )
 
-    vertices, clean_edges = preprocess(edges)
+    vertices, clean_edges = preprocess(edges, mat=mat)
     clean_edges = mat(clean_edges, "clean-edges")
     vertices = mat(vertices, "clean-vertices")
     init = initial_partition(vertices, clean_edges, mat=mat)

@@ -55,14 +55,20 @@ def _oriented(edges: DataFrame) -> DataFrame:
     return e.where(lower < higher).select("src", "dst")
 
 
-def triangles(edges: DataFrame) -> DataFrame:
+def triangles(edges: DataFrame, mat=None) -> DataFrame:
     """Enumerate each triangle exactly once as ``(u, v, w)``.
 
     ``u < v`` in the (degree, id) order and ``w`` above both; the row
     exists for the oriented edge (u, v) whose oriented adjacency lists
     intersect in ``w``.
+
+    ``mat`` (optional ``plans.Materializer``): materializes the
+    oriented edge set, which otherwise recomputes once for the
+    adjacency build and once for the pair join.
     """
     oe = _oriented(edges)
+    if mat is not None:
+        oe = mat(oe, "tri-oriented")
     adjo = oe.groupBy(F.col("src").alias("vId")).agg(F.collect_list("dst").alias("adj"))
     pairs = (
         oe.join(adjo.withColumnsRenamed({"vId": "src", "adj": "adj_u"}), "src")
