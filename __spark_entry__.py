@@ -47,6 +47,15 @@ from community_detection_flink_spark.streaming import windows as W
 # ----------------------------------------------------------------------
 
 _GRAPH_CACHE: dict[str, tuple[DataFrame, DataFrame, DataFrame]] = {}
+_WCC_CACHE: dict[str, object] = {}
+
+
+def _wcc(spark: SparkSession, sf_dir: str):
+    """Full WCC result, shared by wcc_communities / wcc_stats."""
+    if sf_dir not in _WCC_CACHE:
+        e, _, _ = _graph(spark, sf_dir)
+        _WCC_CACHE[sf_dir] = run_wcc(e)
+    return _WCC_CACHE[sf_dir]
 
 
 def _graph(spark: SparkSession, sf_dir: str):
@@ -135,15 +144,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def wcc_communities(spark, sf):
-        e, _, _ = _graph(spark, sf)
-        return run_wcc(e).communities
+        return _wcc(spark, sf).communities
 
     def wcc_stats(spark, sf):
-        e, _, _ = _graph(spark, sf)
-        res = run_wcc(e)
-        return res.stats.select(
+        return _wcc(spark, sf).stats.select(
             "cId", F.col("r").cast("long").alias("r"), "a",
             F.col("b").cast("long").alias("b"), "d",
+        )
+
+    def wcc_incremental(spark, sf):
+        """E2 — bulk + incremental micro-batch merge (rows-only)."""
+        from community_detection_flink_spark.streaming.incremental_stream import (
+            run_edge_batches,
+        )
+
+        e, _, _ = _graph(spark, sf)
+        state = run_edge_batches(e, bulk_to_stream_ratio=0.8, n_batches=1)
+        return state.vertices.select("vId", "cId")
+
+    def g_adjacency(spark, sf):
+        e, _, _ = _graph(spark, sf)
+        from community_detection_flink_spark.operators.triangles import adjacency_lists
+
+        return adjacency_lists(e, sort=True).select(
+            "vId", F.col("adj").alias("adj")
+        )
+
+    def rel_distinct_counts(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+            F.countDistinct("l_suppkey").cast("long").alias("n_supps"),
+            F.count("*").cast("long").alias("n_rows"),
         )
 
     # ---------------- relational (T/J/A operator coverage) ------------
@@ -325,6 +357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_community_triangles": g_community_triangles,
         "wcc_communities": wcc_communities,
         "wcc_stats": wcc_stats,
+        "wcc_incremental": wcc_incremental,
+        "g_adjacency": g_adjacency,
+        "rel_distinct_counts": rel_distinct_counts,
         "rel_pricing_summary": rel_pricing_summary,
         "rel_top_orders": rel_top_orders,
         "rel_nation_revenue": rel_nation_revenue,
@@ -466,6 +501,14 @@ def oracle_sql() -> dict[str, str]:
 SELECT v.vId, COALESCE(t.t, 0) AS t
 FROM (SELECT DISTINCT src AS vId FROM edges) v LEFT JOIN tcnt t USING (vId)""",
         "g_vertex_metrics": _G + "SELECT vId, t, vt, cc FROM vm",
+        "g_adjacency": _G + """
+SELECT src AS vId, list_sort(list(dst)) AS adj FROM edges GROUP BY src""",
+        "rel_distinct_counts": """
+SELECT l_returnflag,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag""",
         "g_community_stats": _G + """,
 sizes AS (SELECT cId, CAST(COUNT(*) AS BIGINT) AS r FROM lab GROUP BY cId),
 agg AS (

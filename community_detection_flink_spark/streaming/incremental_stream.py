@@ -1,0 +1,113 @@
+"""Streaming drivers for incremental WCC (SURVEY.md E2 / §2.9).
+
+The reference fakes a stream by id-range micro-batching a bounded edge
+set (``CSVGraph.testStream``, ``CSVGraph.scala:47-103``).  Two
+entry points here:
+
+* ``run_edge_batches`` — the reference's harness, re-expressed: split
+  bulk/stream by a vertex-id threshold, feed id-range micro-batches
+  through ``incremental_update``.  Used by tests and the driver
+  contract.
+* ``run_stream`` — real Structured Streaming: ``readStream`` on an
+  edge directory, ``foreachBatch`` folding each micro-batch into the
+  carried ``WCCState``.  This is what the reference's simulated loop
+  becomes when Spark's native micro-batch engine drives it.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from community_detection_flink_spark.operators.incremental import (
+    WCCState,
+    incremental_update,
+    prepare,
+)
+from community_detection_flink_spark.plans.iteration import Materializer
+
+
+def split_bulk_stream(
+    edges: DataFrame, bulk_to_stream_ratio: float = 0.8
+) -> tuple[DataFrame, DataFrame, float]:
+    """Bulk/stream split by vertex-id threshold (``CSVGraph.scala:70-77``):
+    bulk = both endpoints below split, stream = any endpoint at/above."""
+    max_vertex = edges.agg(F.max(F.greatest("src", "dst"))).first()[0]
+    split = math.floor(max_vertex * bulk_to_stream_ratio)
+    bulk = edges.where((F.col("src") < split) & (F.col("dst") < split))
+    stream = edges.where((F.col("src") >= split) | (F.col("dst") >= split))
+    return bulk, stream, split
+
+
+def micro_batches(
+    stream_edges: DataFrame, split: float, max_vertex: int, n_batches: int
+):
+    """Id-range micro-batch filters (``CSVGraph.scala:85-95``)."""
+    size = math.floor((max_vertex - split) / n_batches)
+    for k in range(1, n_batches + 1):
+        lo = split + (k - 1) * size
+        hi = max_vertex + 1 if k == n_batches else split + k * size
+        yield stream_edges.where(
+            ((F.col("src") >= lo) | (F.col("dst") >= lo))
+            & (F.col("src") < hi)
+            & (F.col("dst") < hi)
+        )
+
+
+def run_edge_batches(
+    edges: DataFrame,
+    bulk_to_stream_ratio: float = 0.8,
+    n_batches: int = 1,
+    mat: Materializer | None = None,
+) -> WCCState:
+    """E2 harness: bulk pipeline then incremental merges
+    (``CSVGraph.testStream`` re-expressed)."""
+    mat = mat or Materializer(edges.sparkSession)
+    max_vertex = int(edges.agg(F.max(F.greatest("src", "dst"))).first()[0])
+    bulk, stream, split = split_bulk_stream(edges, bulk_to_stream_ratio)
+    state = prepare(bulk, mat=mat)
+    for batch in micro_batches(stream, split, max_vertex, n_batches):
+        state = incremental_update(state, batch, mat=mat)
+    return state
+
+
+def run_stream(
+    spark,
+    source_dir: str,
+    initial_state: WCCState,
+    checkpoint_dir: str,
+    on_batch=None,
+):
+    """Real Structured Streaming driver: parquet edge source →
+    ``foreachBatch`` incremental WCC.
+
+    Each micro-batch DataFrame (src, dst) is folded into the carried
+    state; ``on_batch(state, batch_id)`` observes progress.  Returns
+    the StreamingQuery (caller awaits/stops it); final state is in
+    ``holder['state']``.
+    """
+    mat = Materializer(spark)
+    holder = {"state": initial_state}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        holder["state"] = incremental_update(
+            holder["state"], batch_df.select("src", "dst"), mat=mat
+        )
+        if on_batch is not None:
+            on_batch(holder["state"], batch_id)
+
+    stream = (
+        spark.readStream.schema("src LONG, dst LONG").parquet(source_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query._cdfs_state = holder
+    return query
