@@ -27,6 +27,12 @@ from community_detection_flink_spark.sources.edges import (
     co_purchase_edges,
 )
 from community_detection_flink_spark.operators.refinement import run_wcc
+from community_detection_flink_spark.operators.incremental import (
+    WCCState,
+    incremental_update,
+    prepare,
+)
+from community_detection_flink_spark.plans.iteration import Materializer
 
 __all__ = [
     "get_spark",
@@ -35,4 +41,8 @@ __all__ = [
     "vertices_of",
     "co_purchase_edges",
     "run_wcc",
+    "WCCState",
+    "incremental_update",
+    "prepare",
+    "Materializer",
 ]

@@ -1,0 +1,72 @@
+"""Physical-plan introspection helpers.
+
+The engine's performance contract is checked against the plan, not
+vibes: filters and projections must reach the parquet scan
+(``PushedFilters`` / ``ReadSchema``), small dimensions must broadcast,
+and the hot path must stay inside whole-stage codegen (no
+``BatchEvalPython`` except in the explicitly Arrow-batched multimodal
+operators).  ``tests/test_plans.py`` pins these properties.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def scan_summary(df: DataFrame) -> list[dict]:
+    """Per parquet scan: pushed filters and the column subset read."""
+    text = formatted_plan(df)
+    scans = []
+    for block in re.split(r"\n\(\d+\) ", text):
+        if not block.startswith("Scan parquet"):
+            continue
+        pushed = re.search(r"PushedFilters: \[(.*?)\]", block)
+        schema = re.search(r"ReadSchema: struct<(.*?)>", block, re.S)
+        scans.append(
+            {
+                "pushed_filters": pushed.group(1) if pushed else "",
+                "read_columns": [
+                    c.split(":")[0].strip()
+                    for c in (schema.group(1).split(",") if schema else [])
+                    if c.strip()
+                ],
+            }
+        )
+    return scans
+
+
+def join_strategies(df: DataFrame) -> list[str]:
+    """Physical join operators in execution order."""
+    text = formatted_plan(df)
+    return re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)",
+        text,
+    )
+
+
+def python_eval_nodes(df: DataFrame) -> list[str]:
+    """Distinct Python-execution operators (empty ⇒ fully JVM-side)."""
+    text = formatted_plan(df)
+    return sorted(
+        set(
+            re.findall(
+                r"(BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)",
+                text,
+            )
+        )
+    )
+
+
+def codegen_span_count(df: DataFrame) -> int:
+    """Number of whole-stage-codegen subtrees (fewer = wider spans)."""
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))

@@ -1,0 +1,81 @@
+"""Plan-quality pins (SURVEY.md §4): pushdown, pruning, broadcast, JVM-only.
+
+These tests read the PHYSICAL plan — if a refactor silently breaks
+predicate pushdown or drags the WCC hot path into Python, they fail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from community_detection_flink_spark.plans.explain import (
+    join_strategies,
+    python_eval_nodes,
+    scan_summary,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_and_projection_pushdown(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    scans = scan_summary(q)
+    assert len(scans) == 1
+    assert "GreaterThan(l_quantity,30" in scans[0]["pushed_filters"]
+    # column pruning: only the two referenced columns are read
+    assert set(scans[0]["read_columns"]) == {"l_orderkey", "l_quantity"}
+
+
+def test_small_dim_join_broadcasts(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    q = li.join(s, F.col("l_suppkey") == F.col("s_suppkey")).groupBy("s_name").count()
+    strategies = join_strategies(q)
+    assert strategies and all(j == "BroadcastHashJoin" for j in strategies)
+
+
+def test_wcc_operators_stay_jvm_side(spark, golden_edges):
+    from community_detection_flink_spark.sources.edges import symmetrize_edges
+    from community_detection_flink_spark.operators.preprocess import preprocess
+    from community_detection_flink_spark.operators.community import (
+        best_movement,
+        community_stats,
+    )
+
+    e = symmetrize_edges(golden_edges)
+    vertices, clean = preprocess(e)
+    assert python_eval_nodes(vertices) == []
+    assert python_eval_nodes(clean) == []
+    part = vertices.withColumn("cId", F.col("vId"))
+    cs = community_stats(part, clean)
+    assert python_eval_nodes(cs) == []
+    mv = best_movement(part, clean, cs, 0.3, 8)
+    assert python_eval_nodes(mv) == []
+
+
+def test_extension_operators_stay_jvm_side(spark):
+    from community_detection_flink_spark.operators import dedup as D
+    from community_detection_flink_spark.operators import similarity as S
+    from community_detection_flink_spark.operators import textual as T
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for df in [
+        D.minhash_signatures(docs, 8),
+        D.simhash(docs, 32),
+        T.token_stats(docs),
+        T.fingerprint(docs),
+        S.cosine_topk(emb, emb.where(F.col("vec_id") < 3), 3),
+    ]:
+        assert python_eval_nodes(df) == []
+
+
+def test_multimodal_decode_is_arrow_batched(spark):
+    """The ONE intentional Python operator uses mapInPandas (Arrow),
+    never row-at-a-time BatchEvalPython."""
+    from community_detection_flink_spark.operators.multimodal import decode_features
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    nodes = python_eval_nodes(decode_features(docs))
+    assert nodes == ["MapInPandas"]
