@@ -270,6 +270,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li, F.col("p_partkey") == F.col("l_partkey"), "left_semi"
         ).select(F.col("p_partkey").cast("long").alias("p_partkey"))
 
+    def rel_parts_intersect(spark, sf):
+        """T7 INTERSECT: part keys present in both lineitem and orders'
+        building-segment customers' purchases — here simply lineitem ∩ part."""
+        p = load_table(spark, sf, "part").select(
+            F.col("p_partkey").cast("long").alias("k")
+        )
+        li = load_table(spark, sf, "lineitem").select(
+            F.col("l_partkey").cast("long").alias("k")
+        )
+        return p.intersect(li)
+
     def rel_parts_never_ordered(spark, sf):
         p = load_table(spark, sf, "part").select(
             F.col("p_partkey").cast("long").alias("p_partkey")
@@ -367,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup_orders": rel_rollup_orders,
         "rel_customers_without_orders": rel_customers_without_orders,
         "rel_parts_in_lineitem": rel_parts_in_lineitem,
+        "rel_parts_intersect": rel_parts_intersect,
         "rel_parts_never_ordered": rel_parts_never_ordered,
         "ev_tumbling": ev_tumbling,
         "ev_sliding": ev_sliding,
@@ -576,6 +588,10 @@ WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""",
         "rel_parts_never_ordered": """
 SELECT CAST(p_partkey AS BIGINT) AS p_partkey FROM part
 EXCEPT
+SELECT CAST(l_partkey AS BIGINT) FROM lineitem""",
+        "rel_parts_intersect": """
+SELECT CAST(p_partkey AS BIGINT) AS k FROM part
+INTERSECT
 SELECT CAST(l_partkey AS BIGINT) FROM lineitem""",
         "ev_tumbling": """
 SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start, event_type,

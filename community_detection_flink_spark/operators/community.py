@@ -100,7 +100,7 @@ def global_wcc(
     ewc = edges_with_communities(vertices, edges)
     intra = ewc.where(F.col("c_src") == F.col("c_dst")).select("src", "dst")
     if mat is not None:
-        intra = mat(intra, "gwcc-intra")  # feeds vtC and the triangle pass
+        intra = mat.cache(intra, "gwcc-intra")  # feeds vtC and the triangle pass
     vtc = intra.groupBy(F.col("src").alias("vId")).agg(
         F.count("*").cast("int").alias("vtC")
     )
@@ -154,7 +154,7 @@ def best_movement(
         # vcd feeds three branches (degree totals, own-community row,
         # candidate scan); materializing avoids recomputing the
         # edge-triplet joins three times per refinement round
-        vcd = mat(vcd, "vcd")
+        vcd = mat.cache(vcd, "vcd")
     tot = vcd.groupBy("vId").agg(F.sum("dIn").cast("int").alias("degTot"))
 
     own = (
@@ -185,7 +185,7 @@ def best_movement(
         )
     )
     if mat is not None:
-        own = mat(own, "own")
+        own = mat.cache(own, "own")
 
     cand = (
         vcd.join(own.select("vId", "c_own", "degTot", "wccR"), "vId")

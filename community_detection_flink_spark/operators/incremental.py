@@ -82,6 +82,7 @@ def prepare(edges: DataFrame, mat: Materializer | None = None) -> WCCState:
         ),
         "inc-vertices",
     )
+    mat.release()  # triangle caches no longer needed
     return WCCState(
         edges=edges,
         clean_edges=clean_e,
@@ -201,8 +202,8 @@ def incremental_update(
     # center election on the cleaned subgraph (IncrementalWCC.scala:185-227
     # reruns the same Pregel over the whole triangle subgraph)
     clean_verts = vertices.where(F.col("t") > 0).select("vId", "t", "vt", "cc")
-    part = initial_partition(clean_verts, clean_new, mat=mat)
-    part = mat(part, "inc-part")
+    part = mat(initial_partition(clean_verts, clean_new, mat=mat), "inc-part")
+    mat.release()
 
     # fixed-round refinement, no accept test (IncrementalWCC.scala:332-393)
     cur = part
@@ -213,8 +214,10 @@ def incremental_update(
             "inc-mv",
         )
         cur_cs = mat(community_stats(cur, clean_new), "inc-cs")
+        mat.release()
 
     wcc = global_wcc(cur, clean_new, cur_cs, vertex_count, mat=mat)
+    mat.release()
 
     final_vertices = mat(
         vertices.drop("cId")

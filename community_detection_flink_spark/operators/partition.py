@@ -64,7 +64,7 @@ def initial_partition(
             key.withColumnsRenamed({"vId": "dst", "cc": "cc_d", "vt": "vt_d"}), "dst"
         )
     )
-    higher = mat(
+    higher = mat.cache(
         ew.where(_ord("cc_d", "vt_d", "dst") > _ord("cc_s", "vt_s", "src")).select(
             "src", "dst"
         ),

@@ -37,7 +37,7 @@ def preprocess(edges: DataFrame, mat=None) -> tuple[DataFrame, DataFrame]:
     """
     tri = triangles(edges, mat=mat)
     if mat is not None:
-        tri = mat(tri, "tri")
+        tri = mat.cache(tri, "tri")
     clean_edges = triangle_edges(tri)
 
     t = (

@@ -65,6 +65,7 @@ def refine_partition(
     best = mat(vertices, "best")
     best_cs = mat(community_stats(best, clean_edges), "cs")
     best_wcc = global_wcc(best, clean_edges, best_cs, vertex_count, mat=mat)
+    mat.release()
 
     retries = max_retries
     rounds = 0
@@ -76,6 +77,7 @@ def refine_partition(
         )
         new_cs = mat(community_stats(moved, clean_edges), "cs")
         new_wcc = global_wcc(moved, clean_edges, new_cs, vertex_count, mat=mat)
+        mat.release()  # drop this round's ephemeral caches (vcd/own/intra/oriented)
         retries -= 1
         rounds += 1
         if new_wcc > best_wcc:
@@ -118,7 +120,9 @@ def run_wcc(
     vertices, clean_edges = preprocess(edges, mat=mat)
     clean_edges = mat(clean_edges, "clean-edges")
     vertices = mat(vertices, "clean-vertices")
-    init = initial_partition(vertices, clean_edges, mat=mat)
+    mat.release()  # triangle list + oriented edges no longer needed
+    init = mat(initial_partition(vertices, clean_edges, mat=mat), "init")
+    mat.release()  # MIS "higher" edge cache
 
     best, best_cs, best_wcc, global_cc, rounds = refine_partition(
         init, clean_edges, vertex_count, max_retries, threshold, mat=mat

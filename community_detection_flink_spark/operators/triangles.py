@@ -68,7 +68,7 @@ def triangles(edges: DataFrame, mat=None) -> DataFrame:
     """
     oe = _oriented(edges)
     if mat is not None:
-        oe = mat(oe, "tri-oriented")
+        oe = mat.cache(oe, "tri-oriented")
     adjo = oe.groupBy(F.col("src").alias("vId")).agg(F.collect_list("dst").alias("adj"))
     pairs = (
         oe.join(adjo.withColumnsRenamed({"vId": "src", "adj": "adj_u"}), "src")

@@ -47,12 +47,33 @@ class Materializer:
             or tempfile.mkdtemp(prefix="cdfs-ckpt-")
         )
         self._i = 0
+        self._ephemeral: list[DataFrame] = []
 
     def __call__(self, df: DataFrame, name: str = "state") -> DataFrame:
         path = os.path.join(self.base, f"{name}-{self._i:04d}")
         self._i += 1
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
+
+    def cache(self, df: DataFrame, name: str = "tmp") -> DataFrame:
+        """In-memory materialization for WITHIN-round temporaries.
+
+        Cheaper than the parquet round-trip and safe against the stats
+        compounding: an ``InMemoryRelation``'s statistics are the
+        actual cached sizes, and the entry is dropped at the next
+        ``release()`` (call it once per loop round, after the round's
+        state has been parquet-materialized).
+        """
+        df = df.persist()
+        df.count()
+        self._ephemeral.append(df)
+        return df
+
+    def release(self) -> None:
+        """Unpersist all ephemeral caches registered since the last call."""
+        for df in self._ephemeral:
+            df.unpersist(False)
+        self._ephemeral.clear()
 
     def cleanup(self) -> None:
         """Best-effort removal of the checkpoint dir (local paths only)."""

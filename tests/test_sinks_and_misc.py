@@ -1,0 +1,42 @@
+"""Sinks (S5), approximate aggregates (A9), and loader edge cases."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from community_detection_flink_spark.sources.sinks import PhaseTap, write_csv, write_parquet
+
+
+def test_csv_sink_roundtrip(spark, golden_edges):
+    d = tempfile.mkdtemp(prefix="cdfs-sink-")
+    write_csv(golden_edges, f"{d}/edges")
+    back = spark.read.schema("src LONG, dst LONG").csv(f"{d}/edges")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, golden_edges.collect()))
+
+
+def test_parquet_sink_partitioned(spark, golden_edges):
+    d = tempfile.mkdtemp(prefix="cdfs-sink-")
+    df = golden_edges.withColumn("bucket", F.col("src") % 2)
+    write_parquet(df, f"{d}/edges", partition_by=["bucket"])
+    assert os.path.isdir(f"{d}/edges/bucket=0")
+    assert spark.read.parquet(f"{d}/edges").count() == golden_edges.count()
+
+
+def test_phase_tap_noop_and_active(spark, golden_edges):
+    assert PhaseTap(None)(golden_edges, "x") is golden_edges
+    d = tempfile.mkdtemp(prefix="cdfs-tap-")
+    PhaseTap(d)(golden_edges, "edges")
+    assert spark.read.schema("src LONG, dst LONG").csv(f"{d}/edges").count() == golden_edges.count()
+
+
+def test_approx_count_distinct_tolerance(spark):
+    """A9 — approx_count_distinct within 5% of exact on lineitem keys."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
