@@ -65,8 +65,9 @@ def _graph(spark: SparkSession, sf_dir: str):
 
         mat = Materializer(spark)
         edges = mat(co_purchase_edges(spark, sf_dir), "entry-edges")
-        vertices, clean = preprocess(edges)
+        vertices, clean = preprocess(edges, mat=mat)
         _GRAPH_CACHE[sf_dir] = (edges, mat(vertices, "entry-cv"), mat(clean, "entry-ce"))
+        mat.release()  # triangle/oriented caches
     return _GRAPH_CACHE[sf_dir]
 
 

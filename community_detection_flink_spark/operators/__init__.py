@@ -10,6 +10,7 @@ from community_detection_flink_spark.operators.partition import initial_partitio
 from community_detection_flink_spark.operators.community import (
     community_stats,
     edges_with_communities,
+    intra_triangle_counts,
     vertex_community_degrees,
     global_wcc,
     best_movement,
@@ -26,6 +27,7 @@ __all__ = [
     "initial_partition",
     "community_stats",
     "edges_with_communities",
+    "intra_triangle_counts",
     "vertex_community_degrees",
     "global_wcc",
     "best_movement",

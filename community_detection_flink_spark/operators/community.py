@@ -37,7 +37,9 @@ def edges_with_communities(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def community_stats(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+def community_stats(
+    vertices: DataFrame, edges: DataFrame, ewc: DataFrame | None = None
+) -> DataFrame:
     """A3+A4 — per-community size r, internal edges a, external edges b,
     density d = 2a/r² (``DistributedWCC.scala:536-564``,
     ``CommunityData.scala:13``).
@@ -48,7 +50,8 @@ def community_stats(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     whose src is inside each of its two communities (no correction = b).
     """
     sizes = vertices.groupBy("cId").agg(F.count("*").cast("int").alias("r"))
-    ewc = edges_with_communities(vertices, edges)
+    if ewc is None:
+        ewc = edges_with_communities(vertices, edges)
     agg = ewc.groupBy(F.col("c_src").alias("cId")).agg(
         (F.sum(F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0)) / 2.0)
         .cast("double")
@@ -66,14 +69,42 @@ def community_stats(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def vertex_community_degrees(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+def vertex_community_degrees(
+    vertices: DataFrame, edges: DataFrame, ewc: DataFrame | None = None
+) -> DataFrame:
     """A5 — per-(vertex, community) edge count: ``(vId, cId, dIn)``
     (``DistributedWCC.scala:348-357``).  Stays a flat table — the
     reference re-groups into a per-vertex Map; relationally the flat
     shape is the joinable one."""
-    ewc = edges_with_communities(vertices, edges)
+    if ewc is None:
+        ewc = edges_with_communities(vertices, edges)
     return ewc.groupBy(F.col("src").alias("vId"), F.col("c_dst").alias("cId")).agg(
         F.count("*").cast("int").alias("dIn")
+    )
+
+
+def intra_triangle_counts(tri: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-vertex count of triangles whose three corners share a community.
+
+    A triangle lies in the intra-community subgraph ⟺ all three of its
+    edges are intra ⟺ all three corners carry the same label, so the
+    STATIC triangle list (enumerated once per graph) joined against the
+    current label map replaces the reference's per-round adjacency
+    intersection (``DistributedWCC.scala:462-507``).  Per refinement
+    round this is three equi-joins on vertex id + one hash aggregate —
+    all linear in |triangles|, no list building; at cluster scale the
+    label side broadcasts when small and otherwise shuffles on the
+    corner ids the triangle list is already keyed by.
+    """
+    lab = labels.select("vId", "cId")
+    return (
+        tri.join(lab.withColumnsRenamed({"vId": "u", "cId": "c_u"}), "u")
+        .join(lab.withColumnsRenamed({"vId": "v", "cId": "c_v"}), "v")
+        .join(lab.withColumnsRenamed({"vId": "w", "cId": "c_w"}), "w")
+        .where((F.col("c_u") == F.col("c_v")) & (F.col("c_v") == F.col("c_w")))
+        .select(F.explode(F.array("u", "v", "w")).alias("vId"))
+        .groupBy("vId")
+        .agg(F.count("*").cast("int").alias("tC"))
     )
 
 
@@ -83,6 +114,8 @@ def global_wcc(
     stats: DataFrame,
     vertex_count: int,
     mat=None,
+    ewc: DataFrame | None = None,
+    tri: DataFrame | None = None,
 ) -> float:
     """A6+A7+A8 — global WCC = Σ_v wccV(v) / |V|
     (``DistributedWCC.scala:440-507``; kernel ``WCCMetric.scala:16-21``).
@@ -96,20 +129,30 @@ def global_wcc(
       enumerate triangles of the intra-community edge subgraph (all
       three corners must share the community) with the oriented
       enumerator and credit each corner.
+
+    ``ewc``: optional pre-joined/cached triplets for ``vertices`` —
+    avoids redoing the two label joins when the caller already built
+    them for the same labeling.  ``tri``: optional STATIC triangle list
+    of the clean graph — switches the tC pass from per-round subgraph
+    re-enumeration to ``intra_triangle_counts`` (three joins + one agg).
     """
-    ewc = edges_with_communities(vertices, edges)
+    if ewc is None:
+        ewc = edges_with_communities(vertices, edges)
     intra = ewc.where(F.col("c_src") == F.col("c_dst")).select("src", "dst")
-    if mat is not None:
+    if tri is None and mat is not None:
         intra = mat.cache(intra, "gwcc-intra")  # feeds vtC and the triangle pass
     vtc = intra.groupBy(F.col("src").alias("vId")).agg(
         F.count("*").cast("int").alias("vtC")
     )
-    tri = triangles(intra, mat=mat)
-    tc = (
-        tri.select(F.explode(F.array("u", "v", "w")).alias("vId"))
-        .groupBy("vId")
-        .agg(F.count("*").cast("int").alias("tC"))
-    )
+    if tri is not None:
+        tc = intra_triangle_counts(tri, vertices)
+    else:
+        sub = triangles(intra, mat=mat)
+        tc = (
+            sub.select(F.explode(F.array("u", "v", "w")).alias("vId"))
+            .groupBy("vId")
+            .agg(F.count("*").cast("int").alias("tC"))
+        )
     per_vertex = (
         vertices.join(vtc, "vId", "left")
         .join(tc, "vId", "left")
@@ -135,6 +178,7 @@ def best_movement(
     global_cc: float,
     vertex_count: int,
     mat=None,
+    ewc: DataFrame | None = None,
 ) -> DataFrame:
     """I4 kernel — one simultaneous best-movement pass over all vertices
     (``DistributedWCC.scala:331-419``).  Returns ``vertices`` with an
@@ -149,7 +193,7 @@ def best_movement(
     we take max wccT with ties broken by smallest community id —
     deterministic, same fixed points.
     """
-    vcd = vertex_community_degrees(vertices, edges)
+    vcd = vertex_community_degrees(vertices, edges, ewc=ewc)
     if mat is not None:
         # vcd feeds three branches (degree totals, own-community row,
         # candidate scan); materializing avoids recomputing the

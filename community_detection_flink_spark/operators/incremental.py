@@ -38,10 +38,12 @@ from community_detection_flink_spark.functions.wcc_metric import cc_col
 from community_detection_flink_spark.operators.community import (
     best_movement,
     community_stats,
+    edges_with_communities,
     global_wcc,
 )
 from community_detection_flink_spark.operators.partition import initial_partition
 from community_detection_flink_spark.operators.refinement import run_wcc
+from community_detection_flink_spark.operators.triangles import triangles
 from community_detection_flink_spark.plans.iteration import Materializer
 from community_detection_flink_spark.sources.edges import symmetrize_edges
 
@@ -205,19 +207,32 @@ def incremental_update(
     part = mat(initial_partition(clean_verts, clean_new, mat=mat), "inc-part")
     mat.release()
 
-    # fixed-round refinement, no accept test (IncrementalWCC.scala:332-393)
+    # fixed-round refinement, no accept test (IncrementalWCC.scala:332-393).
+    # Same per-round plan shape as refine_partition: one cached triplets
+    # build per labeling + the static triangle list for the final WCC.
+    tri_static = mat(triangles(clean_new, mat=mat), "inc-tri-static")
+    mat.release()
+    loop_edges = clean_new.repartition("src").persist()  # see refine_partition
     cur = part
-    cur_cs = mat(community_stats(cur, clean_new), "inc-cs")
+    cur_ewc = edges_with_communities(cur, loop_edges).persist()
+    cur_cs = mat(community_stats(cur, loop_edges, ewc=cur_ewc), "inc-cs")
     for _ in range(rounds):
-        cur = mat(
-            best_movement(cur, clean_new, cur_cs, global_cc, vertex_count, mat=mat),
+        nxt = mat(
+            best_movement(
+                cur, loop_edges, cur_cs, global_cc, vertex_count,
+                mat=mat, ewc=cur_ewc,
+            ),
             "inc-mv",
         )
-        cur_cs = mat(community_stats(cur, clean_new), "inc-cs")
         mat.release()
+        cur_ewc.unpersist(False)
+        cur = nxt
+        cur_ewc = edges_with_communities(cur, loop_edges).persist()
+        cur_cs = mat(community_stats(cur, loop_edges, ewc=cur_ewc), "inc-cs")
 
-    wcc = global_wcc(cur, clean_new, cur_cs, vertex_count, mat=mat)
-    mat.release()
+    wcc = global_wcc(cur, loop_edges, cur_cs, vertex_count, ewc=cur_ewc, tri=tri_static)
+    cur_ewc.unpersist(False)
+    loop_edges.unpersist(False)
 
     final_vertices = mat(
         vertices.drop("cId")

@@ -24,7 +24,9 @@ from community_detection_flink_spark.operators.triangles import (
 )
 
 
-def preprocess(edges: DataFrame, mat=None) -> tuple[DataFrame, DataFrame]:
+def preprocess(
+    edges: DataFrame, mat=None, tri: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Return ``(vertices, clean_edges)``.
 
     ``vertices``: vId, t, vt, cc — only vertices with t > 0
@@ -32,12 +34,14 @@ def preprocess(edges: DataFrame, mat=None) -> tuple[DataFrame, DataFrame]:
     ``clean_edges``: doubled-edge set restricted to triangle edges
     (``DistributedWCC.scala:111``).
 
-    ``mat`` materializes the triangle list once — it feeds both the
-    per-vertex counts and the cleaned edge set.
+    ``tri``: optional pre-materialized triangle list (``run_wcc`` shares
+    one enumeration with the refinement loop); enumerated here if
+    absent, with ``mat`` caching it across its two consumers.
     """
-    tri = triangles(edges, mat=mat)
-    if mat is not None:
-        tri = mat.cache(tri, "tri")
+    if tri is None:
+        tri = triangles(edges, mat=mat)
+        if mat is not None:
+            tri = mat.cache(tri, "tri")
     clean_edges = triangle_edges(tri)
 
     t = (

@@ -26,10 +26,12 @@ from pyspark.sql import functions as F
 from community_detection_flink_spark.operators.community import (
     best_movement,
     community_stats,
+    edges_with_communities,
     global_wcc,
 )
 from community_detection_flink_spark.operators.partition import initial_partition
 from community_detection_flink_spark.operators.preprocess import preprocess
+from community_detection_flink_spark.operators.triangles import triangles
 from community_detection_flink_spark.plans.iteration import Materializer
 
 THRESHOLD = 0.01  # DistributedWCC.scala:28
@@ -53,39 +55,68 @@ def refine_partition(
     max_retries: int = MAX_RETRIES,
     threshold: float = THRESHOLD,
     mat: Materializer | None = None,
+    tri: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, float, float, int]:
     """Run the accept-if-improved movement loop.
 
     Returns (best_vertices, best_stats, best_wcc, global_cc, rounds).
+
+    Per-round plan shape: the two label joins (edge triplets) are built
+    ONCE per labeling, cached, and feed all three consumers — the next
+    round's movement candidates, the community stats, and the global-WCC
+    intra pass; the previous labeling's cache is dropped the moment its
+    labeling is superseded.  ``tri`` (static triangle list of
+    ``clean_edges``) turns the per-round tC pass into three joins + one
+    aggregate (see ``intra_triangle_counts``); computed here if absent.
     """
     mat = mat or Materializer(vertices.sparkSession)
+    if tri is None:
+        tri = mat(triangles(clean_edges, mat=mat), "tri-static")
+        mat.release()
     global_cc_total = vertices.agg(F.sum("cc").alias("s")).first()["s"] or 0.0
     global_cc = float(global_cc_total) / float(vertex_count)  # DistributedWCC.scala:261-262
 
+    # One src-hash shuffle up front, reused every round: the label maps
+    # broadcast, so the triplets build preserves this partitioning and
+    # the per-src aggregations (vcd, vtC) and vId-keyed joins downstream
+    # need no further exchange.
+    loop_edges = clean_edges.repartition("src").persist()
+
+    def _eval(labels: DataFrame) -> tuple[DataFrame, DataFrame, float]:
+        """Triplets cache + stats + global WCC for one labeling."""
+        ewc = edges_with_communities(labels, loop_edges).persist()
+        cs = mat(community_stats(labels, loop_edges, ewc=ewc), "cs")
+        wcc = global_wcc(labels, loop_edges, cs, vertex_count, ewc=ewc, tri=tri)
+        return ewc, cs, wcc
+
     best = mat(vertices, "best")
-    best_cs = mat(community_stats(best, clean_edges), "cs")
-    best_wcc = global_wcc(best, clean_edges, best_cs, vertex_count, mat=mat)
-    mat.release()
+    best_ewc, best_cs, best_wcc = _eval(best)
 
     retries = max_retries
     rounds = 0
     improved = True
     while improved and retries > 0:
         moved = mat(
-            best_movement(best, clean_edges, best_cs, global_cc, vertex_count, mat=mat),
+            best_movement(
+                best, loop_edges, best_cs, global_cc, vertex_count,
+                mat=mat, ewc=best_ewc,
+            ),
             "moved",
         )
-        new_cs = mat(community_stats(moved, clean_edges), "cs")
-        new_wcc = global_wcc(moved, clean_edges, new_cs, vertex_count, mat=mat)
-        mat.release()  # drop this round's ephemeral caches (vcd/own/intra/oriented)
+        mat.release()  # drop this round's vcd/own caches
+        new_ewc, new_cs, new_wcc = _eval(moved)
         retries -= 1
         rounds += 1
         if new_wcc > best_wcc:
             if best_wcc > 0 and (new_wcc / best_wcc - 1.0) > threshold:
                 retries = max_retries  # DistributedWCC.scala:309-312
-            best, best_cs, best_wcc = moved, new_cs, new_wcc
+            best_ewc.unpersist(False)
+            best, best_cs, best_wcc, best_ewc = moved, new_cs, new_wcc, new_ewc
         else:
+            new_ewc.unpersist(False)
             improved = False
+    best_ewc.unpersist(False)
+    loop_edges.unpersist(False)
     return best, best_cs, best_wcc, global_cc, rounds
 
 
@@ -117,15 +148,19 @@ def run_wcc(
             iterations=0,
         )
 
-    vertices, clean_edges = preprocess(edges, mat=mat)
+    # One triangle enumeration serves preprocessing AND every refinement
+    # round (tC via the static-list join): clean_edges keeps every
+    # triangle edge, so triangles(clean) == triangles(full).
+    tri = mat(triangles(edges, mat=mat), "tri")
+    mat.release()  # oriented-edge cache
+    vertices, clean_edges = preprocess(edges, mat=mat, tri=tri)
     clean_edges = mat(clean_edges, "clean-edges")
     vertices = mat(vertices, "clean-vertices")
-    mat.release()  # triangle list + oriented edges no longer needed
     init = mat(initial_partition(vertices, clean_edges, mat=mat), "init")
     mat.release()  # MIS "higher" edge cache
 
     best, best_cs, best_wcc, global_cc, rounds = refine_partition(
-        init, clean_edges, vertex_count, max_retries, threshold, mat=mat
+        init, clean_edges, vertex_count, max_retries, threshold, mat=mat, tri=tri
     )
 
     communities = all_vertices.join(best.select("vId", "cId"), "vId", "left").select(
