@@ -257,6 +257,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def rel_cube_orders(spark, sf):
+        """A9 CUBE — all grouping-set combinations over priority/status."""
+        o = load_table(spark, sf, "orders")
+        return (
+            o.cube("o_orderpriority", "o_orderstatus")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+                F.count("*").cast("long").alias("n"),
+            )
+            .select(
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                "total",
+                "n",
+            )
+        )
+
     def rel_customers_without_orders(spark, sf):
         c = load_table(spark, sf, "customer")
         o = load_table(spark, sf, "orders")
@@ -290,6 +307,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("l_partkey").cast("long").alias("p_partkey")
         )
         return p.exceptAll(li.distinct()).distinct()
+
+    def ev_user_running(spark, sf):
+        """Analytic windows: per-user running total (exact decimal
+        accumulation, frame-deterministic) + gap seconds to the
+        previous event (lag)."""
+        from pyspark.sql import Window
+
+        ev = load_table(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return ev.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(run)
+            .cast("double")
+            .alias("running_value"),
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+            ).cast("long").alias("gap_s"),
+        )
 
     # ---------------- events (event-time windows, json) ---------------
 
@@ -377,10 +415,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_nation_revenue": rel_nation_revenue,
         "rel_window_top_customers": rel_window_top_customers,
         "rel_rollup_orders": rel_rollup_orders,
+        "rel_cube_orders": rel_cube_orders,
         "rel_customers_without_orders": rel_customers_without_orders,
         "rel_parts_in_lineitem": rel_parts_in_lineitem,
         "rel_parts_intersect": rel_parts_intersect,
         "rel_parts_never_ordered": rel_parts_never_ordered,
+        "ev_user_running": ev_user_running,
         "ev_tumbling": ev_tumbling,
         "ev_sliding": ev_sliding,
         "ev_session": ev_session,
@@ -580,6 +620,11 @@ SELECT COALESCE(o_orderpriority, 'ALL') AS priority, COALESCE(o_orderstatus, 'AL
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
   CAST(COUNT(*) AS BIGINT) AS n
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+        "rel_cube_orders": """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority, COALESCE(o_orderstatus, 'ALL') AS status,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
         "rel_customers_without_orders": """
 SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
@@ -594,6 +639,15 @@ SELECT CAST(l_partkey AS BIGINT) FROM lineitem""",
 SELECT CAST(p_partkey AS BIGINT) AS k FROM part
 INTERSECT
 SELECT CAST(l_partkey AS BIGINT) FROM lineitem""",
+        "ev_user_running": """
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+  CAST(floor(epoch(ts)) AS BIGINT)
+    - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+    AS gap_s
+FROM events""",
         "ev_tumbling": """
 SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start, event_type,
   CAST(COUNT(*) AS BIGINT) AS n,

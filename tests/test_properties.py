@@ -1,0 +1,107 @@
+"""Property/invariant tests (SURVEY.md §5.4) over random small graphs.
+
+Hypothesis drives the inputs; each property is checked against a pure
+Python brute-force model, so these pin the ENGINE's semantics (the
+reference has no tests to port — ``SURVEY.md §5``).  Spark examples are
+kept tiny and few: the point is edge-case coverage (self-loops,
+duplicates, reversed duplicates, empty graphs), not scale.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from community_detection_flink_spark.operators.dedup import exact_dedup
+from community_detection_flink_spark.operators.triangles import triangle_counts
+from community_detection_flink_spark.sources.edges import symmetrize_edges
+
+EDGE_LISTS = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=25
+)
+
+FEW = settings(max_examples=8, deadline=None)
+
+
+def _undirected(pairs):
+    return {frozenset(p) for p in pairs if p[0] != p[1]}
+
+
+@given(EDGE_LISTS)
+@FEW
+def test_symmetrize_invariants(spark, pairs):
+    """Doubled-edge canon: no self-loops, symmetric, no duplicates,
+    exactly 2 rows per undirected edge of the input."""
+    df = spark.createDataFrame(pairs, "src LONG, dst LONG") if pairs else (
+        spark.createDataFrame([], "src LONG, dst LONG")
+    )
+    rows = [(r["src"], r["dst"]) for r in symmetrize_edges(df).collect()]
+    assert all(s != d for s, d in rows)
+    assert len(rows) == len(set(rows))
+    assert {(d, s) for s, d in rows} == set(rows)
+    assert len(rows) == 2 * len(_undirected(pairs))
+
+
+@given(EDGE_LISTS)
+@FEW
+def test_triangle_counts_vs_bruteforce(spark, pairs):
+    """Per-vertex t matches the O(V^3) model; Σt = 3 × #triangles."""
+    und = _undirected(pairs)
+    if not und:
+        return
+    adj = {}
+    for e in und:
+        a, b = tuple(e)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {v: 0 for v in adj}
+    n_tri = 0
+    for u, v, w in combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            n_tri += 1
+            for x in (u, v, w):
+                expect[x] += 1
+    edges = symmetrize_edges(
+        spark.createDataFrame([tuple(e) for e in und], "src LONG, dst LONG")
+    )
+    got = {r["vId"]: r["t"] for r in triangle_counts(edges).collect()}
+    assert got == expect
+    assert sum(got.values()) == 3 * n_tri
+
+
+@given(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", ""]), min_size=1, max_size=12)
+)
+@FEW
+def test_exact_dedup_partitions_corpus(spark, texts):
+    """Duplicate groups partition the corpus; representative = min id."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    rows = exact_dedup(docs).collect()
+    assert sum(r["n_copies"] for r in rows) == len(texts)
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    assert {r["representative"] for r in rows} == {min(v) for v in by_text.values()}
+    assert sorted(r["n_copies"] for r in rows) == sorted(
+        len(v) for v in by_text.values()
+    )
+
+
+@pytest.mark.parametrize("n_hashes", [4, 8])
+def test_minhash_identical_texts_share_signature(spark, n_hashes):
+    from community_detection_flink_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "a completely different text here")],
+        "doc_id LONG, text STRING",
+    )
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in
+            minhash_signatures(docs, num_hashes=n_hashes).collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == n_hashes
+    assert sigs[1] != sigs[3]
