@@ -193,24 +193,34 @@ def best_movement(
     we take max wccT with ties broken by smallest community id —
     deterministic, same fixed points.
     """
-    vcd = vertex_community_degrees(vertices, edges, ewc=ewc)
+    # vcd + own label in one relation: every downstream branch (degree
+    # totals, own-community row, candidate scan) reads this single
+    # cached table, all keyed on vId — with ewc src-partitioned (see
+    # refine_partition) none of the groupBys below re-shuffle.
+    vcd = vertex_community_degrees(vertices, edges, ewc=ewc).join(
+        vertices.select("vId", F.col("cId").alias("c_own")), "vId"
+    )
     if mat is not None:
-        # vcd feeds three branches (degree totals, own-community row,
-        # candidate scan); materializing avoids recomputing the
-        # edge-triplet joins three times per refinement round
         vcd = mat.cache(vcd, "vcd")
-    tot = vcd.groupBy("vId").agg(F.sum("dIn").cast("int").alias("degTot"))
 
+    # ONE aggregation yields both the total degree and the own-community
+    # share (the reference walks a per-vertex map twice,
+    # DistributedWCC.scala:368-405)
+    per_v = vcd.groupBy("vId", "c_own").agg(
+        F.sum("dIn").cast("int").alias("degTot"),
+        F.coalesce(
+            F.sum(F.when(F.col("cId") == F.col("c_own"), F.col("dIn"))), F.lit(0)
+        ).cast("int").alias("dIn_own"),
+    )
     own = (
-        vertices.select("vId", "cId")
-        .join(tot, "vId", "left")
-        .join(vcd.withColumnsRenamed({"dIn": "dIn_own"}), ["vId", "cId"], "left")
-        .join(F.broadcast(stats), "cId", "left")
+        per_v.join(
+            F.broadcast(stats.withColumnsRenamed({"cId": "c_own"})), "c_own", "left"
+        )
         .select(
             "vId",
-            F.col("cId").alias("c_own"),
-            F.coalesce("degTot", F.lit(0)).alias("degTot"),
-            F.coalesce("dIn_own", F.lit(0)).alias("dIn_own"),
+            "c_own",
+            "degTot",
+            "dIn_own",
             F.col("r").alias("r_own"),
             F.col("a").alias("a_own"),
             F.col("b").alias("b_own"),
@@ -232,8 +242,9 @@ def best_movement(
         own = mat.cache(own, "own")
 
     cand = (
-        vcd.join(own.select("vId", "c_own", "degTot", "wccR"), "vId")
-        .where(F.col("cId") != F.col("c_own"))
+        vcd.where(F.col("cId") != F.col("c_own"))
+        .drop("c_own")
+        .join(own.select("vId", "c_own", "degTot", "wccR"), "vId")
         .join(F.broadcast(stats), "cId")
         .where(F.col("r") > 1)
         .withColumn(
