@@ -164,11 +164,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return state.vertices.select("vId", "cId")
 
     def g_adjacency(spark, sf):
+        """A1 adjacency lists, exploded to (vId, pos, neighbor) scalar
+        rows so the oracle hash-check can canonicalize them (pandas
+        cannot sort/hash an array<long> column)."""
         e, _, _ = _graph(spark, sf)
         from community_detection_flink_spark.operators.triangles import adjacency_lists
 
-        return adjacency_lists(e, sort=True).select(
-            "vId", F.col("adj").alias("adj")
+        return (
+            adjacency_lists(e, sort=True)
+            .select("vId", F.posexplode("adj").alias("pos", "neighbor"))
+            .select("vId", F.col("pos").cast("long").alias("pos"), "neighbor")
         )
 
     def rel_distinct_counts(spark, sf):
@@ -275,8 +280,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def rel_customers_without_orders(spark, sf):
+        """J5 anti-join: customers with no 1995 orders.  The year filter
+        keeps the fixture non-vacuous (every customer has SOME order at
+        every SF, which would make the check verify nothing)."""
         c = load_table(spark, sf, "customer")
-        o = load_table(spark, sf, "orders")
+        o = load_table(spark, sf, "orders").where(F.year("o_orderdate") == 1995)
         return c.join(
             o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
         ).select(F.col("c_custkey").cast("long").alias("c_custkey"))
@@ -300,11 +308,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return p.intersect(li)
 
     def rel_parts_never_ordered(spark, sf):
+        """T7 EXCEPT: parts never ordered in bulk (l_quantity > 45).
+        The quantity filter keeps the fixture non-vacuous (every part
+        appears in lineitem at every SF)."""
         p = load_table(spark, sf, "part").select(
             F.col("p_partkey").cast("long").alias("p_partkey")
         )
-        li = load_table(spark, sf, "lineitem").select(
-            F.col("l_partkey").cast("long").alias("p_partkey")
+        li = (
+            load_table(spark, sf, "lineitem")
+            .where(F.col("l_quantity") > 45)
+            .select(F.col("l_partkey").cast("long").alias("p_partkey"))
         )
         return p.exceptAll(li.distinct()).distinct()
 
@@ -554,8 +567,10 @@ def oracle_sql() -> dict[str, str]:
 SELECT v.vId, COALESCE(t.t, 0) AS t
 FROM (SELECT DISTINCT src AS vId FROM edges) v LEFT JOIN tcnt t USING (vId)""",
         "g_vertex_metrics": _G + "SELECT vId, t, vt, cc FROM vm",
-        "g_adjacency": _G + """
-SELECT src AS vId, list_sort(list(dst)) AS adj FROM edges GROUP BY src""",
+        "g_adjacency": _G + """,
+adj AS (SELECT src AS vId, list_sort(list(dst)) AS adj FROM edges GROUP BY src)
+SELECT vId, CAST(t.i AS BIGINT) AS pos, adj[t.i + 1] AS neighbor
+FROM adj, UNNEST(range(len(adj))) AS t(i)""",
         "rel_distinct_counts": """
 SELECT l_returnflag,
   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
@@ -627,14 +642,15 @@ SELECT COALESCE(o_orderpriority, 'ALL') AS priority, COALESCE(o_orderstatus, 'AL
 FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
         "rel_customers_without_orders": """
 SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995)""",
         "rel_parts_in_lineitem": """
 SELECT CAST(p_partkey AS BIGINT) AS p_partkey FROM part p
 WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""",
         "rel_parts_never_ordered": """
 SELECT CAST(p_partkey AS BIGINT) AS p_partkey FROM part
 EXCEPT
-SELECT CAST(l_partkey AS BIGINT) FROM lineitem""",
+SELECT CAST(l_partkey AS BIGINT) FROM lineitem WHERE l_quantity > 45""",
         "rel_parts_intersect": """
 SELECT CAST(p_partkey AS BIGINT) AS k FROM part
 INTERSECT

@@ -20,14 +20,36 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 HEADLINE = [
     "wcc_communities",        # full graph pipeline (triangles → MIS → refinement)
+    "wcc_incremental",        # incremental merge + re-partition path
     "g_triangle_counts",      # degree-oriented triangle counting
+    "g_adjacency",            # adjacency-list build (exploded)
     "rel_pricing_summary",    # scan-heavy aggregation
     "rel_nation_revenue",     # multi-join with broadcast dims
     "doc_minhash_lsh_pairs",  # MinHash LSH dedup
+    "doc_jaccard_pairs",      # prefix-filtered exact Jaccard pairs
     "doc_simhash",            # SimHash fingerprints
     "emb_cosine_topk",        # brute-force similarity top-k
+    "emb_lsh_ann",            # multi-table LSH ANN (quality: see ann_recall_at_5)
     "ev_session",             # session windows
 ]
+
+
+def ann_quality(spark, sf_dir: str) -> dict[str, float]:
+    """Measured ANN quality: recall@5 of the LSH path vs the exact
+    top-k, and the fraction of the corpus it scanned to get there."""
+    from community_detection_flink_spark.operators import similarity as S
+    from community_detection_flink_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    n = emb.count()
+    queries = emb.where("vec_id < 10")
+    recall = S.ann_recall(emb, queries, k=5)
+    n_cand = S.ann_candidates(emb, queries).count()
+    emb.unpersist()
+    return {
+        "ann_recall_at_5": round(recall, 4),
+        "ann_candidate_frac": round(n_cand / (10 * max(n - 1, 1)), 4),
+    }
 
 
 def main() -> None:
@@ -49,6 +71,9 @@ def main() -> None:
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr, flush=True)
 
+    quality = ann_quality(spark, sf_dir)
+    print(f"# ann quality: {quality}", file=sys.stderr, flush=True)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -58,6 +83,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **quality,
             }
         ),
         flush=True,

@@ -16,7 +16,9 @@ Everything is DataFrame-first: logical plans are declared with the
 DataFrame API and Catalyst/Tungsten pick the physical strategy.  The only
 driver-side loops are the two genuinely iterative algorithms (center
 election and WCC refinement), which follow the iterative-Spark discipline
-of ``localCheckpoint`` per round to keep lineage flat.
+of a ``Materializer`` parquet round-trip per round — truncating lineage
+AND resetting Catalyst's compounding size statistics (see
+``plans/iteration.py`` for why ``localCheckpoint`` is pathological here).
 """
 
 from community_detection_flink_spark.session import get_spark

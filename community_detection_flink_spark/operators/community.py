@@ -275,7 +275,12 @@ def best_movement(
             "vId",
             "c_own",
             "wccR",
-            F.coalesce("wccT", F.lit(0.0)).alias("wccT"),
+            # Floor at 0 like the reference, whose candidate fold starts
+            # at wccT = 0.0 (DistributedWCC.scala:380-413): when every
+            # candidate is negative the decision logic must see 0, else
+            # the REMOVE test wccR - wccT > 1e-5 fires where the
+            # reference STAYs.  coalesce handles the no-candidate NULL.
+            F.greatest(F.coalesce("wccT", F.lit(0.0)), F.lit(0.0)).alias("wccT"),
             F.coalesce("bestC", F.col("c_own")).alias("bestC"),
         )
         .select(

@@ -151,31 +151,64 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, shingle_n: int = 1
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs over distinct word n-grams.
+    """EXACT Jaccard-similar pairs over distinct word n-grams, via
+    prefix filtering (the AllPairs/PPJoin scheme, Bayardo et al.
+    WWW'07) — same answers as the naive shingle self-join, without its
+    Σ freq² blowup on stopword shingles.
 
-    explode → self-join on the shingle → |A∩B| per pair → Jaccard with
-    precomputed set sizes.  The join is keyed on the shingle: frequent
-    shingles are the skew risk, so pair generation cost is
-    sum over shingles of freq² — use ``minhash_lsh_pairs`` first at
-    scale and this as the verifier on candidates.
+    Sort every doc's shingle set by one GLOBAL order (document
+    frequency asc, shingle asc).  If J(A,B) ≥ t, the first
+    ``|X| − ⌈t·|X|⌉ + 1`` shingles of each side (its *prefix*) must
+    share an element — so candidate pairs are generated by self-joining
+    only prefix shingles.  The globally most frequent shingles sort
+    LAST, landing outside almost every prefix: "the" (df ≈ N) never
+    drives the join, so fan-out is bounded by rare-shingle frequencies.
+    A size filter (min ≥ t·max) prunes further.  Candidates are then
+    verified EXACTLY with ``array_intersect`` on the full per-doc
+    shingle arrays — no false negatives (prefix theorem), no false
+    positives (exact verify).
 
     Output: ``doc_a < doc_b, jaccard`` (double), filtered ≥ threshold.
     """
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col(F.col("text"), shingle_n))).alias("s")
+    sarr = F.array_distinct(shingles_col(F.col("text"), shingle_n))
+    sh = docs.select("doc_id", F.explode(sarr).alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    ranked = sh.join(dfreq, "s").withColumn(
+        "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.withColumnsRenamed({"doc_id": "doc_a"})
-    b = sh.withColumnsRenamed({"doc_id": "doc_b"})
-    inter = (
+    # prefix length |X| - ceil(t*|X|) + 1; the 1e-9 guards float noise in
+    # t*|X| from shrinking the prefix (longer prefix = safe direction)
+    pref = (
+        ranked.join(sizes, "doc_id")
+        .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - 1e-9) + 1)
+        .select("doc_id", "s", "sz")
+    )
+    a = pref.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})
+    b = pref.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"})
+    cand = (
         a.join(b, "s")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
+        .where(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.lit(threshold) * F.greatest("sz_a", "sz_b").cast("double")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
     )
+    arrays = docs.select("doc_id", sarr.alias("sarr"))
     return (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}), "doc_b")
+        cand.join(arrays.withColumnsRenamed({"doc_id": "doc_a", "sarr": "arr_a"}), "doc_a")
+        .join(arrays.withColumnsRenamed({"doc_id": "doc_b", "sarr": "arr_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("common"),
+            F.size("arr_a").alias("sz_a"),
+            F.size("arr_b").alias("sz_b"),
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -108,8 +108,11 @@ def refine_partition(
         retries -= 1
         rounds += 1
         if new_wcc > best_wcc:
-            if best_wcc > 0 and (new_wcc / best_wcc - 1.0) > threshold:
-                retries = max_retries  # DistributedWCC.scala:309-312
+            # Scala's newWcc/bestWcc - 1 > threshold is Infinity > 0.01
+            # when bestWcc == 0, so an improvement from 0 also resets
+            # the retry budget (DistributedWCC.scala:309-312).
+            if best_wcc <= 0 or (new_wcc / best_wcc - 1.0) > threshold:
+                retries = max_retries
             best_ewc.unpersist(False)
             best, best_cs, best_wcc, best_ewc = moved, new_cs, new_wcc, new_ewc
         else:

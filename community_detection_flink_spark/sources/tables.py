@@ -33,10 +33,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     via exact integer division (``div 1000``, no double rounding).
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Scope the legacy nanos decode to this read: flipping the conf
+        # session-wide would silently change how any LATER nanosecond
+        # parquet column in the same session decodes (bigint instead of
+        # a type error).  Save/restore around the scan.
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            # force schema resolution while the conf is active
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
