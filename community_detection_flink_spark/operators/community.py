@@ -37,8 +37,41 @@ def edges_with_communities(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def community_stats(
+def community_adjacency(
     vertices: DataFrame, edges: DataFrame, ewc: DataFrame | None = None
+) -> DataFrame:
+    """The fused per-labeling relation ``(vId, c_own, cId, dIn)``:
+    per-vertex per-neighbor-community edge count WITH the vertex's own
+    label — ONE aggregate over the triplets from which every per-round
+    consumer derives:
+
+      * community stats ``a``/``b``  = sums over (c_own, cId==/!=c_own)
+      * intra-community degree vtC   = the cId == c_own row
+      * total degree degTot          = sum over cId
+      * movement candidates          = the cId != c_own rows
+
+    The reference recomputes each of these from scratch per round
+    (``DistributedWCC.scala:348-357, 509-533, 545-564``) — 3 full
+    triplet passes; deriving them from this one pre-aggregated table
+    cuts the per-round heavy scans to one.  Grouping keys start with
+    ``src``, so edges pre-partitioned by src aggregate without a new
+    exchange, and the output is ≤ one row per (vertex, neighbor
+    community) — far smaller than the edge set it summarizes.
+    """
+    if ewc is None:
+        ewc = edges_with_communities(vertices, edges)
+    return ewc.groupBy(
+        F.col("src").alias("vId"),
+        F.col("c_src").alias("c_own"),
+        F.col("c_dst").alias("cId"),
+    ).agg(F.count("*").cast("int").alias("dIn"))
+
+
+def community_stats(
+    vertices: DataFrame,
+    edges: DataFrame,
+    ewc: DataFrame | None = None,
+    vcd: DataFrame | None = None,
 ) -> DataFrame:
     """A3+A4 — per-community size r, internal edges a, external edges b,
     density d = 2a/r² (``DistributedWCC.scala:536-564``,
@@ -48,18 +81,36 @@ def community_stats(
     same-community directed rows grouped under its community (÷2 = a);
     a boundary undirected edge contributes exactly one directed row
     whose src is inside each of its two communities (no correction = b).
+
+    ``vcd`` (optional, from ``community_adjacency``): compute a/b from
+    the pre-aggregated per-(vertex, community) counts instead of
+    re-scanning the triplets.
     """
     sizes = vertices.groupBy("cId").agg(F.count("*").cast("int").alias("r"))
-    if ewc is None:
-        ewc = edges_with_communities(vertices, edges)
-    agg = ewc.groupBy(F.col("c_src").alias("cId")).agg(
-        (F.sum(F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0)) / 2.0)
-        .cast("double")
-        .alias("a"),
-        F.sum(F.when(F.col("c_src") != F.col("c_dst"), 1).otherwise(0))
-        .cast("long")
-        .alias("b"),
-    )
+    if vcd is not None:
+        agg = (
+            vcd.groupBy("c_own")
+            .agg(
+                (F.sum(F.when(F.col("cId") == F.col("c_own"), F.col("dIn")).otherwise(0)) / 2.0)
+                .cast("double")
+                .alias("a"),
+                F.sum(F.when(F.col("cId") != F.col("c_own"), F.col("dIn")).otherwise(0))
+                .cast("long")
+                .alias("b"),
+            )
+            .withColumnRenamed("c_own", "cId")
+        )
+    else:
+        if ewc is None:
+            ewc = edges_with_communities(vertices, edges)
+        agg = ewc.groupBy(F.col("c_src").alias("cId")).agg(
+            (F.sum(F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0)) / 2.0)
+            .cast("double")
+            .alias("a"),
+            F.sum(F.when(F.col("c_src") != F.col("c_dst"), 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
     return sizes.join(agg, "cId", "left").select(
         "cId",
         "r",
@@ -116,6 +167,7 @@ def global_wcc(
     mat=None,
     ewc: DataFrame | None = None,
     tri: DataFrame | None = None,
+    vcd: DataFrame | None = None,
 ) -> float:
     """A6+A7+A8 — global WCC = Σ_v wccV(v) / |V|
     (``DistributedWCC.scala:440-507``; kernel ``WCCMetric.scala:16-21``).
@@ -135,15 +187,25 @@ def global_wcc(
     them for the same labeling.  ``tri``: optional STATIC triangle list
     of the clean graph — switches the tC pass from per-round subgraph
     re-enumeration to ``intra_triangle_counts`` (three joins + one agg).
+    ``vcd`` (from ``community_adjacency``, wins over ``ewc`` for vtC):
+    the intra-community degree is its cId == c_own row — no triplet
+    scan at all.
     """
-    if ewc is None:
-        ewc = edges_with_communities(vertices, edges)
-    intra = ewc.where(F.col("c_src") == F.col("c_dst")).select("src", "dst")
-    if tri is None and mat is not None:
-        intra = mat.cache(intra, "gwcc-intra")  # feeds vtC and the triangle pass
-    vtc = intra.groupBy(F.col("src").alias("vId")).agg(
-        F.count("*").cast("int").alias("vtC")
-    )
+    intra = None
+    if vcd is None or tri is None:
+        if ewc is None:
+            ewc = edges_with_communities(vertices, edges)
+        intra = ewc.where(F.col("c_src") == F.col("c_dst")).select("src", "dst")
+        if tri is None and vcd is None and mat is not None:
+            intra = mat.cache(intra, "gwcc-intra")  # feeds vtC and the triangle pass
+    if vcd is not None:
+        vtc = vcd.where(F.col("cId") == F.col("c_own")).select(
+            "vId", F.col("dIn").alias("vtC")
+        )
+    else:
+        vtc = intra.groupBy(F.col("src").alias("vId")).agg(
+            F.count("*").cast("int").alias("vtC")
+        )
     if tri is not None:
         tc = intra_triangle_counts(tri, vertices)
     else:
@@ -179,6 +241,7 @@ def best_movement(
     vertex_count: int,
     mat=None,
     ewc: DataFrame | None = None,
+    vcd: DataFrame | None = None,
 ) -> DataFrame:
     """I4 kernel — one simultaneous best-movement pass over all vertices
     (``DistributedWCC.scala:331-419``).  Returns ``vertices`` with an
@@ -196,12 +259,15 @@ def best_movement(
     # vcd + own label in one relation: every downstream branch (degree
     # totals, own-community row, candidate scan) reads this single
     # cached table, all keyed on vId — with ewc src-partitioned (see
-    # refine_partition) none of the groupBys below re-shuffle.
-    vcd = vertex_community_degrees(vertices, edges, ewc=ewc).join(
-        vertices.select("vId", F.col("cId").alias("c_own")), "vId"
-    )
-    if mat is not None:
-        vcd = mat.cache(vcd, "vcd")
+    # refine_partition) none of the groupBys below re-shuffle.  The
+    # caller usually hands in the round's shared ``community_adjacency``
+    # (same schema), already cached — zero extra triplet scans here.
+    if vcd is None:
+        vcd = vertex_community_degrees(vertices, edges, ewc=ewc).join(
+            vertices.select("vId", F.col("cId").alias("c_own")), "vId"
+        )
+        if mat is not None:
+            vcd = mat.cache(vcd, "vcd")
 
     # ONE aggregation yields both the total degree and the own-community
     # share (the reference walks a per-vertex map twice,

@@ -37,8 +37,8 @@ from pyspark.sql import functions as F
 from community_detection_flink_spark.functions.wcc_metric import cc_col
 from community_detection_flink_spark.operators.community import (
     best_movement,
+    community_adjacency,
     community_stats,
-    edges_with_communities,
     global_wcc,
 )
 from community_detection_flink_spark.operators.partition import initial_partition
@@ -140,9 +140,25 @@ def incremental_update(
     batch_edges: DataFrame,
     mat: Materializer | None = None,
     rounds: int = INCREMENTAL_ROUNDS,
+    election_scope: str = "affected",
 ) -> WCCState:
     """Merge one edge micro-batch and re-partition
-    (``IncrementalWCC.run``, ``IncrementalWCC.scala:27-71``)."""
+    (``IncrementalWCC.run``, ``IncrementalWCC.scala:27-71``).
+
+    ``election_scope``:
+      * ``"affected"`` (default) — re-elect centers only inside
+        communities that contain a vertex whose triangle stats changed
+        (plus brand-new vertices); every other vertex keeps its label.
+        Election cost then scales with the batch neighborhood like
+        ``_new_triangles`` — not with |V| — which is the 100 TB
+        requirement for a per-batch operation.  Documented divergence:
+        the reference re-runs its election Pregel over the WHOLE
+        triangle subgraph every batch (``IncrementalWCC.scala:185-227``)
+        and so relabels arbitrarily far from the batch; the whole-graph
+        refinement rounds that follow still move any boundary vertex
+        the local election placed suboptimally.
+      * ``"full"`` — the reference's behavior, kept for parity checks.
+    """
     mat = mat or Materializer(state.edges.sparkSession)
 
     sym = symmetrize_edges(batch_edges)
@@ -201,37 +217,69 @@ def incremental_update(
         vertices.agg(F.sum("cc")).first()[0] or 0.0
     ) / vertex_count  # IncrementalWCC.scala:109
 
-    # center election on the cleaned subgraph (IncrementalWCC.scala:185-227
-    # reruns the same Pregel over the whole triangle subgraph)
-    clean_verts = vertices.where(F.col("t") > 0).select("vId", "t", "vt", "cc")
-    part = mat(initial_partition(clean_verts, clean_new, mat=mat), "inc-part")
+    # center election on the cleaned subgraph
+    if election_scope == "affected":
+        # t changes exactly at corners of new triangles; vt changes at
+        # endpoints of newly-cleaned edges — all of which are corners
+        # too (a new clean edge is an edge of some new triangle)
+        changed_verts = (
+            tri.select(F.explode(F.array("u", "v", "w")).alias("vId")).distinct()
+        )
+        affected_comms = (
+            vertices.join(changed_verts, "vId", "left_semi")
+            .select("cId")
+            .distinct()
+        )
+        clean_all = vertices.where(F.col("t") > 0)
+        elect_verts = clean_all.join(
+            F.broadcast(affected_comms), "cId", "left_semi"
+        ).select("vId", "t", "vt", "cc")
+        elect_edges = (
+            clean_new.join(
+                elect_verts.select(F.col("vId").alias("src")), "src", "left_semi"
+            ).join(elect_verts.select(F.col("vId").alias("dst")), "dst", "left_semi")
+        )
+        local = initial_partition(elect_verts, elect_edges, mat=mat)
+        keep = clean_all.join(
+            F.broadcast(affected_comms), "cId", "left_anti"
+        ).select("vId", "t", "vt", "cc", "cId")
+        part = mat(local.unionByName(keep), "inc-part")
+    else:
+        # reference behavior (IncrementalWCC.scala:185-227): rerun the
+        # election Pregel over the whole triangle subgraph
+        clean_verts = vertices.where(F.col("t") > 0).select("vId", "t", "vt", "cc")
+        part = mat(initial_partition(clean_verts, clean_new, mat=mat), "inc-part")
     mat.release()
 
     # fixed-round refinement, no accept test (IncrementalWCC.scala:332-393).
-    # Same per-round plan shape as refine_partition: one cached triplets
-    # build per labeling + the static triangle list for the final WCC.
+    # Same per-round plan shape as refine_partition: one fused
+    # community-adjacency aggregate per labeling + the static triangle
+    # list for the final WCC.
     tri_static = mat(triangles(clean_new, mat=mat), "inc-tri-static")
     mat.release()
     loop_edges = clean_new.repartition("src").persist()  # see refine_partition
     cur = part
-    cur_ewc = edges_with_communities(cur, loop_edges).persist()
-    cur_cs = mat(community_stats(cur, loop_edges, ewc=cur_ewc), "inc-cs")
+    cur_vcd = community_adjacency(cur, loop_edges).persist()
+    cur_cs = mat(community_stats(cur, loop_edges, vcd=cur_vcd), "inc-cs")
     for _ in range(rounds):
         nxt = mat(
             best_movement(
                 cur, loop_edges, cur_cs, global_cc, vertex_count,
-                mat=mat, ewc=cur_ewc,
+                mat=mat, vcd=cur_vcd,
             ),
             "inc-mv",
         )
         mat.release()
-        cur_ewc.unpersist(False)
+        cur_vcd.unpersist(False)
+        prev, prev_cs = cur, cur_cs
         cur = nxt
-        cur_ewc = edges_with_communities(cur, loop_edges).persist()
-        cur_cs = mat(community_stats(cur, loop_edges, ewc=cur_ewc), "inc-cs")
+        cur_vcd = community_adjacency(cur, loop_edges).persist()
+        cur_cs = mat(community_stats(cur, loop_edges, vcd=cur_vcd), "inc-cs")
+        mat.drop(prev)     # superseded round state (no-op for `part`'s caller refs)
+        mat.drop(prev_cs)
 
-    wcc = global_wcc(cur, loop_edges, cur_cs, vertex_count, ewc=cur_ewc, tri=tri_static)
-    cur_ewc.unpersist(False)
+    wcc = global_wcc(cur, loop_edges, cur_cs, vertex_count, vcd=cur_vcd, tri=tri_static)
+    cur_vcd.unpersist(False)
     loop_edges.unpersist(False)
 
     final_vertices = mat(

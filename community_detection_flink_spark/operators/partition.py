@@ -77,6 +77,7 @@ def initial_partition(
     )
 
     for _ in range(max_iterations):
+        prev_state = state
         nbr = higher.join(
             state.withColumnsRenamed(
                 {"vId": "dst", "decided": "d_dec", "isCenter": "d_ctr"}
@@ -111,6 +112,7 @@ def initial_partition(
             )
         )
         state = mat(state, "mis-state")
+        mat.drop(prev_state)  # superseded round file
         if state.where(~F.col("decided")).limit(1).count() == 0:
             break
 

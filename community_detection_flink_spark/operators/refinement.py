@@ -25,8 +25,8 @@ from pyspark.sql import functions as F
 
 from community_detection_flink_spark.operators.community import (
     best_movement,
+    community_adjacency,
     community_stats,
-    edges_with_communities,
     global_wcc,
 )
 from community_detection_flink_spark.operators.partition import initial_partition
@@ -61,13 +61,15 @@ def refine_partition(
 
     Returns (best_vertices, best_stats, best_wcc, global_cc, rounds).
 
-    Per-round plan shape: the two label joins (edge triplets) are built
-    ONCE per labeling, cached, and feed all three consumers — the next
-    round's movement candidates, the community stats, and the global-WCC
-    intra pass; the previous labeling's cache is dropped the moment its
-    labeling is superseded.  ``tri`` (static triangle list of
-    ``clean_edges``) turns the per-round tC pass into three joins + one
-    aggregate (see ``intra_triangle_counts``); computed here if absent.
+    Per-round plan shape: ONE pass over the triplets per labeling — the
+    two label joins feed directly into the ``community_adjacency``
+    aggregate ``(vId, c_own, cId, dIn)``, which is cached and serves
+    every consumer: community stats (a/b), the global-WCC intra degree
+    (vtC), and the next round's movement candidates.  The previous
+    labeling's cache is dropped the moment its labeling is superseded.
+    ``tri`` (static triangle list of ``clean_edges``) turns the
+    per-round tC pass into three joins + one aggregate (see
+    ``intra_triangle_counts``); computed here if absent.
     """
     mat = mat or Materializer(vertices.sparkSession)
     if tri is None:
@@ -83,14 +85,14 @@ def refine_partition(
     loop_edges = clean_edges.repartition("src").persist()
 
     def _eval(labels: DataFrame) -> tuple[DataFrame, DataFrame, float]:
-        """Triplets cache + stats + global WCC for one labeling."""
-        ewc = edges_with_communities(labels, loop_edges).persist()
-        cs = mat(community_stats(labels, loop_edges, ewc=ewc), "cs")
-        wcc = global_wcc(labels, loop_edges, cs, vertex_count, ewc=ewc, tri=tri)
-        return ewc, cs, wcc
+        """Fused community-adjacency cache + stats + WCC for one labeling."""
+        vcd = community_adjacency(labels, loop_edges).persist()
+        cs = mat(community_stats(labels, loop_edges, vcd=vcd), "cs")
+        wcc = global_wcc(labels, loop_edges, cs, vertex_count, vcd=vcd, tri=tri)
+        return vcd, cs, wcc
 
     best = mat(vertices, "best")
-    best_ewc, best_cs, best_wcc = _eval(best)
+    best_vcd, best_cs, best_wcc = _eval(best)
 
     retries = max_retries
     rounds = 0
@@ -99,12 +101,12 @@ def refine_partition(
         moved = mat(
             best_movement(
                 best, loop_edges, best_cs, global_cc, vertex_count,
-                mat=mat, ewc=best_ewc,
+                mat=mat, vcd=best_vcd,
             ),
             "moved",
         )
-        mat.release()  # drop this round's vcd/own caches
-        new_ewc, new_cs, new_wcc = _eval(moved)
+        mat.release()  # drop this round's own-community cache
+        new_vcd, new_cs, new_wcc = _eval(moved)
         retries -= 1
         rounds += 1
         if new_wcc > best_wcc:
@@ -113,12 +115,16 @@ def refine_partition(
             # the retry budget (DistributedWCC.scala:309-312).
             if best_wcc <= 0 or (new_wcc / best_wcc - 1.0) > threshold:
                 retries = max_retries
-            best_ewc.unpersist(False)
-            best, best_cs, best_wcc, best_ewc = moved, new_cs, new_wcc, new_ewc
+            best_vcd.unpersist(False)
+            mat.drop(best)      # superseded labeling: free its parquet
+            mat.drop(best_cs)
+            best, best_cs, best_wcc, best_vcd = moved, new_cs, new_wcc, new_vcd
         else:
-            new_ewc.unpersist(False)
+            new_vcd.unpersist(False)
+            mat.drop(moved)     # rejected labeling
+            mat.drop(new_cs)
             improved = False
-    best_ewc.unpersist(False)
+    best_vcd.unpersist(False)
     loop_edges.unpersist(False)
     return best, best_cs, best_wcc, global_cc, rounds
 
@@ -165,6 +171,10 @@ def run_wcc(
     best, best_cs, best_wcc, global_cc, rounds = refine_partition(
         init, clean_edges, vertex_count, max_retries, threshold, mat=mat, tri=tri
     )
+    # only `edges` (feeds all_vertices), `best`, and `best_cs` survive
+    # into the returned plans — free the pipeline intermediates
+    for superseded in (tri, clean_edges, vertices, init):
+        mat.drop(superseded)
 
     communities = all_vertices.join(best.select("vId", "cId"), "vId", "left").select(
         "vId", F.coalesce("cId", F.col("vId")).alias("cId")

@@ -48,12 +48,28 @@ class Materializer:
         )
         self._i = 0
         self._ephemeral: list[DataFrame] = []
+        # df -> backing path, keyed by id() WITH a strong reference to
+        # the df (prevents id reuse after GC) so drop() can delete the
+        # files of a superseded state
+        self._by_df: dict[int, tuple[DataFrame, str]] = {}
 
     def __call__(self, df: DataFrame, name: str = "state") -> DataFrame:
         path = os.path.join(self.base, f"{name}-{self._i:04d}")
         self._i += 1
         df.write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path)
+        out = self.spark.read.parquet(path)
+        self._by_df[id(out)] = (out, path)
+        return out
+
+    def drop(self, df: DataFrame) -> None:
+        """Delete the parquet files backing a SUPERSEDED materialized
+        state (loop callers invoke this once a replacement state is on
+        disk, so checkpoint disk stays O(live states) instead of
+        O(rounds) — unbounded for long streaming sessions otherwise).
+        No-op for DataFrames this materializer didn't produce."""
+        entry = self._by_df.pop(id(df), None)
+        if entry is not None and entry[1].startswith("/") and os.path.isdir(entry[1]):
+            shutil.rmtree(entry[1], ignore_errors=True)
 
     def cache(self, df: DataFrame, name: str = "tmp") -> DataFrame:
         """In-memory materialization for WITHIN-round temporaries.

@@ -73,20 +73,40 @@ def run_edge_batches(
     return state
 
 
+class StreamHandle:
+    """Owns a running incremental-WCC stream: the StreamingQuery plus
+    the evolving ``WCCState`` (a plain object instead of a private
+    attribute monkey-patched onto Spark's query — stable across Spark
+    versions)."""
+
+    def __init__(self, query, holder):
+        self.query = query
+        self._holder = holder
+
+    @property
+    def state(self) -> WCCState:
+        return self._holder["state"]
+
+    def await_termination(self, timeout: float | None = None):
+        return self.query.awaitTermination(timeout)
+
+    def stop(self) -> None:
+        self.query.stop()
+
+
 def run_stream(
     spark,
     source_dir: str,
     initial_state: WCCState,
     checkpoint_dir: str,
     on_batch=None,
-):
+) -> StreamHandle:
     """Real Structured Streaming driver: parquet edge source →
     ``foreachBatch`` incremental WCC.
 
     Each micro-batch DataFrame (src, dst) is folded into the carried
-    state; ``on_batch(state, batch_id)`` observes progress.  Returns
-    the StreamingQuery (caller awaits/stops it); final state is in
-    ``holder['state']``.
+    state; ``on_batch(state, batch_id)`` observes progress.  Returns a
+    ``StreamHandle`` — await/stop it, then read ``handle.state``.
     """
     mat = Materializer(spark)
     holder = {"state": initial_state}
@@ -109,5 +129,4 @@ def run_stream(
         .trigger(availableNow=True)
         .start()
     )
-    query._cdfs_state = holder
-    return query
+    return StreamHandle(query, holder)

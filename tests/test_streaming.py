@@ -24,9 +24,9 @@ def test_run_stream_foreachbatch(spark, golden_edges):
     sym.write.mode("overwrite").parquet(src_dir)
 
     state0 = prepare(symmetrize_edges(golden_edges))
-    q = run_stream(spark, src_dir, state0, ckpt)
-    q.awaitTermination(120)
-    state = q._cdfs_state["state"]
+    handle = run_stream(spark, src_dir, state0, ckpt)
+    handle.await_termination(120)
+    state = handle.state
     got = {r["vId"]: r["cId"] for r in state.vertices.collect()}
     assert got[10] == got[11] == got[12]
     assert state.vertex_count == 11
