@@ -374,7 +374,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.simhash(load_table(spark, sf, "documents"), 32)
 
     def doc_jaccard_pairs(spark, sf):
-        return D.ngram_jaccard_pairs(load_table(spark, sf, "documents"), 0.5, 1)
+        """Exact Jaccard near-dup pairs over word TRIGRAM shingles
+        (same shingling as the MinHash pipeline) — unigram sets on the
+        synthetic corpus make >70% of all pairs 'similar', which is a
+        degenerate workload, not a dedup query."""
+        return D.ngram_jaccard_pairs(load_table(spark, sf, "documents"), 0.5, 3)
 
     def doc_token_stats(spark, sf):
         return T.token_stats(load_table(spark, sf, "documents"))
@@ -706,7 +710,14 @@ FROM banded a JOIN banded b2 USING (b, bucket)
 WHERE a.doc_id < b2.doc_id GROUP BY 1, 2""",
         "doc_simhash": _simhash_sql(32),
         "doc_jaccard_pairs": f"""
-WITH sh AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS s FROM documents),
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+    ELSE list_transform(range(len(tk) - 2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+    END)) AS s
+  FROM toks
+),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common

@@ -65,17 +65,17 @@ class WCCState:
 
 def prepare(edges: DataFrame, mat: Materializer | None = None) -> WCCState:
     """Bulk load: full batch pipeline (``IncrementalWCC.prepare`` =
-    ``DistributedWCC.run``, ``IncrementalWCC.scala:73-77``)."""
-    mat = mat or Materializer(edges.sparkSession)
-    res = run_wcc(edges)
-    edges = mat(edges, "inc-edges")
-    # rebuild per-vertex metrics + cleaned edges for the state
-    from community_detection_flink_spark.operators.preprocess import preprocess
+    ``DistributedWCC.run``, ``IncrementalWCC.scala:73-77``).
 
-    clean_v, clean_e = preprocess(edges, mat=mat)
-    clean_e = mat(clean_e, "inc-clean")
+    ``run_wcc(keep_internals=True)`` hands back the cleaned graph it
+    already computed, so the state build here costs three small joins —
+    no second triangle enumeration."""
+    mat = mat or Materializer(edges.sparkSession)
+    res = run_wcc(edges, keep_internals=True)
+    edges = mat(edges, "inc-edges")
+    clean_e = mat(res.clean_edges, "inc-clean")
     vertices = mat(
-        res.communities.join(clean_v, "vId", "left").select(
+        res.communities.join(res.clean_vertices, "vId", "left").select(
             "vId",
             F.coalesce("t", F.lit(0)).alias("t"),
             F.coalesce("vt", F.lit(0)).alias("vt"),
@@ -84,7 +84,7 @@ def prepare(edges: DataFrame, mat: Materializer | None = None) -> WCCState:
         ),
         "inc-vertices",
     )
-    mat.release()  # triangle caches no longer needed
+    mat.release()
     return WCCState(
         edges=edges,
         clean_edges=clean_e,

@@ -27,7 +27,7 @@ materialized per round via ``plans.Materializer`` (see
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from community_detection_flink_spark.plans.iteration import Materializer
@@ -64,10 +64,13 @@ def initial_partition(
             key.withColumnsRenamed({"vId": "dst", "cc": "cc_d", "vt": "vt_d"}), "dst"
         )
     )
+    # partitioned by src so each round's per-src aggregate is map-side
+    # only (the tiny state side broadcasts; the join on dst preserves
+    # this layout)
     higher = mat.cache(
-        ew.where(_ord("cc_d", "vt_d", "dst") > _ord("cc_s", "vt_s", "src")).select(
-            "src", "dst"
-        ),
+        ew.where(_ord("cc_d", "vt_d", "dst") > _ord("cc_s", "vt_s", "src"))
+        .select("src", "dst")
+        .repartition("src"),
         "higher",
     )
 
@@ -111,9 +114,15 @@ def initial_partition(
                 .alias("isCenter"),
             )
         )
+        # convergence count rides along the state write (Observation =
+        # accumulator-style metrics, zero extra jobs per round)
+        obs = Observation()
+        state = state.observe(
+            obs, F.sum(F.when(~F.col("decided"), 1).otherwise(0)).alias("undec")
+        )
         state = mat(state, "mis-state")
         mat.drop(prev_state)  # superseded round file
-        if state.where(~F.col("decided")).limit(1).count() == 0:
+        if (obs.get["undec"] or 0) == 0:
             break
 
     # Assign communities: join each vertex's center neighbors, take the

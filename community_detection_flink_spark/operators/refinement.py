@@ -46,6 +46,11 @@ class WCCResult:
     global_cc: float
     vertex_count: int
     iterations: int
+    # populated only with run_wcc(keep_internals=True): the cleaned
+    # graph the pipeline already computed, so callers like the
+    # incremental prepare() don't re-enumerate triangles
+    clean_vertices: DataFrame | None = None  # vId, t, vt, cc
+    clean_edges: DataFrame | None = None  # doubled triangle-edge subgraph
 
 
 def refine_partition(
@@ -133,6 +138,7 @@ def run_wcc(
     edges: DataFrame,
     max_retries: int = MAX_RETRIES,
     threshold: float = THRESHOLD,
+    keep_internals: bool = False,
 ) -> WCCResult:
     """E1/E3 — full batch WCC community detection.
 
@@ -172,9 +178,11 @@ def run_wcc(
         init, clean_edges, vertex_count, max_retries, threshold, mat=mat, tri=tri
     )
     # only `edges` (feeds all_vertices), `best`, and `best_cs` survive
-    # into the returned plans — free the pipeline intermediates
-    for superseded in (tri, clean_edges, vertices, init):
-        mat.drop(superseded)
+    # into the returned plans — free the pipeline intermediates (the
+    # cleaned graph stays when the caller asked to reuse it)
+    superseded = [tri, init] if keep_internals else [tri, clean_edges, vertices, init]
+    for df in superseded:
+        mat.drop(df)
 
     communities = all_vertices.join(best.select("vId", "cId"), "vId", "left").select(
         "vId", F.coalesce("cId", F.col("vId")).alias("cId")
@@ -186,4 +194,6 @@ def run_wcc(
         global_cc=global_cc,
         vertex_count=vertex_count,
         iterations=rounds,
+        clean_vertices=vertices if keep_internals else None,
+        clean_edges=clean_edges if keep_internals else None,
     )
