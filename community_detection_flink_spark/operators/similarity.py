@@ -10,6 +10,8 @@ All vector math is JVM-side column expressions (``zip_with`` +
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -74,7 +76,7 @@ def cosine_topk(
     )
 
 
-def _bucket_col(n_planes: int, seed: int, plane_offset: int = 0) -> Column:
+def _bucket_col(n_planes: int, seed: int, dim: int, plane_offset: int = 0) -> Column:
     """Sign-pattern bucket id of ``embedding`` against ``n_planes``
     fixed pseudo-random hyperplanes.  Plane components are derived
     deterministically from (seed, plane index, dim) via a sin-hash —
@@ -92,34 +94,48 @@ def _bucket_col(n_planes: int, seed: int, plane_offset: int = 0) -> Column:
         index: EVERY plane then lies in span{sin(cd), cos(cd)}.  The
         GLSL-style chaotic multiplier (×43758.5453) breaks the linear
         structure so components are effectively i.i.d.
+
+    Plane components are computed ONCE on the driver and inlined as
+    array literals — the executor-side work is pure multiply-adds
+    (``zip_with`` + ``aggregate``), no trig in the row path.  Literal
+    size is n_planes × dim doubles: trivial next to any broadcast.
+
+    ``dim`` is the embedding length (callers probe it from one row).
     """
-    planes = F.sequence(F.lit(plane_offset), F.lit(plane_offset + n_planes - 1))
-    dims = F.transform(
-        F.col("embedding"), lambda x, i: F.struct(x.alias("v"), i.alias("i"))
+    return _bucket_from_planes(
+        [
+            _plane_components(plane_offset + p, dim, seed)
+            for p in range(n_planes)
+        ]
     )
-    return F.aggregate(
-        planes,
-        F.lit(0).cast("long"),
-        lambda acc, p: acc * 2
-        + F.when(
-            F.aggregate(
-                dims,
-                F.lit(0.0),
-                lambda a, d: a
-                + d["v"].cast("double")
-                * F.sin(
-                    (
-                        (p + 1).cast("double") * 12.9898
-                        + d["i"].cast("double") * 78.233
-                        + F.lit(float(seed))
-                    )
-                    * 43758.5453
-                ),
-            )
-            > 0,
-            1,
-        ).otherwise(0),
-    )
+
+
+def _dim_of(emb: DataFrame) -> int:
+    """Embedding dimensionality, probed from one row (array<float>
+    carries no static length)."""
+    row = emb.select(F.size("embedding").alias("d")).first()
+    return int(row["d"]) if row is not None else 0
+
+
+def _plane_components(plane_idx: int, dim: int, seed: int) -> list[float]:
+    return [
+        math.sin(((plane_idx + 1) * 12.9898 + d * 78.233 + float(seed)) * 43758.5453)
+        for d in range(dim)
+    ]
+
+
+def _bucket_from_planes(planes: list[list[float]]) -> Column:
+    bucket = F.lit(0).cast("long")
+    for comp in planes:
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), F.lit(comp), lambda x, c: x.cast("double") * c
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket * 2 + F.when(dot > 0, 1).otherwise(0)
+    return bucket
 
 
 def random_hyperplane_buckets(
@@ -129,7 +145,7 @@ def random_hyperplane_buckets(
     [0, 2^n_planes)).  Building block for ``lsh_buckets`` /
     ``embedding_near_dups``; the ANN query path uses the multi-table
     variant below."""
-    return emb.select("vec_id", _bucket_col(n_planes, seed).alias("bucket"))
+    return emb.select("vec_id", _bucket_col(n_planes, seed, _dim_of(emb)).alias("bucket"))
 
 
 def lsh_buckets(
@@ -141,18 +157,43 @@ def lsh_buckets(
     across tables is what buys recall when neighbor angles are wide
     (single-table sign-LSH caps out: a neighbor at cosine 0.3 crosses
     each plane with p ≈ 0.4).  The (tbl, bucket) join key spreads the
-    shuffle uniformly."""
-    per_table = F.array(
-        *[
-            F.struct(
-                F.lit(t).cast("int").alias("tbl"),
-                _bucket_col(n_planes, seed, plane_offset=t * n_planes).alias("bucket"),
-            )
+    shuffle uniformly.
+
+    Hashing is a vectorized Arrow-batched pandas UDF: the whole batch
+    of vectors hits one numpy matmul against the (n_tables·n_planes ×
+    dim) plane matrix — this is the sanctioned Python escape hatch for
+    per-row dense linear algebra (SURVEY.md §2.10): the equivalent
+    column-expression tree (96 nested ``aggregate``s) costs more in
+    Catalyst planning + interpreted evaluation than the math itself.
+    The plane matrix is deterministic from (seed, plane, dim), so the
+    closure ships ~50 KB and results are reproducible."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    dim = _dim_of(emb)
+    total = n_planes * n_tables
+    P = np.array(
+        [_plane_components(p, dim, seed) for p in range(total)], dtype=np.float64
+    )
+    weights = 1 << np.arange(n_planes)[::-1].astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs):
+        import pandas as pd
+
+        E = np.vstack(vecs.to_numpy())  # batch × dim
+        S = (E @ P.T > 0).astype(np.int64)  # batch × (tables·planes)
+        per_tbl = [
+            S[:, t * n_planes : (t + 1) * n_planes] @ weights
             for t in range(n_tables)
         ]
-    )
-    return emb.select("vec_id", F.explode(per_table).alias("tb")).select(
-        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        B = np.stack(per_tbl, axis=1)  # batch × tables
+        return pd.Series(list(B))
+
+    return (
+        emb.select("vec_id", _buckets(F.col("embedding")).alias("bs"))
+        .select("vec_id", F.posexplode("bs").alias("tbl", "bucket"))
+        .select("vec_id", F.col("tbl").cast("int").alias("tbl"), "bucket")
     )
 
 
