@@ -36,6 +36,7 @@ from community_detection_flink_spark.operators.community import (
     vertex_community_degrees,
 )
 from community_detection_flink_spark.operators.refinement import run_wcc
+from community_detection_flink_spark.operators import components as C
 from community_detection_flink_spark.operators import dedup as D
 from community_detection_flink_spark.operators import similarity as S
 from community_detection_flink_spark.operators import textual as T
@@ -47,27 +48,33 @@ from community_detection_flink_spark.streaming import windows as W
 # ----------------------------------------------------------------------
 
 _GRAPH_CACHE: dict[str, tuple[DataFrame, DataFrame, DataFrame]] = {}
+_TRI_CACHE: dict[str, DataFrame] = {}
 _WCC_CACHE: dict[str, object] = {}
 
 
 def _wcc(spark: SparkSession, sf_dir: str):
-    """Full WCC result, shared by wcc_communities / wcc_stats."""
+    """Full WCC result, shared by wcc_communities / wcc_stats.  Reuses
+    the session-cached preprocessed graph (one triangle enumeration
+    per sf_dir, not one per query family)."""
     if sf_dir not in _WCC_CACHE:
-        e, _, _ = _graph(spark, sf_dir)
-        _WCC_CACHE[sf_dir] = run_wcc(e)
+        e, v, ce = _graph(spark, sf_dir)
+        _WCC_CACHE[sf_dir] = run_wcc(e, pre=(_TRI_CACHE[sf_dir], v, ce))
     return _WCC_CACHE[sf_dir]
 
 
 def _graph(spark: SparkSession, sf_dir: str):
     """(edges, clean_vertices, clean_edges) for the co-purchase graph."""
     if sf_dir not in _GRAPH_CACHE:
+        from community_detection_flink_spark.operators.triangles import triangles
         from community_detection_flink_spark.plans.iteration import Materializer
 
         mat = Materializer(spark)
         edges = mat(co_purchase_edges(spark, sf_dir), "entry-edges")
-        vertices, clean = preprocess(edges, mat=mat)
+        tri = mat(triangles(edges, mat=mat), "entry-tri")
+        vertices, clean = preprocess(edges, mat=mat, tri=tri)
         _GRAPH_CACHE[sf_dir] = (edges, mat(vertices, "entry-cv"), mat(clean, "entry-ce"))
-        mat.release()  # triangle/oriented caches
+        _TRI_CACHE[sf_dir] = tri
+        mat.release()  # oriented-edge cache
     return _GRAPH_CACHE[sf_dir]
 
 
@@ -380,6 +387,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         degenerate workload, not a dedup query."""
         return D.ngram_jaccard_pairs(load_table(spark, sf, "documents"), 0.5, 3)
 
+    def doc_simhash_near_dups(spark, sf):
+        return D.simhash_near_dup_pairs(
+            load_table(spark, sf, "documents"), bits=32, max_hamming=3, bands=4
+        )
+
+    def doc_dedup_groups(spark, sf):
+        """Transitive dedup groups: MinHash LSH pairs → distributed
+        connected components (large-star/small-star) → per-doc
+        canonical group.  Hash-matched against a DuckDB recursive-CTE
+        transitive closure — an iterative fixed point WITH an exact
+        SQL oracle."""
+        docs = load_table(spark, sf, "documents")
+        pairs = D.minhash_lsh_pairs(docs, 8, 4, 3)
+        return C.dedup_groups(docs, pairs)
+
     def doc_token_stats(spark, sf):
         return T.token_stats(load_table(spark, sf, "documents"))
 
@@ -401,6 +423,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def emb_lsh_ann(spark, sf):
         emb = load_table(spark, sf, "embeddings")
         return S.ann_topk_lsh(emb, emb.where(F.col("vec_id") < 10), 5)
+
+    def emb_ivf_ann(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        return S.ann_topk_ivf(emb, emb.where(F.col("vec_id") < 10), 5)
+
+    def g_connected_components(spark, sf):
+        """Components of the co-purchase graph (rows-only: the
+        transitive closure a SQL oracle would need is quadratic in
+        component size on this dense graph; exactness is pinned by
+        tests/test_components.py fixtures and the hash-matched
+        doc_dedup_groups query instead)."""
+        edges, _, _ = _graph(spark, sf)
+        return C.connected_components(edges).select(
+            "vId", F.col("comp").alias("component")
+        )
 
     # ---------------- multimodal (binary columns) ---------------------
 
@@ -447,12 +484,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
         "doc_simhash": doc_simhash,
         "doc_jaccard_pairs": doc_jaccard_pairs,
+        "doc_simhash_near_dups": doc_simhash_near_dups,
+        "doc_dedup_groups": doc_dedup_groups,
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_lsh_ann": emb_lsh_ann,
+        "emb_ivf_ann": emb_ivf_ann,
+        "g_connected_components": g_connected_components,
         "mm_blob_meta": mm_blob_meta,
         "mm_decode_features": mm_decode_features,
         "mm_frame_sample": mm_frame_sample,
@@ -709,6 +750,40 @@ SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_band
 FROM banded a JOIN banded b2 USING (b, bucket)
 WHERE a.doc_id < b2.doc_id GROUP BY 1, 2""",
         "doc_simhash": _simhash_sql(32),
+        "doc_simhash_near_dups": f"""
+WITH s AS ({_simhash_sql(32)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        # iterative connected components WITH an exact SQL oracle: the
+        # LSH pair graph is tiny, so a recursive-CTE transitive closure
+        # is feasible (the Spark side is large-star/small-star, which
+        # is what survives 100 TB)
+        "doc_dedup_groups": _minhash_sig_sql(8).replace("WITH ", "WITH RECURSIVE ", 1) + """,
+banded AS (
+  SELECT doc_id, b, md5(array_to_string(sig[b*2+1 : b*2+2], ',')) AS bucket
+  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM banded a JOIN banded b2 USING (b, bucket)
+  WHERE a.doc_id < b2.doc_id GROUP BY 1, 2
+),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (
+  SELECT d.doc_id, least(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS group_id
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, group_id,
+  CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+FROM comp""",
         "doc_jaccard_pairs": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
 sh AS (

@@ -30,6 +30,10 @@ HEADLINE = [
     "doc_simhash",            # SimHash fingerprints
     "emb_cosine_topk",        # brute-force similarity top-k
     "emb_lsh_ann",            # multi-table LSH ANN (quality: see ann_recall_at_5)
+    "emb_ivf_ann",            # IVF ANN (quality: see ivf_recall_at_5)
+    "doc_simhash_near_dups",  # banded Hamming pairs (exact)
+    "doc_dedup_groups",       # LSH pairs → connected components
+    "g_connected_components", # large-star/small-star over the graph
     "ev_session",             # session windows
 ]
 
@@ -45,10 +49,20 @@ def ann_quality(spark, sf_dir: str) -> dict[str, float]:
     queries = emb.where("vec_id < 10")
     recall = S.ann_recall(emb, queries, k=5)
     n_cand = S.ann_candidates(emb, queries).count()
+    # IVF sibling path: on these ISOTROPIC test embeddings recall
+    # tracks the probed cell fraction (no cluster structure to exploit),
+    # so report two points on the frontier
+    n_cells = max(4, int(n ** 0.5))
+    ivf16 = S.ivf_recall(emb, queries, k=5, n_probe=16)
+    ivf32 = S.ivf_recall(emb, queries, k=5, n_probe=32)
     emb.unpersist()
     return {
         "ann_recall_at_5": round(recall, 4),
         "ann_candidate_frac": round(n_cand / (10 * max(n - 1, 1)), 4),
+        "ivf_recall_at_5_probe16": round(ivf16, 4),
+        "ivf_recall_at_5_probe32": round(ivf32, 4),
+        "ivf_cell_frac_probe16": round(min(16, n_cells) / n_cells, 4),
+        "ivf_cell_frac_probe32": round(min(32, n_cells) / n_cells, 4),
     }
 
 

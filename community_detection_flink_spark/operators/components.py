@@ -1,0 +1,148 @@
+"""Distributed connected components (extension surface, SURVEY.md §2.10).
+
+Not in the reference repo — but the natural closing step of every
+dedup pipeline built on its candidate-pair operators: near-duplicate
+PAIRS (``dedup.minhash_lsh_pairs`` / ``simhash_near_dup_pairs``) only
+become dedup DECISIONS once transitively grouped, and grouping is
+connected components.  Also a first-class graph query in its own right
+(``g_connected_components``).
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC'14).  Converges in O(log² n) rounds independent of
+graph diameter — the scale-correct choice over min-label propagation,
+whose round count is the component DIAMETER (a 100 TB web/citation
+graph can have diameter in the hundreds; a path graph makes label
+propagation O(n) rounds).
+
+Each round is two grouped aggregations over the current edge multiset:
+
+  * large-star: every node attaches its strictly LARGER neighbors to
+    the minimum of its closed neighborhood;
+  * small-star: every node attaches its not-larger neighbors (and
+    itself) to that minimum.
+
+Both are a single shuffle on the node id; no step ever materializes a
+neighborhood in memory (the min is an aggregate, the re-attach a
+join), so skew from high-degree hubs is bounded by the shuffle's
+per-key combine.  Loop state follows the engine's checkpoint
+discipline (``plans/iteration.py``): each round's edge set is
+parquet-materialized with an ``Observation``-carried convergence
+checksum riding the write — zero extra jobs per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from community_detection_flink_spark.plans.iteration import Materializer
+
+MAX_ROUNDS = 50
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u})."""
+    sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges (max → min); attach every smaller neighbor AND the
+    node itself to m = min(Γ(u))."""
+    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct()
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_rounds: int = MAX_ROUNDS,
+    mat: Materializer | None = None,
+) -> DataFrame:
+    """Component assignment ``(vId, comp)`` — comp = min vertex id of
+    the component (deterministic canonical label).
+
+    ``edges``: first two columns are the undirected endpoints (any
+    names).  ``vertices`` (optional, one id column): extra vertices to
+    cover; isolated ones map to themselves.
+
+    Convergence test: the star-contraction potential (edge count +
+    per-edge hash checksum) is monotone under both stars, so two
+    identical consecutive checksums mean a fixed point (collision odds
+    2^-64 per round; the fixed point itself is a forest of depth-1
+    stars, which small-star leaves bit-identical).
+    """
+    spark = edges.sparkSession
+    mat = mat or Materializer(spark)
+    c0, c1 = edges.columns[0], edges.columns[1]
+    e = (
+        edges.select(
+            F.col(c0).cast("long").alias("u"), F.col(c1).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    all_v = e.select(F.col("u").alias("vId")).union(e.select(F.col("v").alias("vId")))
+    if vertices is not None:
+        vc = vertices.columns[0]
+        all_v = all_v.union(vertices.select(F.col(vc).cast("long").alias("vId")))
+    all_v = all_v.distinct()
+
+    e = mat(e, "cc-edges")
+    prev_sig = None
+    for _ in range(max_rounds):
+        prev_e = e
+        obs = Observation()
+        # checksum terms are bounded to [0, 2^31) so the ANSI sum can't
+        # overflow long before ~4e9 edges per partition-tree
+        nxt = _small_star(_large_star(e)).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2147483647))).alias("h"),
+        )
+        e = mat(nxt, "cc-edges")
+        mat.drop(prev_e)
+        sig = (obs.get["n"], obs.get["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # fixed point: e is (child → root) stars; roots/isolated map to self
+    return (
+        all_v.join(e.withColumnsRenamed({"u": "vId", "v": "comp"}), "vId", "left")
+        .select("vId", F.coalesce("comp", F.col("vId")).alias("comp"))
+    )
+
+
+def dedup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+) -> DataFrame:
+    """Transitive near-duplicate groups: ``doc_id, group_id,
+    group_size`` for EVERY document (singletons form their own group).
+
+    ``pairs``: (doc_a, doc_b) candidate near-duplicate pairs, e.g. from
+    ``dedup.minhash_lsh_pairs`` — this is the standard corpus-dedup
+    pipeline's final step (group, then keep ``group_id``, the minimum
+    doc id, as the representative).
+    """
+    comp = connected_components(
+        pairs.select("doc_a", "doc_b"), vertices=docs.select("doc_id")
+    )
+    assign = comp.select(F.col("vId").alias("doc_id"), F.col("comp").alias("group_id"))
+    sizes = assign.groupBy("group_id").agg(F.count("*").cast("long").alias("group_size"))
+    return assign.join(sizes, "group_id").select("doc_id", "group_id", "group_size")

@@ -248,6 +248,68 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """EXACT SimHash near-duplicate pairs: ``doc_a < doc_b, hamming``
+    with Hamming distance ≤ ``max_hamming`` between fingerprints.
+
+    Scale shape: banded pigeonhole, not an all-pairs scan.  The
+    ``bits``-bit fingerprint splits into ``bands`` equal bands; two
+    fingerprints within Hamming distance d < bands must agree EXACTLY
+    on at least one band (d differing bits can dirty at most d bands),
+    so candidate pairs come from a self-join keyed on (band, band
+    value) — the same bounded-bucket shuffle as MinHash LSH — and are
+    then verified exactly with ``bit_count(xor)``.  No false negatives
+    (pigeonhole), no false positives (exact verify): answers equal the
+    naive O(n²) scan the DuckDB oracle runs.
+
+    Requires ``max_hamming < bands`` (the pigeonhole condition).
+    """
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole needs max_hamming < bands")
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sims = simhash(docs, bits)
+    banded = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bval"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bval"
+    )
+    return (
+        a.join(b, ["band", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.95
 ) -> DataFrame:

@@ -61,6 +61,13 @@ class WCCState:
     stats: DataFrame        # cId, r, a, b, d over the cleaned partition
     global_wcc: float
     vertex_count: int
+    # static triangle list (u, v, w) of clean_edges, maintained
+    # incrementally: every new triangle contains ≥1 new edge, so the
+    # per-batch delta from ``_new_triangles`` is DISJOINT from the
+    # carried list and a plain union replaces the reference's full
+    # per-batch re-enumeration (IncrementalWCC.scala:114-181 recomputes
+    # adjacency state each batch)
+    tri: DataFrame | None = None
 
 
 def prepare(edges: DataFrame, mat: Materializer | None = None) -> WCCState:
@@ -92,6 +99,7 @@ def prepare(edges: DataFrame, mat: Materializer | None = None) -> WCCState:
         stats=mat(res.stats, "inc-stats"),
         global_wcc=res.global_wcc,
         vertex_count=res.vertex_count,
+        tri=res.tri,
     )
 
 
@@ -253,14 +261,19 @@ def incremental_update(
 
     # fixed-round refinement, no accept test (IncrementalWCC.scala:332-393).
     # Same per-round plan shape as refine_partition: one fused
-    # community-adjacency aggregate per labeling + the static triangle
-    # list for the final WCC.
-    tri_static = mat(triangles(clean_new, mat=mat), "inc-tri-static")
-    mat.release()
+    # community-adjacency aggregate per labeling, LAZY per-round stats
+    # over it (see refine_partition._eval), and the incrementally-
+    # maintained static triangle list for the final WCC — no per-batch
+    # triangle re-enumeration.
+    if state.tri is not None:
+        tri_static = mat(state.tri.unionByName(tri.select("u", "v", "w")), "inc-tri-static")
+    else:
+        tri_static = mat(triangles(clean_new, mat=mat), "inc-tri-static")
+        mat.release()
     loop_edges = clean_new.repartition("src").persist()  # see refine_partition
     cur = part
     cur_vcd = community_adjacency(cur, loop_edges).persist()
-    cur_cs = mat(community_stats(cur, loop_edges, vcd=cur_vcd), "inc-cs")
+    cur_cs = community_stats(cur, loop_edges, vcd=cur_vcd)
     for _ in range(rounds):
         nxt = mat(
             best_movement(
@@ -271,14 +284,14 @@ def incremental_update(
         )
         mat.release()
         cur_vcd.unpersist(False)
-        prev, prev_cs = cur, cur_cs
+        prev = cur
         cur = nxt
         cur_vcd = community_adjacency(cur, loop_edges).persist()
-        cur_cs = mat(community_stats(cur, loop_edges, vcd=cur_vcd), "inc-cs")
+        cur_cs = community_stats(cur, loop_edges, vcd=cur_vcd)
         mat.drop(prev)     # superseded round state (no-op for `part`'s caller refs)
-        mat.drop(prev_cs)
 
     wcc = global_wcc(cur, loop_edges, cur_cs, vertex_count, vcd=cur_vcd, tri=tri_static)
+    cur_cs = mat(cur_cs, "inc-cs")  # outlives the vcd cache it derives from
     cur_vcd.unpersist(False)
     loop_edges.unpersist(False)
 
@@ -298,4 +311,5 @@ def incremental_update(
         stats=cur_cs,
         global_wcc=wcc,
         vertex_count=vertex_count,
+        tri=tri_static,
     )

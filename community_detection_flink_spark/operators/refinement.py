@@ -51,6 +51,7 @@ class WCCResult:
     # incremental prepare() don't re-enumerate triangles
     clean_vertices: DataFrame | None = None  # vId, t, vt, cc
     clean_edges: DataFrame | None = None  # doubled triangle-edge subgraph
+    tri: DataFrame | None = None  # static triangle list (u, v, w)
 
 
 def refine_partition(
@@ -90,9 +91,16 @@ def refine_partition(
     loop_edges = clean_edges.repartition("src").persist()
 
     def _eval(labels: DataFrame) -> tuple[DataFrame, DataFrame, float]:
-        """Fused community-adjacency cache + stats + WCC for one labeling."""
+        """Fused community-adjacency cache + stats + WCC for one labeling.
+
+        ``cs`` stays a LAZY plan over the cached ``vcd`` — it is a tiny
+        per-community aggregate whose three consumers each broadcast
+        it; a parquet round-trip per round would cost a write+read job
+        for no lineage benefit (the lineage root is the cached vcd).
+        The loop materializes only the final accepted stats.
+        """
         vcd = community_adjacency(labels, loop_edges).persist()
-        cs = mat(community_stats(labels, loop_edges, vcd=vcd), "cs")
+        cs = community_stats(labels, loop_edges, vcd=vcd)
         wcc = global_wcc(labels, loop_edges, cs, vertex_count, vcd=vcd, tri=tri)
         return vcd, cs, wcc
 
@@ -122,13 +130,13 @@ def refine_partition(
                 retries = max_retries
             best_vcd.unpersist(False)
             mat.drop(best)      # superseded labeling: free its parquet
-            mat.drop(best_cs)
             best, best_cs, best_wcc, best_vcd = moved, new_cs, new_wcc, new_vcd
         else:
             new_vcd.unpersist(False)
             mat.drop(moved)     # rejected labeling
-            mat.drop(new_cs)
             improved = False
+    # the returned stats must outlive the caches they derive from
+    best_cs = mat(best_cs, "cs-final")
     best_vcd.unpersist(False)
     loop_edges.unpersist(False)
     return best, best_cs, best_wcc, global_cc, rounds
@@ -139,6 +147,8 @@ def run_wcc(
     max_retries: int = MAX_RETRIES,
     threshold: float = THRESHOLD,
     keep_internals: bool = False,
+    pre: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    mat: Materializer | None = None,
 ) -> WCCResult:
     """E1/E3 — full batch WCC community detection.
 
@@ -147,9 +157,16 @@ def run_wcc(
     ``DistributedWCC.run`` (``DistributedWCC.scala:34-82``): vertices
     pruned in preprocessing keep their own singleton community in the
     final result (``DistributedWCC.scala:63-78``).
+
+    ``pre``: optional already-MATERIALIZED ``(tri, clean_vertices,
+    clean_edges)`` for these edges — callers that preprocessed the
+    graph for other queries (``__spark_entry__._graph``) skip the
+    second triangle enumeration + cleanup.  ``edges`` must itself be
+    materialized in that case (it is re-scanned for the vertex set).
     """
-    mat = Materializer(edges.sparkSession)
-    edges = mat(edges, "edges")
+    mat = mat or Materializer(edges.sparkSession)
+    if pre is None:
+        edges = mat(edges, "edges")
     all_vertices = edges.select(F.col("src").alias("vId")).distinct()
     vertex_count = all_vertices.count()
     if vertex_count == 0:
@@ -166,11 +183,14 @@ def run_wcc(
     # One triangle enumeration serves preprocessing AND every refinement
     # round (tC via the static-list join): clean_edges keeps every
     # triangle edge, so triangles(clean) == triangles(full).
-    tri = mat(triangles(edges, mat=mat), "tri")
-    mat.release()  # oriented-edge cache
-    vertices, clean_edges = preprocess(edges, mat=mat, tri=tri)
-    clean_edges = mat(clean_edges, "clean-edges")
-    vertices = mat(vertices, "clean-vertices")
+    if pre is not None:
+        tri, vertices, clean_edges = pre
+    else:
+        tri = mat(triangles(edges, mat=mat), "tri")
+        mat.release()  # oriented-edge cache
+        vertices, clean_edges = preprocess(edges, mat=mat, tri=tri)
+        clean_edges = mat(clean_edges, "clean-edges")
+        vertices = mat(vertices, "clean-vertices")
     init = mat(initial_partition(vertices, clean_edges, mat=mat), "init")
     mat.release()  # MIS "higher" edge cache
 
@@ -179,8 +199,11 @@ def run_wcc(
     )
     # only `edges` (feeds all_vertices), `best`, and `best_cs` survive
     # into the returned plans — free the pipeline intermediates (the
-    # cleaned graph stays when the caller asked to reuse it)
-    superseded = [tri, init] if keep_internals else [tri, clean_edges, vertices, init]
+    # cleaned graph stays when the caller asked to reuse it, and
+    # caller-owned `pre` artifacts are never touched)
+    superseded = [init]
+    if pre is None and not keep_internals:
+        superseded += [tri, clean_edges, vertices]
     for df in superseded:
         mat.drop(df)
 
@@ -196,4 +219,5 @@ def run_wcc(
         iterations=rounds,
         clean_vertices=vertices if keep_internals else None,
         clean_edges=clean_edges if keep_internals else None,
+        tri=tri if keep_internals else None,
     )

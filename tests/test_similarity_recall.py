@@ -31,6 +31,34 @@ def test_ann_recall_floor(spark):
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+def test_ivf_recall_floor(spark):
+    from community_detection_flink_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    queries = emb.where("vec_id < 10")
+    recall = S.ivf_recall(emb, queries, k=5, n_probe=16)
+    emb.unpersist()
+    # deterministic 0.94 (md5-sampled centroids; 16 of ~22 cells probed
+    # — isotropic embeddings make recall track the probed fraction)
+    assert recall >= 0.9
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+def test_ivf_ranks_are_well_formed(spark):
+    from community_detection_flink_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    res = S.ann_topk_ivf(emb, emb.where("vec_id < 5"), k=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rows in by_q.items():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+        assert all(r.vec_id != q for r in rows)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
 def test_ann_is_subset_of_scored_corpus(spark):
     """ANN results must be genuine corpus vectors with correct ranks."""
     from pyspark.sql import functions as F
