@@ -363,6 +363,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ev_json_props(spark, sf):
         return W.json_props(load_table(spark, sf, "events"))
 
+    def ev_asof_prior_purchase(spark, sf):
+        """Merge as-of join: each click event joined to the user's most
+        recent prior (or simultaneous) purchase event.  One shuffle on
+        user_id, in-partition sort, running last() — no range explosion
+        (operators/temporal.py::asof_join)."""
+        from community_detection_flink_spark.operators import temporal as TP
+
+        ev = load_table(spark, sf, "events")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        out = TP.asof_join(
+            clicks, purchases, on="user_id", how="inner", right_prefix="purchase_"
+        )
+        return out.select(
+            "event_id", "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+            "purchase_value",
+        )
+
+    def ev_range_recent_purchases(spark, sf):
+        """Bucketed band join with NO equi key: per click event, the
+        number of purchase events corpus-wide in the preceding hour
+        (operators/temporal.py::range_count_join)."""
+        from community_detection_flink_spark.operators import temporal as TP
+
+        ev = load_table(spark, sf, "events")
+        clicks = ev.where(F.col("event_type") == "click").select("event_id", "ts")
+        purchases = ev.where(F.col("event_type") == "purchase").select("ts")
+        return TP.range_count_join(
+            clicks, purchases, band_seconds=3600, count_name="n_purchases_1h"
+        ).select("event_id", "n_purchases_1h")
+
     # ---------------- documents (dedup + text analysis) ---------------
 
     def doc_exact_dedup(spark, sf):
@@ -414,11 +451,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_fingerprint(spark, sf):
         return T.fingerprint(load_table(spark, sf, "documents"))
 
+    def doc_top_ngrams(spark, sf):
+        """Corpus-wide top-100 word bigrams (frequency analysis /
+        contamination checks)."""
+        return T.top_ngrams(load_table(spark, sf, "documents"), n=2, k=100)
+
+    def doc_sample_split(spark, sf):
+        """Deterministic md5-hash train/val/test split (80/10/10)."""
+        return T.sample_split(load_table(spark, sf, "documents"))
+
     # ---------------- embeddings (similarity search) ------------------
 
     def emb_cosine_topk(spark, sf):
         emb = load_table(spark, sf, "embeddings")
         return S.cosine_topk(emb, emb.where(F.col("vec_id") < 10), 5)
+
+    def emb_near_dups(spark, sf):
+        """Exact cosine near-dup pairs within a blocking key (label):
+        the Σ per-block n² shape that replaces corpus n² at scale."""
+        emb = load_table(spark, sf, "embeddings")
+        return D.embedding_near_dups_blocked(emb, "label", threshold=0.35)
 
     def emb_lsh_ann(spark, sf):
         emb = load_table(spark, sf, "embeddings")
@@ -479,6 +531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sliding": ev_sliding,
         "ev_session": ev_session,
         "ev_json_props": ev_json_props,
+        "ev_asof_prior_purchase": ev_asof_prior_purchase,
+        "ev_range_recent_purchases": ev_range_recent_purchases,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_minhash_signatures": doc_minhash_signatures,
         "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
@@ -490,7 +544,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
+        "doc_top_ngrams": doc_top_ngrams,
+        "doc_sample_split": doc_sample_split,
         "emb_cosine_topk": emb_cosine_topk,
+        "emb_near_dups": emb_near_dups,
         "emb_lsh_ann": emb_lsh_ann,
         "emb_ivf_ann": emb_ivf_ann,
         "g_connected_components": g_connected_components,
@@ -735,6 +792,21 @@ SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
 FROM g GROUP BY user_id, grp""",
         "ev_json_props": """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k FROM events""",
+        "ev_asof_prior_purchase": """
+SELECT l.event_id, l.user_id,
+  epoch_us(l.ts) AS ts_us,
+  epoch_us(r.ts) AS purchase_ts_us,
+  r.value AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "ev_range_recent_purchases": """
+SELECT l.event_id,
+  CAST((SELECT COUNT(*) FROM events r
+        WHERE r.event_type = 'purchase'
+          AND r.ts <= l.ts
+          AND epoch_us(r.ts) > epoch_us(l.ts) - 3600000000) AS BIGINT) AS n_purchases_1h
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') l""",
         "doc_exact_dedup": """
 SELECT MIN(doc_id) AS representative, CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY md5(text)""",
@@ -843,6 +915,26 @@ SELECT doc_id,
     (acc, h) -> (acc * 131 + h) % 1000000007
   ) AS fingerprint
 FROM documents""",
+        "doc_top_ngrams": f"""
+WITH t AS (SELECT {_TOKS} AS tk FROM documents),
+g AS (
+  SELECT unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2])
+                END) AS ngram
+  FROM t
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM g GROUP BY ngram
+ORDER BY cnt DESC, ngram ASC LIMIT 100""",
+        "doc_sample_split": f"""
+SELECT doc_id,
+  CAST(h % 100 AS BIGINT) AS bucket,
+  CASE WHEN h % 100 < 80 THEN 'train'
+       WHEN h % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id,
+        {_H60.format(x="'split-v1' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents)""",
         "emb_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id, embedding AS cv FROM embeddings),
@@ -853,6 +945,15 @@ scored AS (
 SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM scored
 ) WHERE rn <= 5""",
+        "emb_near_dups": f"""
+WITH a AS (SELECT label AS blk, vec_id AS id_a, embedding AS va FROM embeddings),
+b AS (SELECT label AS blk, vec_id AS id_b, embedding AS vb FROM embeddings),
+scored AS (
+  SELECT id_a, id_b,
+    {_DOT.format(a='va', b='vb')} / (sqrt({_DOT.format(a='va', b='va')}) * sqrt({_DOT.format(a='vb', b='vb')})) AS cosine
+  FROM a JOIN b USING (blk) WHERE id_a < id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.35""",
         # emb_lsh_ann: sin() differs across libm implementations — rows-only
         "mm_blob_meta": """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256

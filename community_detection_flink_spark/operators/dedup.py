@@ -330,3 +330,35 @@ def embedding_near_dups(
         .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_dups_blocked(
+    emb: DataFrame, block_col: str = "label", threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs restricted to a blocking key.
+
+    The scale-correct shape of ``embedding_near_dups``: pairs are only
+    formed WITHIN a block (a coarse cluster id, IVF cell, or LSH
+    bucket), so the join is an equi-join on ``block_col`` — cost is
+    Σ per-block n², never corpus n².  Exact cosine inside the block, so
+    the answer is exact w.r.t. the blocking relation (pairs across
+    blocks are by definition out of scope).
+    """
+    from community_detection_flink_spark.operators.similarity import cosine_col
+
+    a = emb.select(
+        F.col(block_col).alias("_blk"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col(block_col).alias("_blk"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -89,6 +89,60 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 100) -> DataFrame:
+    """Corpus-wide top-k word n-grams by frequency.
+
+    The frequency table is a plain explode + hash aggregate (map-side
+    partial counts do the heavy lifting: the shuffle carries one row per
+    distinct n-gram per partition, not per occurrence).  The final top-k
+    is a TakeOrdered over the aggregated table — deterministic via the
+    (count DESC, ngram ASC) total order, and never a single-partition
+    global sort of the full table.
+
+    Documents with fewer than ``n`` tokens contribute nothing (unlike
+    ``shingles_col``, which falls back to the whole-text shingle for
+    the dedup use case).
+    """
+    toks = tokens_col(F.col("text"))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def sample_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment.
+
+    bucket = portable 60-bit md5 hash of (salt || id) mod 100 — stable
+    across runs, cluster sizes, and engines (exact DuckDB oracle), which
+    is the property that matters for held-out splits: re-running the
+    pipeline on more data never moves an old document across splits.
+    Pure per-row column expressions — no shuffle at all.
+    """
+    bucket = _hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 100
+    return docs.select(
+        id_col,
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def fingerprint(docs: DataFrame, mod: int = 1_000_000_007, mult: int = 131) -> DataFrame:
     """Order-sensitive rolling document fingerprint.
 
