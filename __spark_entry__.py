@@ -782,7 +782,7 @@ SELECT ws AS window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM cand G
         "ev_session": """
 WITH s AS (
   SELECT user_id, ts, value,
-    CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+    CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp FROM s)

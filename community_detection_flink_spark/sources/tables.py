@@ -45,6 +45,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # force schema resolution while the conf is active
             if dict(df.dtypes).get("ts") == "bigint":
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+                # µs-precision parquet without UTC adjustment arrives as
+                # TIMESTAMP_NTZ; normalize to TIMESTAMP so strict
+                # consumers (unix_micros in the as-of join) resolve and
+                # every code path sees one timestamp type
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         finally:
             if prior is None:
                 spark.conf.unset(conf_key)
