@@ -50,6 +50,22 @@ from community_detection_flink_spark.streaming import windows as W
 _GRAPH_CACHE: dict[str, tuple[DataFrame, DataFrame, DataFrame]] = {}
 _TRI_CACHE: dict[str, DataFrame] = {}
 _WCC_CACHE: dict[str, object] = {}
+_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs, shared (like ``_graph``) by the
+    pair query and the transitive dedup-groups query — one signature
+    computation per sf_dir per session."""
+    if sf_dir not in _PAIRS_CACHE:
+        from community_detection_flink_spark.operators import dedup as D
+        from community_detection_flink_spark.plans.iteration import Materializer
+
+        docs = load_table(spark, sf_dir, "documents")
+        _PAIRS_CACHE[sf_dir] = Materializer(spark)(
+            D.minhash_lsh_pairs(docs, 8, 4, 3), "entry-lsh-pairs"
+        )
+    return _PAIRS_CACHE[sf_dir]
 
 
 def _wcc(spark: SparkSession, sf_dir: str):
@@ -167,7 +183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         e, _, _ = _graph(spark, sf)
-        state = run_edge_batches(e, bulk_to_stream_ratio=0.8, n_batches=1)
+        state = run_edge_batches(
+            e, bulk_to_stream_ratio=0.8, n_batches=1, tri_full=_TRI_CACHE[sf]
+        )
         return state.vertices.select("vId", "cId")
 
     def g_adjacency(spark, sf):
@@ -412,7 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
 
     def doc_minhash_lsh_pairs(spark, sf):
-        return D.minhash_lsh_pairs(load_table(spark, sf, "documents"), 8, 4, 3)
+        return _lsh_pairs(spark, sf)
 
     def doc_simhash(spark, sf):
         return D.simhash(load_table(spark, sf, "documents"), 32)
@@ -436,8 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         transitive closure — an iterative fixed point WITH an exact
         SQL oracle."""
         docs = load_table(spark, sf, "documents")
-        pairs = D.minhash_lsh_pairs(docs, 8, 4, 3)
-        return C.dedup_groups(docs, pairs)
+        return C.dedup_groups(docs, _lsh_pairs(spark, sf))
 
     def doc_token_stats(spark, sf):
         return T.token_stats(load_table(spark, sf, "documents"))

@@ -37,6 +37,21 @@ HEADLINE = [
     "ev_session",             # session windows
 ]
 
+# the round-1 HEADLINE (BENCH_r01.json): its subtotal is the
+# apples-to-apples number against the 132.2s baseline — the queries
+# added since (wcc_incremental is a second full pipeline by design)
+# grow the total without regressing any baseline query
+R1_BASELINE = [
+    "wcc_communities",
+    "g_triangle_counts",
+    "rel_pricing_summary",
+    "rel_nation_revenue",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash",
+    "emb_cosine_topk",
+    "ev_session",
+]
+
 
 def ann_quality(spark, sf_dir: str) -> dict[str, float]:
     """Measured ANN quality: recall@5 of the LSH path vs the exact
@@ -96,6 +111,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "baseline_subtotal": round(
+                    sum(timings[k] for k in R1_BASELINE if k in timings), 3
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **quality,
             }

@@ -42,6 +42,7 @@ from community_detection_flink_spark.operators.community import (
     global_wcc,
 )
 from community_detection_flink_spark.operators.partition import initial_partition
+from community_detection_flink_spark.operators.preprocess import preprocess
 from community_detection_flink_spark.operators.refinement import run_wcc
 from community_detection_flink_spark.operators.triangles import triangles
 from community_detection_flink_spark.plans.iteration import Materializer
@@ -70,16 +71,32 @@ class WCCState:
     tri: DataFrame | None = None
 
 
-def prepare(edges: DataFrame, mat: Materializer | None = None) -> WCCState:
+def prepare(
+    edges: DataFrame,
+    mat: Materializer | None = None,
+    tri: DataFrame | None = None,
+) -> WCCState:
     """Bulk load: full batch pipeline (``IncrementalWCC.prepare`` =
     ``DistributedWCC.run``, ``IncrementalWCC.scala:73-77``).
 
     ``run_wcc(keep_internals=True)`` hands back the cleaned graph it
     already computed, so the state build here costs three small joins —
-    no second triangle enumeration."""
+    no second triangle enumeration.
+
+    ``tri``: optional pre-computed triangle list of ``edges`` (callers
+    that already enumerated a supergraph's triangles can filter them
+    down instead of re-enumerating — see ``run_edge_batches``)."""
     mat = mat or Materializer(edges.sparkSession)
-    res = run_wcc(edges, keep_internals=True)
-    edges = mat(edges, "inc-edges")
+    if tri is not None:
+        edges = mat(edges, "inc-edges")
+        tri_m = mat(tri, "inc-tri-bulk")
+        pv, pc = preprocess(edges, mat=mat, tri=tri_m)
+        pc = mat(pc, "inc-pre-clean")
+        pv = mat(pv, "inc-pre-verts")
+        res = run_wcc(edges, keep_internals=True, pre=(tri_m, pv, pc), mat=mat)
+    else:
+        res = run_wcc(edges, keep_internals=True)
+        edges = mat(edges, "inc-edges")
     clean_e = mat(res.clean_edges, "inc-clean")
     vertices = mat(
         res.communities.join(res.clean_vertices, "vId", "left").select(

@@ -61,13 +61,27 @@ def run_edge_batches(
     bulk_to_stream_ratio: float = 0.8,
     n_batches: int = 1,
     mat: Materializer | None = None,
+    tri_full: DataFrame | None = None,
 ) -> WCCState:
     """E2 harness: bulk pipeline then incremental merges
-    (``CSVGraph.testStream`` re-expressed)."""
+    (``CSVGraph.testStream`` re-expressed).
+
+    ``tri_full``: optional triangle list of the FULL edge set.  The
+    bulk subgraph keeps exactly the edges with both endpoints below the
+    split, so its triangles are exactly the full-graph triangles with
+    all three corners below the split — a filter, not a re-enumeration
+    (callers like ``__spark_entry__`` that already hold the full list
+    for other queries skip the bulk pipeline's heaviest setup step).
+    """
     mat = mat or Materializer(edges.sparkSession)
     max_vertex = int(edges.agg(F.max(F.greatest("src", "dst"))).first()[0])
     bulk, stream, split = split_bulk_stream(edges, bulk_to_stream_ratio)
-    state = prepare(bulk, mat=mat)
+    tri_bulk = None
+    if tri_full is not None:
+        tri_bulk = tri_full.where(
+            (F.col("u") < split) & (F.col("v") < split) & (F.col("w") < split)
+        )
+    state = prepare(bulk, mat=mat, tri=tri_bulk)
     for batch in micro_batches(stream, split, max_vertex, n_batches):
         state = incremental_update(state, batch, mat=mat)
     return state
