@@ -290,7 +290,9 @@ def incremental_update(
     loop_edges = clean_new.repartition("src").persist()  # see refine_partition
     cur = part
     cur_vcd = community_adjacency(cur, loop_edges).persist()
-    cur_cs = community_stats(cur, loop_edges, vcd=cur_vcd)
+    # persisted but not forced: the first broadcast in best_movement
+    # materializes it; the second reads the cache (see refine_partition)
+    cur_cs = community_stats(cur, loop_edges, vcd=cur_vcd).persist()
     for _ in range(rounds):
         nxt = mat(
             best_movement(
@@ -301,14 +303,17 @@ def incremental_update(
         )
         mat.release()
         cur_vcd.unpersist(False)
+        cur_cs.unpersist(False)
         prev = cur
         cur = nxt
         cur_vcd = community_adjacency(cur, loop_edges).persist()
-        cur_cs = community_stats(cur, loop_edges, vcd=cur_vcd)
+        cur_cs = community_stats(cur, loop_edges, vcd=cur_vcd).persist()
         mat.drop(prev)     # superseded round state (no-op for `part`'s caller refs)
 
     wcc = global_wcc(cur, loop_edges, cur_cs, vertex_count, vcd=cur_vcd, tri=tri_static)
+    cached_cs = cur_cs
     cur_cs = mat(cur_cs, "inc-cs")  # outlives the vcd cache it derives from
+    cached_cs.unpersist(False)
     cur_vcd.unpersist(False)
     loop_edges.unpersist(False)
 

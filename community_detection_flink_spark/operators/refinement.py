@@ -93,14 +93,17 @@ def refine_partition(
     def _eval(labels: DataFrame) -> tuple[DataFrame, DataFrame, float]:
         """Fused community-adjacency cache + stats + WCC for one labeling.
 
-        ``cs`` stays a LAZY plan over the cached ``vcd`` — it is a tiny
-        per-community aggregate whose three consumers each broadcast
-        it; a parquet round-trip per round would cost a write+read job
-        for no lineage benefit (the lineage root is the cached vcd).
-        The loop materializes only the final accepted stats.
+        ``cs`` is persist()ed but never forced with its own job: the
+        ``global_wcc`` action below materializes it together with the
+        ``vcd`` cache it derives from, so the movement pass's two
+        broadcasts of the stats read the cache instead of re-running
+        the aggregate (a parquet round-trip per round would cost a
+        write+read job for no lineage benefit — the lineage root is
+        the cached vcd).  The loop materializes only the final
+        accepted stats.
         """
         vcd = community_adjacency(labels, loop_edges).persist()
-        cs = community_stats(labels, loop_edges, vcd=vcd)
+        cs = community_stats(labels, loop_edges, vcd=vcd).persist()
         wcc = global_wcc(labels, loop_edges, cs, vertex_count, vcd=vcd, tri=tri)
         return vcd, cs, wcc
 
@@ -129,14 +132,18 @@ def refine_partition(
             if best_wcc <= 0 or (new_wcc / best_wcc - 1.0) > threshold:
                 retries = max_retries
             best_vcd.unpersist(False)
+            best_cs.unpersist(False)
             mat.drop(best)      # superseded labeling: free its parquet
             best, best_cs, best_wcc, best_vcd = moved, new_cs, new_wcc, new_vcd
         else:
             new_vcd.unpersist(False)
+            new_cs.unpersist(False)
             mat.drop(moved)     # rejected labeling
             improved = False
     # the returned stats must outlive the caches they derive from
+    cached_cs = best_cs
     best_cs = mat(best_cs, "cs-final")
+    cached_cs.unpersist(False)
     best_vcd.unpersist(False)
     loop_edges.unpersist(False)
     return best, best_cs, best_wcc, global_cc, rounds
