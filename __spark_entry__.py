@@ -456,6 +456,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf, "documents")
         return C.dedup_groups(docs, _lsh_pairs(spark, sf))
 
+    def doc_dedup_keep_best(spark, sf):
+        """The dedup pipeline's final decision: one canonical
+        representative per transitive near-dup group (longest document
+        by n_chars, ties to the smallest doc_id) — every other group
+        member is marked for drop."""
+        from pyspark.sql import Window
+
+        docs = load_table(spark, sf, "documents")
+        groups = C.dedup_groups(docs, _lsh_pairs(spark, sf))
+        w = Window.partitionBy("group_id").orderBy(
+            F.desc("n_chars"), F.asc("doc_id")
+        )
+        return (
+            groups.join(docs.select("doc_id", "n_chars"), "doc_id")
+            .withColumn("rk", F.row_number().over(w))
+            .select("doc_id", "group_id", (F.col("rk") == 1).alias("keep"))
+        )
+
+    def rel_skewed_agg(spark, sf):
+        """Two-phase skew-safe aggregation (plans/skew.py::salted_agg)
+        as a first-class query: l_returnflag has 3 values over the
+        whole lineitem table — the canonical hot-key groupBy.  Results
+        are identical to the plain groupBy (the oracle)."""
+        from community_detection_flink_spark.plans.skew import salted_agg
+
+        li = load_table(spark, sf, "lineitem").select(
+            "l_returnflag", F.col("l_quantity").cast("decimal(18,2)").alias("q")
+        )
+        out = salted_agg(
+            li,
+            ["l_returnflag"],
+            {"n": ("q", "count"), "sum_qty": ("q", "sum"), "max_qty": ("q", "max")},
+            n_salt=16,
+        )
+        return out.select(
+            "l_returnflag",
+            "n",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+            F.col("max_qty").cast("double").alias("max_qty"),
+        )
+
     def doc_token_stats(spark, sf):
         return T.token_stats(load_table(spark, sf, "documents"))
 
@@ -557,6 +598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": doc_jaccard_pairs,
         "doc_simhash_near_dups": doc_simhash_near_dups,
         "doc_dedup_groups": doc_dedup_groups,
+        "doc_dedup_keep_best": doc_dedup_keep_best,
+        "rel_skewed_agg": rel_skewed_agg,
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
@@ -662,6 +705,34 @@ sig AS (
 )
 """
 
+
+
+def _dedup_comp_sql() -> str:
+    """Shared recursive-CTE prefix for the dedup-group oracles:
+    MinHash LSH pairs → transitive closure → per-doc canonical group
+    (CTE ``comp``: doc_id, group_id)."""
+    return _minhash_sig_sql(8).replace("WITH ", "WITH RECURSIVE ", 1) + """,
+banded AS (
+  SELECT doc_id, b, md5(array_to_string(sig[b*2+1 : b*2+2], ',')) AS bucket
+  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM banded a JOIN banded b2 USING (b, bucket)
+  WHERE a.doc_id < b2.doc_id GROUP BY 1, 2
+),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (
+  SELECT d.doc_id, least(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS group_id
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+"""
 
 
 _DOT = (
@@ -849,30 +920,20 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         # LSH pair graph is tiny, so a recursive-CTE transitive closure
         # is feasible (the Spark side is large-star/small-star, which
         # is what survives 100 TB)
-        "doc_dedup_groups": _minhash_sig_sql(8).replace("WITH ", "WITH RECURSIVE ", 1) + """,
-banded AS (
-  SELECT doc_id, b, md5(array_to_string(sig[b*2+1 : b*2+2], ',')) AS bucket
-  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
-),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
-  FROM banded a JOIN banded b2 USING (b, bucket)
-  WHERE a.doc_id < b2.doc_id GROUP BY 1, 2
-),
-e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-reach(a, b) AS (
-  SELECT a, b FROM e
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
-),
-comp AS (
-  SELECT d.doc_id, least(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS group_id
-  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-  GROUP BY d.doc_id
-)
+        "doc_dedup_groups": _dedup_comp_sql() + """
 SELECT doc_id, group_id,
   CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
 FROM comp""",
+        "doc_dedup_keep_best": _dedup_comp_sql() + """
+SELECT c.doc_id, c.group_id,
+  (ROW_NUMBER() OVER (PARTITION BY c.group_id ORDER BY d.n_chars DESC, c.doc_id ASC) = 1) AS keep
+FROM comp c JOIN documents d ON c.doc_id = d.doc_id""",
+        "rel_skewed_agg": """
+SELECT l_returnflag,
+  CAST(COUNT(l_quantity) AS BIGINT) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+FROM lineitem GROUP BY l_returnflag""",
         "doc_jaccard_pairs": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
 sh AS (
