@@ -518,6 +518,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Deterministic md5-hash train/val/test split (80/10/10)."""
         return T.sample_split(load_table(spark, sf, "documents"))
 
+    def doc_pack_chunks(spark, sf):
+        """GPT-style sequence packing: per-source concatenated token
+        stream cut into 512-token training chunks (prefix-sum
+        windows — no iteration, shards pack in parallel)."""
+        return T.pack_chunks(load_table(spark, sf, "documents"), 512, "source")
+
     # ---------------- embeddings (similarity search) ------------------
 
     def emb_cosine_topk(spark, sf):
@@ -537,6 +543,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def emb_ivf_ann(spark, sf):
         emb = load_table(spark, sf, "embeddings")
         return S.ann_topk_ivf(emb, emb.where(F.col("vec_id") < 10), 5)
+
+    def g_components_paths(spark, sf):
+        """Connected components over the per-customer order-chain
+        graph (consecutive orders linked → a union of paths: 1500
+        components, diameter up to the longest chain — the workload
+        where star-contraction's O(log² n) rounds beat label
+        propagation's O(diameter)).  Unlike the dense co-purchase
+        graph (`g_connected_components`, rows-only), this one's
+        recursive-CTE closure is tiny (Σ chain²), so the iterative
+        operator gets a HASH-verified oracle."""
+        from pyspark.sql import Window
+
+        o = load_table(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        seq = o.select(
+            F.col("o_orderkey").alias("v"),
+            F.lag("o_orderkey").over(w).alias("u"),
+        ).where(F.col("u").isNotNull())
+        return C.connected_components(
+            seq.select("u", "v"), vertices=o.select("o_orderkey")
+        ).select("vId", F.col("comp").alias("component"))
 
     def g_connected_components(spark, sf):
         """Components of the co-purchase graph (rows-only: the
@@ -606,11 +633,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_top_ngrams": doc_top_ngrams,
         "doc_sample_split": doc_sample_split,
+        "doc_pack_chunks": doc_pack_chunks,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dups": emb_near_dups,
         "emb_lsh_ann": emb_lsh_ann,
         "emb_ivf_ann": emb_ivf_ann,
         "g_connected_components": g_connected_components,
+        "g_components_paths": g_components_paths,
         "mm_blob_meta": mm_blob_meta,
         "mm_decode_features": mm_decode_features,
         "mm_frame_sample": mm_frame_sample,
@@ -934,6 +963,28 @@ SELECT l_returnflag,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
 FROM lineitem GROUP BY l_returnflag""",
+        # iterative star-contraction CC with an exact closure oracle:
+        # the order-chain graph is a union of short paths, so the
+        # transitive closure is Σ chain² — tiny (contrast the dense
+        # co-purchase graph, whose closure is quadratic in |V|)
+        "g_components_paths": """
+WITH RECURSIVE
+seq AS (
+  SELECT o_orderkey AS ok,
+    LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+),
+e0 AS (SELECT prev AS u, ok AS v FROM seq WHERE prev IS NOT NULL),
+edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+verts AS (SELECT o_orderkey AS vId FROM orders),
+reach(a, b) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+)
+SELECT v.vId, least(v.vId, COALESCE(MIN(r.b), v.vId)) AS component
+FROM verts v LEFT JOIN reach r ON r.a = v.vId
+GROUP BY v.vId""",
         "doc_jaccard_pairs": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
 sh AS (
@@ -1013,6 +1064,20 @@ SELECT doc_id,
 FROM (SELECT doc_id,
         {_H60.format(x="'split-v1' || CAST(doc_id AS VARCHAR)")} AS h
       FROM documents)""",
+        "doc_pack_chunks": f"""
+WITH t AS (
+  SELECT doc_id, source AS shard, len({_TOKS}) AS n_tok FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tok,
+    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t WHERE n_tok > 0
+),
+s AS (SELECT doc_id, shard, cum - n_tok AS off, cum FROM c)
+SELECT doc_id, shard, CAST(ch AS BIGINT) AS chunk_id,
+  CAST(greatest(off, ch * 512) AS BIGINT) AS tok_start,
+  CAST(least(cum, (ch + 1) * 512) AS BIGINT) AS tok_end
+FROM s, UNNEST(range(CAST(off // 512 AS BIGINT), CAST((cum - 1) // 512 + 1 AS BIGINT))) AS u(ch)""",
         "emb_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id, embedding AS cv FROM embeddings),

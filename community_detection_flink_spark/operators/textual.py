@@ -7,7 +7,7 @@ document fingerprinting — all built-in column expressions over the
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from community_detection_flink_spark.operators.dedup import _hash60, tokens_col
@@ -159,3 +159,57 @@ def fingerprint(docs: DataFrame, mod: int = 1_000_000_007, mult: int = 131) -> D
         lambda acc, h: (acc * mult + h) % mod,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def pack_chunks(
+    docs: DataFrame, capacity: int = 512, shard_col: str = "source"
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate each shard's token
+    stream in doc_id order and cut fixed ``capacity``-token training
+    chunks; one output row per (document, chunk) overlap.
+
+    Output: ``doc_id, shard, chunk_id, tok_start, tok_end`` — the
+    document's token span in the shard's global stream, clipped to the
+    chunk (end exclusive).  A document longer than ``capacity`` spans
+    several chunks; a chunk usually packs several short documents.
+
+    Scale shape: packing needs a TOTAL order, which does not distribute
+    — so the order is total only WITHIN a shard
+    (``Window.partitionBy(shard)``), never global.  Shards pack in
+    parallel, one shuffle each; at 100 TB shard by (source,
+    date-bucket) so no single window partition exceeds an executor.
+    Chunk membership is pure prefix-sum arithmetic (no iteration):
+    a doc at stream offset ``off`` covering ``[off, cum)`` lands in
+    chunks ``off div C .. (cum-1) div C``.
+
+    Empty-token documents are dropped (they contribute no tokens to
+    any chunk).
+    """
+    toks = tokens_col(F.col("text"))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    t = (
+        docs.select(
+            "doc_id",
+            F.col(shard_col).alias("shard"),
+            F.size(toks).cast("long").alias("n_tok"),
+        )
+        .where(F.col("n_tok") > 0)
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn("off", F.col("cum") - F.col("n_tok"))
+    )
+    cap = F.lit(int(capacity))
+    first = F.expr(f"off div {int(capacity)}")
+    last = F.expr(f"(cum - 1) div {int(capacity)}")
+    return t.select(
+        "doc_id",
+        "shard",
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+        "off",
+        "cum",
+    ).select(
+        "doc_id",
+        "shard",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.greatest(F.col("off"), F.col("chunk_id") * cap).cast("long").alias("tok_start"),
+        F.least(F.col("cum"), (F.col("chunk_id") + 1) * cap).cast("long").alias("tok_end"),
+    )

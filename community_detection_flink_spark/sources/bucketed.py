@@ -46,6 +46,10 @@ def write_bucketed(
     skip its per-partition Sort (plan shows neither Exchange nor Sort).
     """
     keys = list(keys)
+    # a stale managed-table LOCATION (e.g. from a previous session
+    # whose catalog is gone) fails the create even in overwrite mode —
+    # drop through the catalog first
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     writer = (
         df.write.mode("overwrite")
         .format("parquet")

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 from pyspark.sql import SparkSession
 
@@ -12,6 +14,13 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # fresh warehouse per test session: bucketed-table tests
+        # (saveAsTable) must never collide with a previous run's
+        # managed-table locations or litter the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            tempfile.mkdtemp(prefix="cdfs-test-warehouse-"),
+        )
         .getOrCreate()
     )
     yield spark
