@@ -34,6 +34,8 @@ HEADLINE = [
     "doc_simhash_near_dups",  # banded Hamming pairs (exact)
     "doc_dedup_groups",       # LSH pairs → connected components
     "g_connected_components", # large-star/small-star over the graph
+    "g_components_paths",     # CC over path graph (diameter stress)
+    "doc_pack_chunks",        # sequence packing (prefix-sum windows)
     "ev_session",             # session windows
 ]
 
