@@ -34,7 +34,17 @@ from community_detection_flink_spark.operators.incremental import (
     incremental_update,
     prepare,
 )
+from community_detection_flink_spark.operators.components import (
+    connected_components,
+    dedup_groups,
+)
 from community_detection_flink_spark.plans.iteration import Materializer
+from community_detection_flink_spark.plans.skew import salted_agg, salted_join
+from community_detection_flink_spark.sources.bucketed import (
+    bucket_count,
+    read_bucketed,
+    write_bucketed,
+)
 
 __all__ = [
     "get_spark",
@@ -46,5 +56,12 @@ __all__ = [
     "WCCState",
     "incremental_update",
     "prepare",
+    "connected_components",
+    "dedup_groups",
     "Materializer",
+    "salted_agg",
+    "salted_join",
+    "bucket_count",
+    "read_bucketed",
+    "write_bucketed",
 ]
