@@ -105,3 +105,84 @@ def test_minhash_identical_texts_share_signature(spark, n_hashes):
     assert sigs[1] == sigs[2]
     assert len(sigs[1]) == n_hashes
     assert sigs[1] != sigs[3]
+
+
+# ---------------------------------------------------------------------------
+# sequence packing invariants (pack_chunks)
+
+PACK_DOCS = st.lists(
+    st.tuples(
+        st.integers(0, 30),                      # doc length in tokens
+        st.sampled_from(["s1", "s2"]),           # shard
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@FEW
+@given(PACK_DOCS, st.integers(1, 7))
+def test_pack_chunks_tiles_each_shard(spark, docs, capacity):
+    """Per shard, the chunk spans tile [0, total_tokens) exactly: no
+    gaps, no overlaps, and each doc's spans sum to its token count."""
+    from community_detection_flink_spark.operators.textual import pack_chunks
+
+    rows = [
+        (i, " ".join(["w"] * n) if n else "", shard)
+        for i, (n, shard) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = pack_chunks(df, capacity=capacity, shard_col="source").collect()
+
+    per_doc = {}
+    per_shard = {}
+    for r in out:
+        assert 0 <= r.tok_start < r.tok_end, r
+        assert r.chunk_id == r.tok_start // capacity
+        assert r.tok_end <= (r.chunk_id + 1) * capacity
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + (r.tok_end - r.tok_start)
+        per_shard.setdefault(r.shard, []).append((r.tok_start, r.tok_end))
+    for i, (n, _) in enumerate(docs):
+        assert per_doc.get(i, 0) == n
+    for spans in per_shard.values():
+        spans.sort()
+        pos = 0
+        for s, t in spans:
+            assert s == pos, spans  # contiguous, gap-free
+            pos = t
+
+
+@FEW
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=40),
+    st.integers(1, 5),
+)
+def test_salted_agg_matches_model(spark, rows, n_salt):
+    """salted_agg == brute-force per-key aggregation for any input."""
+    from community_detection_flink_spark.plans.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rows] or [(0, 0.0)], "k LONG, x DOUBLE"
+    )
+    if not rows:
+        df = df.limit(0)
+    got = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in salted_agg(
+            df, ["k"], {"n": ("x", "count"), "s": ("x", "sum"),
+                        "mn": ("x", "min"), "mx": ("x", "max")},
+            n_salt=n_salt,
+        ).collect()
+    }
+    model = {}
+    for k, v in rows:
+        model.setdefault(k, []).append(float(v))
+    want = {
+        k: (len(vs), sum(vs), min(vs), max(vs)) for k, vs in model.items()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        n, s, mn, mx = got[k]
+        wn, ws, wmn, wmx = want[k]
+        assert (n, mn, mx) == (wn, wmn, wmx)
+        assert abs(s - ws) < 1e-9
