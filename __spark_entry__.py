@@ -474,6 +474,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "group_id", (F.col("rk") == 1).alias("keep"))
         )
 
+    def rel_percentiles(spark, sf):
+        """Exact distributed percentiles (linear interpolation — the
+        same semantics as DuckDB's quantile_cont, hash-matched
+        bit-for-bit).  The approximate path for 100 TB is
+        percentile_approx over the same plan shape."""
+        return (
+            load_table(spark, sf, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.expr(
+                    "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))"
+                ).alias("q")
+            )
+            .select(
+                "l_returnflag",
+                F.col("q")[0].alias("p25"),
+                F.col("q")[1].alias("p50"),
+                F.col("q")[2].alias("p75"),
+                F.col("q")[3].alias("p95"),
+            )
+        )
+
     def rel_skewed_agg(spark, sf):
         """Two-phase skew-safe aggregation (plans/skew.py::salted_agg)
         as a first-class query: l_returnflag has 3 values over the
@@ -627,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_groups": doc_dedup_groups,
         "doc_dedup_keep_best": doc_dedup_keep_best,
         "rel_skewed_agg": rel_skewed_agg,
+        "rel_percentiles": rel_percentiles,
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
@@ -962,6 +985,13 @@ SELECT l_returnflag,
   CAST(COUNT(l_quantity) AS BIGINT) AS n,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+FROM lineitem GROUP BY l_returnflag""",
+        "rel_percentiles": """
+SELECT l_returnflag,
+  quantile_cont(l_extendedprice, 0.25) AS p25,
+  quantile_cont(l_extendedprice, 0.50) AS p50,
+  quantile_cont(l_extendedprice, 0.75) AS p75,
+  quantile_cont(l_extendedprice, 0.95) AS p95
 FROM lineitem GROUP BY l_returnflag""",
         # iterative star-contraction CC with an exact closure oracle:
         # the order-chain graph is a union of short paths, so the

@@ -68,5 +68,20 @@ def python_eval_nodes(df: DataFrame) -> list[str]:
 
 
 def codegen_span_count(df: DataFrame) -> int:
-    """Number of whole-stage-codegen subtrees (fewer = wider spans)."""
+    """Number of whole-stage-codegen subtrees (fewer = wider spans).
+
+    NOTE: under AQE the pre-execution plan hides codegen nodes — this
+    returns 0 until the plan is final.  Use
+    ``executed_codegen_span_count`` for the real number."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+
+
+def executed_codegen_span_count(df: DataFrame) -> int:
+    """Codegen span count of the FINAL (post-AQE) physical plan.
+    Executes THIS Dataset's own QueryExecution (``collect`` — a
+    ``count()`` would plan a separate query and leave this plan
+    non-final).  The tree string marks each codegen subtree with a
+    ``*(N)`` stage prefix."""
+    df.collect()
+    text = df._jdf.queryExecution().executedPlan().toString()
+    return len(set(re.findall(r"\*\((\d+)\)", text)))
