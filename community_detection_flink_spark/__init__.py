@@ -31,8 +31,11 @@ from community_detection_flink_spark.sources.edges import (
 from community_detection_flink_spark.operators.refinement import run_wcc
 from community_detection_flink_spark.operators.incremental import (
     WCCState,
+    incremental_delete,
     incremental_update,
+    load_state,
     prepare,
+    save_state,
 )
 from community_detection_flink_spark.operators.components import (
     connected_components,
@@ -55,6 +58,9 @@ __all__ = [
     "run_wcc",
     "WCCState",
     "incremental_update",
+    "incremental_delete",
+    "save_state",
+    "load_state",
     "prepare",
     "connected_components",
     "dedup_groups",

@@ -242,14 +242,40 @@ def incremental_update(
         vertices.agg(F.sum("cc")).first()[0] or 0.0
     ) / vertex_count  # IncrementalWCC.scala:109
 
+    # t changes exactly at corners of new triangles; vt changes at
+    # endpoints of newly-cleaned edges — all of which are corners
+    # too (a new clean edge is an edge of some new triangle)
+    changed_verts = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("vId")).distinct()
+    )
+    if state.tri is not None:
+        tri_static = mat(state.tri.unionByName(tri.select("u", "v", "w")), "inc-tri-static")
+    else:
+        tri_static = mat(triangles(clean_new, mat=mat), "inc-tri-static")
+        mat.release()
+    return _elect_and_refine(
+        vertices, clean_new, changed_verts, tri_static, full_edges,
+        vertex_count, global_cc, mat, rounds, election_scope,
+    )
+
+
+def _elect_and_refine(
+    vertices: DataFrame,
+    clean_new: DataFrame,
+    changed_verts: DataFrame,
+    tri_static: DataFrame,
+    full_edges: DataFrame,
+    vertex_count: int,
+    global_cc: float,
+    mat: Materializer,
+    rounds: int,
+    election_scope: str,
+) -> WCCState:
+    """Shared tail of every incremental batch (insert or delete):
+    re-elect centers (inside affected communities, or globally), run
+    the fixed-round refinement, and assemble the next ``WCCState``."""
     # center election on the cleaned subgraph
     if election_scope == "affected":
-        # t changes exactly at corners of new triangles; vt changes at
-        # endpoints of newly-cleaned edges — all of which are corners
-        # too (a new clean edge is an edge of some new triangle)
-        changed_verts = (
-            tri.select(F.explode(F.array("u", "v", "w")).alias("vId")).distinct()
-        )
         affected_comms = (
             vertices.join(changed_verts, "vId", "left_semi")
             .select("cId")
@@ -282,11 +308,6 @@ def incremental_update(
     # over it (see refine_partition._eval), and the incrementally-
     # maintained static triangle list for the final WCC — no per-batch
     # triangle re-enumeration.
-    if state.tri is not None:
-        tri_static = mat(state.tri.unionByName(tri.select("u", "v", "w")), "inc-tri-static")
-    else:
-        tri_static = mat(triangles(clean_new, mat=mat), "inc-tri-static")
-        mat.release()
     loop_edges = clean_new.repartition("src").persist()  # see refine_partition
     cur = part
     cur_vcd = community_adjacency(cur, loop_edges).persist()
@@ -334,4 +355,161 @@ def incremental_update(
         global_wcc=wcc,
         vertex_count=vertex_count,
         tri=tri_static,
+    )
+
+
+def incremental_delete(
+    state: WCCState,
+    deleted_edges: DataFrame,
+    mat: Materializer | None = None,
+    rounds: int = INCREMENTAL_ROUNDS,
+    election_scope: str = "affected",
+) -> WCCState:
+    """Engine extension BEYOND the reference (``IncrementalWCC`` is
+    insert-only): remove an edge micro-batch and re-partition.
+
+    Exactness rides on the carried triangle list: a triangle dies iff
+    one of its three undirected edges is deleted, so the delta is
+    three broadcast semi-joins of the static list against the (small)
+    deleted set — never a re-enumeration.  A cleaned edge survives iff
+    some remaining triangle still contains it, and the only edges that
+    can change status are edges of dead triangles, so the survivor
+    check is again a broadcast semi-join.  Vertices never disappear:
+    one whose last triangle dies reverts to a singleton community
+    (t = 0 ⇒ cId = vId), the same rule the batch pipeline applies to
+    pruned vertices (``DistributedWCC.scala:63-78`` semantics).
+    """
+    mat = mat or Materializer(state.edges.sparkSession)
+
+    sym = symmetrize_edges(deleted_edges)
+    # only edges actually present can be deleted
+    del_e = mat(sym.join(state.edges, ["src", "dst"], "left_semi"), "del-e")
+    full_edges = mat(
+        state.edges.join(del_e, ["src", "dst"], "left_anti"), "inc-edges"
+    )
+    half_del = del_e.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("p"), F.col("dst").alias("q")
+    )
+
+    if state.tri is not None:
+        tri_all = state.tri
+    else:
+        tri_all = mat(triangles(state.clean_edges, mat=mat), "del-tri-all")
+        mat.release()
+
+    corner_pairs = (("u", "v"), ("u", "w"), ("v", "w"))
+
+    def _pairs(df):
+        parts = [
+            df.select(
+                F.least(F.col(a), F.col(b)).alias("p"),
+                F.greatest(F.col(a), F.col(b)).alias("q"),
+            )
+            for a, b in corner_pairs
+        ]
+        return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+    dead_parts = [
+        tri_all.select(
+            "u", "v", "w",
+            F.least(F.col(a), F.col(b)).alias("p"),
+            F.greatest(F.col(a), F.col(b)).alias("q"),
+        )
+        .join(F.broadcast(half_del), ["p", "q"], "left_semi")
+        .select("u", "v", "w")
+        for a, b in corner_pairs
+    ]
+    dead = mat(
+        dead_parts[0].unionByName(dead_parts[1]).unionByName(dead_parts[2]).distinct(),
+        "del-dead-tri",
+    )
+    tri_new = mat(tri_all.join(dead, ["u", "v", "w"], "left_anti"), "inc-tri-static")
+
+    # exact t delta: each dead triangle un-counts once per corner
+    dt = (
+        dead.select(F.explode(F.array("u", "v", "w")).alias("vId"))
+        .groupBy("vId")
+        .agg(F.count("*").cast("int").alias("dt"))
+    )
+
+    # cleaned-edge survivors among the candidates (edges of dead
+    # triangles); everything else keeps its status
+    cand = _pairs(dead).distinct()
+    alive = (
+        _pairs(tri_new)
+        .join(F.broadcast(cand), ["p", "q"], "left_semi")
+        .distinct()
+    )
+    gone_half = cand.join(alive, ["p", "q"], "left_anti")
+    gone = (
+        gone_half.select(F.col("p").alias("src"), F.col("q").alias("dst"))
+        .unionByName(gone_half.select(F.col("q").alias("src"), F.col("p").alias("dst")))
+        .unionByName(del_e.select("src", "dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    clean_new = mat(
+        state.clean_edges.join(gone, ["src", "dst"], "left_anti"), "inc-clean"
+    )
+    vt_new = clean_new.groupBy(F.col("src").alias("vId")).agg(
+        F.count("*").cast("int").alias("vt_new")
+    )
+
+    t_new = (F.col("t") - F.coalesce("dt", F.lit(0))).cast("int")
+    vertices = mat(
+        state.vertices.drop("vt", "cc")
+        .join(dt, "vId", "left")
+        .join(vt_new, "vId", "left")
+        .select(
+            "vId",
+            t_new.alias("t"),
+            F.coalesce("vt_new", F.lit(0)).alias("vt"),
+            # losing the last triangle reverts to a singleton community
+            F.when(t_new > 0, F.col("cId")).otherwise(F.col("vId")).alias("cId"),
+        )
+        .withColumn("cc", cc_col(F.col("t"), F.col("vt"))),
+        "inc-verts",
+    )
+    vertex_count = vertices.count()
+    global_cc = float(vertices.agg(F.sum("cc")).first()[0] or 0.0) / vertex_count
+
+    changed_verts = (
+        dead.select(F.explode(F.array("u", "v", "w")).alias("vId")).distinct()
+    )
+    return _elect_and_refine(
+        vertices, clean_new, changed_verts, tri_new, full_edges,
+        vertex_count, global_cc, mat, rounds, election_scope,
+    )
+
+
+def save_state(state: WCCState, path: str) -> None:
+    """Persist a ``WCCState`` for restart (streaming sessions outlive
+    drivers; ``run_stream`` checkpoints cover the SOURCE offsets, this
+    covers the engine state).  Each component is a parquet directory —
+    executor-parallel, works on HDFS/S3 paths — plus a one-row JSON
+    manifest for the scalars (written through Spark so remote
+    filesystems work the same as local ones)."""
+    spark = state.edges.sparkSession
+    state.edges.write.mode("overwrite").parquet(f"{path}/edges")
+    state.clean_edges.write.mode("overwrite").parquet(f"{path}/clean_edges")
+    state.vertices.write.mode("overwrite").parquet(f"{path}/vertices")
+    state.stats.write.mode("overwrite").parquet(f"{path}/stats")
+    if state.tri is not None:
+        state.tri.write.mode("overwrite").parquet(f"{path}/tri")
+    spark.createDataFrame(
+        [(state.global_wcc, state.vertex_count, state.tri is not None)],
+        "global_wcc DOUBLE, vertex_count LONG, has_tri BOOLEAN",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+
+def load_state(spark, path: str) -> WCCState:
+    """Restore a ``WCCState`` written by ``save_state``."""
+    meta = spark.read.json(f"{path}/meta").first()
+    return WCCState(
+        edges=spark.read.parquet(f"{path}/edges"),
+        clean_edges=spark.read.parquet(f"{path}/clean_edges"),
+        vertices=spark.read.parquet(f"{path}/vertices"),
+        stats=spark.read.parquet(f"{path}/stats"),
+        global_wcc=float(meta.global_wcc),
+        vertex_count=int(meta.vertex_count),
+        tri=spark.read.parquet(f"{path}/tri") if meta.has_tri else None,
     )

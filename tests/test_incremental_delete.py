@@ -1,0 +1,109 @@
+"""incremental_delete: exact triangle/clean-edge maintenance under
+edge removals (engine extension — the reference is insert-only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from community_detection_flink_spark.operators.incremental import (
+    incremental_delete,
+    incremental_update,
+    prepare,
+)
+from community_detection_flink_spark.sources.edges import symmetrize_edges
+
+
+def _stats_map(state):
+    return {
+        r.vId: (r.t, r.vt, round(r.cc, 9))
+        for r in state.vertices.select("vId", "t", "vt", "cc").collect()
+    }
+
+
+def _clean_set(state):
+    return {(r.src, r.dst) for r in state.clean_edges.collect()}
+
+
+def test_delete_inverts_insert(spark, golden_edges):
+    """Insert a clique batch, delete the same edges: triangle stats,
+    cleaned edges, and the triangle list all revert exactly."""
+    base = prepare(symmetrize_edges(golden_edges))
+    before = _stats_map(base)
+    clean_before = _clean_set(base)
+    tri_before = base.tri.count()
+
+    batch = spark.createDataFrame(
+        [(7, 10), (7, 11), (7, 12), (10, 11), (10, 12), (11, 12)],
+        "src LONG, dst LONG",
+    )
+    grown = incremental_update(base, batch)
+    assert grown.tri.count() > tri_before
+
+    shrunk = incremental_delete(grown, batch)
+    after = _stats_map(shrunk)
+    # original vertices revert exactly; the inserted ones remain (the
+    # vertex set never shrinks) with zeroed triangle stats
+    assert {k: v for k, v in after.items() if k in before} == before
+    assert all(after[k] == (0, 0, 0.0) for k in (10, 11, 12))
+    assert _clean_set(shrunk) == clean_before
+    assert shrunk.tri.count() == tri_before
+    assert shrunk.vertices.count() == 11  # vertices never disappear
+    # vertices whose last triangle died revert to singletons
+    sing = {
+        r.vId: r.cId
+        for r in shrunk.vertices.where("t = 0").select("vId", "cId").collect()
+    }
+    assert all(v == c for v, c in sing.items())
+    assert set(sing) >= {10, 11, 12}
+
+
+def test_delete_matches_recompute(spark, golden_edges):
+    """Deleting edges from the prepared state gives the same cleaned
+    graph as preparing the remaining edges from scratch."""
+    base = prepare(symmetrize_edges(golden_edges))
+    # drop one edge of the second clique {4,5,6,7}: (5, 6)
+    deleted = spark.createDataFrame([(5, 6)], "src LONG, dst LONG")
+    got = incremental_delete(base, deleted)
+
+    remaining = symmetrize_edges(golden_edges).join(
+        symmetrize_edges(deleted), ["src", "dst"], "left_anti"
+    )
+    want = prepare(remaining)
+    assert _stats_map(got) == _stats_map(want)
+    assert _clean_set(got) == _clean_set(want)
+    assert got.tri.count() == want.tri.count()
+    # the intact clique keeps one community; Σ sizes == |V|
+    labels = {r.vId: r.cId for r in got.vertices.collect()}
+    assert labels[0] == labels[1] == labels[2] == labels[3]
+    assert got.stats.agg(F.sum("r")).first()[0] == got.vertices.where("t > 0").count()
+
+
+def test_delete_absent_edge_is_noop(spark, golden_edges):
+    base = prepare(symmetrize_edges(golden_edges))
+    before = _stats_map(base)
+    got = incremental_delete(
+        base, spark.createDataFrame([(0, 7), (90, 91)], "src LONG, dst LONG")
+    )
+    assert _stats_map(got) == before
+    assert got.tri.count() == base.tri.count()
+
+
+def test_state_save_load_roundtrip(spark, golden_edges, tmp_path):
+    from community_detection_flink_spark.operators.incremental import (
+        load_state,
+        save_state,
+    )
+
+    base = prepare(symmetrize_edges(golden_edges))
+    save_state(base, str(tmp_path / "state"))
+    loaded = load_state(spark, str(tmp_path / "state"))
+    assert _stats_map(loaded) == _stats_map(base)
+    assert loaded.global_wcc == base.global_wcc
+    assert loaded.vertex_count == base.vertex_count
+    assert loaded.tri.count() == base.tri.count()
+
+    # the restored state drives a batch exactly like the original
+    batch = spark.createDataFrame([(0, 4), (1, 5)], "src LONG, dst LONG")
+    a = incremental_update(base, batch)
+    b = incremental_update(loaded, batch)
+    assert _stats_map(a) == _stats_map(b)
