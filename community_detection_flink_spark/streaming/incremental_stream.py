@@ -114,6 +114,7 @@ def run_stream(
     initial_state: WCCState,
     checkpoint_dir: str,
     on_batch=None,
+    cdc: bool = False,
 ) -> StreamHandle:
     """Real Structured Streaming driver: parquet edge source →
     ``foreachBatch`` incremental WCC.
@@ -121,6 +122,12 @@ def run_stream(
     Each micro-batch DataFrame (src, dst) is folded into the carried
     state; ``on_batch(state, batch_id)`` observes progress.  Returns a
     ``StreamHandle`` — await/stop it, then read ``handle.state``.
+
+    ``cdc=True`` reads a change stream instead: schema
+    (src, dst, op STRING) with op ∈ {"I", "D"}.  Within a micro-batch
+    the inserts apply first, then the deletions (``incremental_delete``)
+    — the natural CDC contract where a batch's deletes may refer to
+    edges the same batch inserted.
     """
     mat = Materializer(spark)
     holder = {"state": initial_state}
@@ -128,15 +135,26 @@ def run_stream(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        holder["state"] = incremental_update(
-            holder["state"], batch_df.select("src", "dst"), mat=mat
-        )
+        if cdc:
+            from community_detection_flink_spark.operators.incremental import (
+                incremental_delete,
+            )
+
+            ins = batch_df.where("op = 'I'").select("src", "dst")
+            dels = batch_df.where("op = 'D'").select("src", "dst")
+            if not ins.isEmpty():
+                holder["state"] = incremental_update(holder["state"], ins, mat=mat)
+            if not dels.isEmpty():
+                holder["state"] = incremental_delete(holder["state"], dels, mat=mat)
+        else:
+            holder["state"] = incremental_update(
+                holder["state"], batch_df.select("src", "dst"), mat=mat
+            )
         if on_batch is not None:
             on_batch(holder["state"], batch_id)
 
-    stream = (
-        spark.readStream.schema("src LONG, dst LONG").parquet(source_dir)
-    )
+    schema = "src LONG, dst LONG, op STRING" if cdc else "src LONG, dst LONG"
+    stream = spark.readStream.schema(schema).parquet(source_dir)
     query = (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)

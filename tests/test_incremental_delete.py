@@ -107,3 +107,38 @@ def test_state_save_load_roundtrip(spark, golden_edges, tmp_path):
     a = incremental_update(base, batch)
     b = incremental_update(loaded, batch)
     assert _stats_map(a) == _stats_map(b)
+
+
+def test_cdc_stream_applies_inserts_then_deletes(spark, golden_edges, tmp_path):
+    """run_stream(cdc=True): a change batch inserts a clique and a
+    later batch deletes part of it; the final state matches applying
+    the same operations directly."""
+    import os
+
+    from community_detection_flink_spark.streaming.incremental_stream import (
+        run_stream,
+    )
+
+    src = str(tmp_path / "cdc-src")
+    ckpt = str(tmp_path / "cdc-ckpt")
+    b1 = [(7, 10, "I"), (7, 11, "I"), (7, 12, "I"),
+          (10, 11, "I"), (10, 12, "I"), (11, 12, "I")]
+    b2 = [(10, 11, "D"), (10, 12, "D")]
+    schema = "src LONG, dst LONG, op STRING"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    state0 = prepare(symmetrize_edges(golden_edges))
+    handle = run_stream(spark, os.path.join(src, "*"), state0, ckpt, cdc=True)
+    handle.await_termination(180)
+    got = handle.state
+
+    want = prepare(symmetrize_edges(golden_edges))
+    want = incremental_update(
+        want, spark.createDataFrame([r[:2] for r in b1], "src LONG, dst LONG")
+    )
+    want = incremental_delete(
+        want, spark.createDataFrame([r[:2] for r in b2], "src LONG, dst LONG")
+    )
+    assert _stats_map(got) == _stats_map(want)
+    assert got.tri.count() == want.tri.count()
