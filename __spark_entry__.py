@@ -188,6 +188,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return state.vertices.select("vId", "cId")
 
+    def wcc_cdc(spark, sf):
+        """E2 extended with the engine's deletion path (rows-only —
+        iterative): bulk 80% → insert the stream batch → delete a
+        slice of it again (every batch edge incident to an
+        even-numbered vertex).  Exercises incremental_update AND
+        incremental_delete end-to-end on driver data."""
+        from community_detection_flink_spark.operators.incremental import (
+            incremental_delete,
+        )
+        from community_detection_flink_spark.streaming.incremental_stream import (
+            run_edge_batches,
+        )
+
+        e, _, _ = _graph(spark, sf)
+        state = run_edge_batches(
+            e, bulk_to_stream_ratio=0.8, n_batches=1, tri_full=_TRI_CACHE[sf]
+        )
+        max_id = int(e.agg(F.max("src")).first()[0])
+        dels = e.where(
+            (F.col("src") >= F.lit(int(max_id * 0.8)))
+            & (F.col("src") % 2 == 0)
+        )
+        state = incremental_delete(state, dels)
+        return state.vertices.select("vId", "cId")
+
     def g_adjacency(spark, sf):
         """A1 adjacency lists, exploded to (vId, pos, neighbor) scalar
         rows so the oracle hash-check can canonicalize them (pandas
@@ -621,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_communities": wcc_communities,
         "wcc_stats": wcc_stats,
         "wcc_incremental": wcc_incremental,
+        "wcc_cdc": wcc_cdc,
         "g_adjacency": g_adjacency,
         "rel_distinct_counts": rel_distinct_counts,
         "rel_pricing_summary": rel_pricing_summary,
