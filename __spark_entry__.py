@@ -565,6 +565,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Deterministic md5-hash train/val/test split (80/10/10)."""
         return T.sample_split(load_table(spark, sf, "documents"))
 
+    def doc_contamination(spark, sf):
+        """Benchmark decontamination: corpus docs (source != src0)
+        sharing any word 5-gram with the src0 'benchmark' set —
+        broadcast the benchmark's distinct grams, stream the corpus."""
+        docs = load_table(spark, sf, "documents")
+        return T.contamination_flags(
+            docs.where(F.col("source") != "src0"),
+            docs.where(F.col("source") == "src0"),
+            5,
+        )
+
     def doc_pack_chunks(spark, sf):
         """GPT-style sequence packing: per-source concatenated token
         stream cut into 512-token training chunks (prefix-sum
@@ -683,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_ngrams": doc_top_ngrams,
         "doc_sample_split": doc_sample_split,
         "doc_pack_chunks": doc_pack_chunks,
+        "doc_contamination": doc_contamination,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dups": emb_near_dups,
         "emb_lsh_ann": emb_lsh_ann,
@@ -1120,6 +1132,26 @@ SELECT doc_id,
 FROM (SELECT doc_id,
         {_H60.format(x="'split-v1' || CAST(doc_id AS VARCHAR)")} AS h
       FROM documents)""",
+        "doc_contamination": f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+g AS (
+  SELECT doc_id, source, unnest(list_distinct(
+    CASE WHEN len(tk) < 5 THEN []
+    ELSE list_transform(range(len(tk) - 4),
+      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5])
+    END)) AS gram
+  FROM toks
+),
+bg AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+hits AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM g JOIN bg USING (gram) WHERE g.source <> 'src0' GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(h.n_shared, 0) > 0 AS contaminated,
+  CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.source <> 'src0'""",
         "doc_pack_chunks": f"""
 WITH t AS (
   SELECT doc_id, source AS shard, len({_TOKS}) AS n_tok FROM documents

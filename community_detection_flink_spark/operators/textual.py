@@ -213,3 +213,50 @@ def pack_chunks(
         F.greatest(F.col("off"), F.col("chunk_id") * cap).cast("long").alias("tok_start"),
         F.least(F.col("cum"), (F.col("chunk_id") + 1) * cap).cast("long").alias("tok_end"),
     )
+
+
+def contamination_flags(
+    docs: DataFrame, benchmark: DataFrame, ngram_n: int = 5
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word ``ngram_n``-gram with the benchmark set.
+
+    Output: ``doc_id, contaminated, n_shared`` (distinct shared
+    grams) for every corpus document.  Exact n-gram matching is the
+    standard LLM decontamination test (13-gram in the common setting;
+    smaller here for short synthetic docs).
+
+    Scale shape: the benchmark's distinct gram set is the SMALL side —
+    broadcast — while corpus grams stream through the join; per-doc
+    ``array_distinct`` before the explode bounds the join input at one
+    row per distinct gram per document.  Nothing is ever collected.
+    """
+    n = int(ngram_n)
+
+    def grams(col):
+        toks = tokens_col(col)
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        return F.when(
+            F.size(toks) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+            )
+        )
+
+    bench_grams = benchmark.select(
+        F.explode(grams(F.col("text"))).alias("g")
+    ).distinct()
+    corpus_grams = docs.select(
+        "doc_id", F.explode(grams(F.col("text"))).alias("g")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+    )
