@@ -41,3 +41,27 @@ def test_pack_chunks_exact_boundary(spark):
         for r in pack_chunks(docs, capacity=4, shard_col="source").collect()
     )
     assert got == [(1, 0, 0, 4), (2, 1, 4, 6)]
+
+
+def test_contamination_flags(spark):
+    from community_detection_flink_spark.operators.textual import (
+        contamination_flags,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta", "b")],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta", "c"),  # shares 2 5-grams
+            (2, "completely different words with no overlap at all", "c"),
+            (3, "alpha beta gamma delta", "c"),  # < 5 tokens of overlap run
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    got = {
+        r.doc_id: (r.contaminated, r.n_shared)
+        for r in contamination_flags(corpus, bench, 5).collect()
+    }
+    assert got == {1: (True, 2), 2: (False, 0), 3: (False, 0)}
