@@ -499,6 +499,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "group_id", (F.col("rk") == 1).alias("keep"))
         )
 
+    def rel_profile_orders(spark, sf):
+        """Data profiling: per-column nulls/distincts/min/max of the
+        orders table in ONE fused wide aggregation (4·n_cols
+        aggregates share a single scan), unpivoted with stack()."""
+        from community_detection_flink_spark.operators.profile import profile_table
+
+        return profile_table(load_table(spark, sf, "orders"))
+
     def rel_percentiles(spark, sf):
         """Exact distributed percentiles (linear interpolation — the
         same semantics as DuckDB's quantile_cont, hash-matched
@@ -583,6 +591,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return T.pack_chunks(load_table(spark, sf, "documents"), 512, "source")
 
     # ---------------- embeddings (similarity search) ------------------
+
+    def emb_quantize(spark, sf):
+        """Int8-range min-max quantization of the embedding store
+        (exploded to scalar rows; bit-exact double arithmetic)."""
+        return S.quantize_int8(load_table(spark, sf, "embeddings"))
 
     def emb_cosine_topk(spark, sf):
         emb = load_table(spark, sf, "embeddings")
@@ -687,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_keep_best": doc_dedup_keep_best,
         "rel_skewed_agg": rel_skewed_agg,
         "rel_percentiles": rel_percentiles,
+        "rel_profile_orders": rel_profile_orders,
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
@@ -695,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_split": doc_sample_split,
         "doc_pack_chunks": doc_pack_chunks,
         "doc_contamination": doc_contamination,
+        "emb_quantize": emb_quantize,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dups": emb_near_dups,
         "emb_lsh_ann": emb_lsh_ann,
@@ -795,6 +810,29 @@ sig AS (
 )
 """
 
+
+
+_ORDERS_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _profile_sql(table: str, cols: tuple[str, ...]) -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(MIN({c}) AS VARCHAR) AS min_value,
+  CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM {table}"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
 
 
 def _dedup_comp_sql() -> str:
@@ -1024,6 +1062,7 @@ SELECT l_returnflag,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
 FROM lineitem GROUP BY l_returnflag""",
+        "rel_profile_orders": _profile_sql("orders", _ORDERS_COLS),
         "rel_percentiles": """
 SELECT l_returnflag,
   quantile_cont(l_extendedprice, 0.25) AS p25,
@@ -1166,6 +1205,18 @@ SELECT doc_id, shard, CAST(ch AS BIGINT) AS chunk_id,
   CAST(greatest(off, ch * 512) AS BIGINT) AS tok_start,
   CAST(least(cum, (ch + 1) * 512) AS BIGINT) AS tok_end
 FROM s, UNNEST(range(CAST(off // 512 AS BIGINT), CAST((cum - 1) // 512 + 1 AS BIGINT))) AS u(ch)""",
+        "emb_quantize": """
+WITH b AS (
+  SELECT vec_id, embedding,
+    CAST(list_min(embedding) AS DOUBLE) AS mn,
+    CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM embeddings
+)
+SELECT vec_id, CAST(t.i AS BIGINT) AS pos,
+  CAST(COALESCE(
+    LEAST(255, FLOOR((CAST(embedding[t.i + 1] AS DOUBLE) - mn) * 256.0 / NULLIF(mx - mn, 0))),
+    0) AS BIGINT) AS q
+FROM b, UNNEST(range(len(embedding))) AS t(i)""",
         "emb_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id, embedding AS cv FROM embeddings),
