@@ -176,6 +176,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("b").cast("long").alias("b"), "d",
         )
 
+    def wcc_invariants(spark, sf):
+        """SURVEY §5.4 invariants of the WCC result as an exact-oracle
+        table (VERDICT r2 #6) — upgrades the iterative wcc_* family
+        from bare row counts to a checked gate artifact.  Spark
+        computes each check FROM the engine's result; the oracle
+        derives the expected value FROM the raw input tables, so a
+        broken labeling (missed vertex, duplicate row, dangling cId,
+        stats/labeling disagreement, non-monotone accept loop —
+        DistributedWCC.scala:308-321 semantics) hash-mismatches."""
+        res = _wcc(spark, sf)
+        comm = res.communities
+        n_rows = comm.count()
+        n_vertices = comm.select("vId").distinct().count()
+        sum_sizes = int(
+            comm.groupBy("cId").count().agg(F.sum("count")).first()[0]
+        )
+        orphan_cids = (
+            comm.select("cId")
+            .distinct()
+            .join(
+                comm.select(F.col("vId").alias("cId")).distinct(),
+                "cId",
+                "left_anti",
+            )
+            .count()
+        )
+        sizes = comm.groupBy("cId").agg(F.count("*").cast("int").alias("n"))
+        stats_size_mismatch = (
+            res.stats.join(sizes, "cId", "left")
+            .where(F.col("n").isNull() | (F.col("n") != F.col("r")))
+            .count()
+        )
+        hist = res.wcc_history or []
+        non_monotone = sum(1 for a, b in zip(hist, hist[1:]) if b <= a)
+        rows = [
+            ("labeled_rows", n_rows),
+            ("labeled_distinct_vertices", n_vertices),
+            ("sum_community_sizes", sum_sizes),
+            ("orphan_cids", orphan_cids),
+            ("stats_size_mismatch", stats_size_mismatch),
+            ("non_monotone_accepted_rounds", non_monotone),
+        ]
+        return spark.createDataFrame(
+            [(k, int(v)) for k, v in rows], "invariant STRING, value LONG"
+        )
+
     def wcc_incremental(spark, sf):
         """E2 — bulk + incremental micro-batch merge (rows-only)."""
         from community_detection_flink_spark.streaming.incremental_stream import (
@@ -205,7 +251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         state = run_edge_batches(
             e, bulk_to_stream_ratio=0.8, n_batches=1, tri_full=_TRI_CACHE[sf]
         )
-        max_id = int(e.agg(F.max("src")).first()[0])
+        # id ceiling carried on the state (edges are symmetric, so the
+        # max src run_edge_batches computed IS the global max) — no
+        # extra agg job here
+        max_id = state.max_vertex
         dels = e.where(
             (F.col("src") >= F.lit(int(max_id * 0.8)))
             & (F.col("src") % 2 == 0)
@@ -669,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_community_triangles": g_community_triangles,
         "wcc_communities": wcc_communities,
         "wcc_stats": wcc_stats,
+        "wcc_invariants": wcc_invariants,
         "wcc_incremental": wcc_incremental,
         "wcc_cdc": wcc_cdc,
         "g_adjacency": g_adjacency,
@@ -880,6 +930,17 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "g_edges": _G + "SELECT src, dst FROM edges",
+        # expected invariant values derived from the RAW input tables —
+        # the Spark side computes the same quantities from the engine's
+        # WCC result, so any labeling defect hash-mismatches
+        "wcc_invariants": _G + """,
+nv AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n FROM edges)
+SELECT 'labeled_rows' AS invariant, n AS value FROM nv
+UNION ALL SELECT 'labeled_distinct_vertices', n FROM nv
+UNION ALL SELECT 'sum_community_sizes', n FROM nv
+UNION ALL SELECT 'orphan_cids', CAST(0 AS BIGINT)
+UNION ALL SELECT 'stats_size_mismatch', CAST(0 AS BIGINT)
+UNION ALL SELECT 'non_monotone_accepted_rounds', CAST(0 AS BIGINT)""",
         "g_degrees": _G + "SELECT src AS vId, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src",
         "g_triangle_counts": _G + """
 SELECT v.vId, COALESCE(t.t, 0) AS t
@@ -1213,9 +1274,9 @@ WITH b AS (
   FROM embeddings
 )
 SELECT vec_id, CAST(t.i AS BIGINT) AS pos,
-  CAST(COALESCE(
-    LEAST(255, FLOOR((CAST(embedding[t.i + 1] AS DOUBLE) - mn) * 256.0 / NULLIF(mx - mn, 0))),
-    0) AS BIGINT) AS q
+  CAST(CASE WHEN mx = mn THEN 0 ELSE
+    LEAST(255, FLOOR((CAST(embedding[t.i + 1] AS DOUBLE) - mn) * 256.0 / (mx - mn)))
+  END AS BIGINT) AS q
 FROM b, UNNEST(range(len(embedding))) AS t(i)""",
         "emb_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

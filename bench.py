@@ -55,6 +55,45 @@ R1_BASELINE = [
 ]
 
 
+def wcc_incremental_split(spark, sf_dir: str, n_batches: int = 4):
+    """The E2 incremental harness with the bulk ``prepare`` and the
+    micro-batch delta loop timed SEPARATELY (VERDICT r2 #5): the
+    benchable claim of the incremental path is delta ≪ full-pipeline,
+    which a single end-to-end number hides.  ``n_batches=4`` so the
+    carried-state reuse (triangle-list union, incremental.py) is
+    exercised batch-over-batch.  Returns (rows, t_prepare, t_delta)."""
+    from pyspark.sql import functions as F
+
+    from community_detection_flink_spark.operators.incremental import (
+        incremental_update,
+        prepare,
+    )
+    from community_detection_flink_spark.plans.iteration import Materializer
+    from community_detection_flink_spark.streaming.incremental_stream import (
+        micro_batches,
+        split_bulk_stream,
+    )
+
+    e, _, _ = entry_mod._graph(spark, sf_dir)
+    tri_full = entry_mod._TRI_CACHE[sf_dir]
+    mat = Materializer(spark)
+    t0 = time.time()
+    max_vertex = int(e.agg(F.max(F.greatest("src", "dst"))).first()[0])
+    bulk, stream, split = split_bulk_stream(e, 0.8)
+    tri_bulk = tri_full.where(
+        (F.col("u") < split) & (F.col("v") < split) & (F.col("w") < split)
+    )
+    state = prepare(bulk, mat=mat, tri=tri_bulk)
+    state.vertices.count()  # prepare materializes; this pins the cut
+    t_prepare = time.time() - t0
+    t0 = time.time()
+    for batch in micro_batches(stream, split, max_vertex, n_batches):
+        state = incremental_update(state, batch, mat=mat)
+    rows = state.vertices.select("vId", "cId").count()
+    t_delta = time.time() - t0
+    return rows, t_prepare, t_delta
+
+
 def ann_quality(spark, sf_dir: str) -> dict[str, float]:
     """Measured ANN quality: recall@5 of the LSH path vs the exact
     top-k, and the fraction of the corpus it scanned to get there."""
@@ -95,6 +134,25 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
+        if name == "wcc_incremental":
+            # split timing (n_batches=4): prepare is a second full
+            # pipeline on the 80% bulk; the deltas are the actual
+            # incremental path.  The combined number stays under the
+            # old key for round-over-round comparability.
+            n, t_prep, t_delta = wcc_incremental_split(spark, sf_dir)
+            dt = t_prep + t_delta
+            timings["wcc_incremental_prepare"] = round(t_prep, 3)
+            timings["wcc_incremental_delta"] = round(t_delta, 3)
+            timings["wcc_incremental_delta_per_batch"] = round(t_delta / 4, 3)
+            timings[name] = round(dt, 3)
+            total += dt
+            print(
+                f"# {name}: {n} rows in {dt:.2f}s "
+                f"(prepare {t_prep:.2f}s + 4-batch delta {t_delta:.2f}s)",
+                file=sys.stderr,
+                flush=True,
+            )
+            continue
         t0 = time.time()
         n = queries[name](spark, sf_dir).count()
         dt = time.time() - t0

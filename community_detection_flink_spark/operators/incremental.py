@@ -69,6 +69,10 @@ class WCCState:
     # per-batch re-enumeration (IncrementalWCC.scala:114-181 recomputes
     # adjacency state each batch)
     tri: DataFrame | None = None
+    # highest vertex id seen (set by ``run_edge_batches``) — callers
+    # that need the id ceiling read it here instead of re-running an
+    # agg job over the edge set
+    max_vertex: int | None = None
 
 
 def prepare(
@@ -496,8 +500,16 @@ def save_state(state: WCCState, path: str) -> None:
     if state.tri is not None:
         state.tri.write.mode("overwrite").parquet(f"{path}/tri")
     spark.createDataFrame(
-        [(state.global_wcc, state.vertex_count, state.tri is not None)],
-        "global_wcc DOUBLE, vertex_count LONG, has_tri BOOLEAN",
+        [
+            (
+                state.global_wcc,
+                state.vertex_count,
+                state.tri is not None,
+                state.max_vertex,
+            )
+        ],
+        "global_wcc DOUBLE, vertex_count LONG, has_tri BOOLEAN,"
+        " max_vertex LONG",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
 
 
@@ -512,4 +524,10 @@ def load_state(spark, path: str) -> WCCState:
         global_wcc=float(meta.global_wcc),
         vertex_count=int(meta.vertex_count),
         tri=spark.read.parquet(f"{path}/tri") if meta.has_tri else None,
+        # older manifests predate the field; json omits null columns
+        max_vertex=(
+            int(meta.max_vertex)
+            if "max_vertex" in meta.__fields__ and meta.max_vertex is not None
+            else None
+        ),
     )

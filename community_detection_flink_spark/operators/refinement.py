@@ -52,6 +52,12 @@ class WCCResult:
     clean_vertices: DataFrame | None = None  # vId, t, vt, cc
     clean_edges: DataFrame | None = None  # doubled triangle-edge subgraph
     tri: DataFrame | None = None  # static triangle list (u, v, w)
+    # global-WCC value of the initial partition followed by every
+    # ACCEPTED refinement round, in order — strictly increasing by
+    # construction of the accept-if-improved loop; recorded so the
+    # monotonicity invariant (SURVEY §5.4) is gate-checkable, not just
+    # asserted in tests
+    wcc_history: list | None = None
 
 
 def refine_partition(
@@ -62,10 +68,13 @@ def refine_partition(
     threshold: float = THRESHOLD,
     mat: Materializer | None = None,
     tri: DataFrame | None = None,
+    history: list | None = None,
 ) -> tuple[DataFrame, DataFrame, float, float, int]:
     """Run the accept-if-improved movement loop.
 
     Returns (best_vertices, best_stats, best_wcc, global_cc, rounds).
+    ``history``, if given, receives the initial WCC and each ACCEPTED
+    round's WCC (driver-side floats the loop computes anyway).
 
     Per-round plan shape: ONE pass over the triplets per labeling — the
     two label joins feed directly into the ``community_adjacency``
@@ -109,6 +118,8 @@ def refine_partition(
 
     best = mat(vertices, "best")
     best_vcd, best_cs, best_wcc = _eval(best)
+    if history is not None:
+        history.append(best_wcc)
 
     retries = max_retries
     rounds = 0
@@ -135,6 +146,8 @@ def refine_partition(
             best_cs.unpersist(False)
             mat.drop(best)      # superseded labeling: free its parquet
             best, best_cs, best_wcc, best_vcd = moved, new_cs, new_wcc, new_vcd
+            if history is not None:
+                history.append(best_wcc)
         else:
             new_vcd.unpersist(False)
             new_cs.unpersist(False)
@@ -201,8 +214,10 @@ def run_wcc(
     init = mat(initial_partition(vertices, clean_edges, mat=mat), "init")
     mat.release()  # MIS "higher" edge cache
 
+    history: list = []
     best, best_cs, best_wcc, global_cc, rounds = refine_partition(
-        init, clean_edges, vertex_count, max_retries, threshold, mat=mat, tri=tri
+        init, clean_edges, vertex_count, max_retries, threshold, mat=mat,
+        tri=tri, history=history,
     )
     # only `edges` (feeds all_vertices), `best`, and `best_cs` survive
     # into the returned plans — free the pipeline intermediates (the
@@ -227,4 +242,5 @@ def run_wcc(
         clean_vertices=vertices if keep_internals else None,
         clean_edges=clean_edges if keep_internals else None,
         tri=tri if keep_internals else None,
+        wcc_history=history,
     )

@@ -462,15 +462,21 @@ def quantize_int8(
     mn = F.array_min(x).cast("double")
     mx = F.array_max(x).cast("double")
     scale = mx - mn
+    # constant vector (scale == 0) → all-zeros, stated EXPLICITLY: the
+    # earlier coalesce(least(255, NULL), 0) formulation silently relied
+    # on both Spark's and DuckDB's LEAST skipping NULLs (which made it
+    # all-255, not the documented all-0).  The oracle mirrors this as
+    # CASE WHEN mx = mn THEN 0 ... END.
     q_arr = F.transform(
         x,
-        lambda v: F.coalesce(
+        lambda v: F.when(scale == 0, F.lit(0))
+        .otherwise(
             F.least(
                 F.lit(255),
-                F.floor(F.try_divide((v.cast("double") - mn) * 256.0, scale)),
-            ),
-            F.lit(0),
-        ).cast("long"),
+                F.floor((v.cast("double") - mn) * 256.0 / scale),
+            )
+        )
+        .cast("long"),
     )
     return emb.select(
         id_col, F.posexplode(q_arr).alias("pos", "q")

@@ -78,10 +78,12 @@ def codegen_span_count(df: DataFrame) -> int:
 
 def executed_codegen_span_count(df: DataFrame) -> int:
     """Codegen span count of the FINAL (post-AQE) physical plan.
-    Executes THIS Dataset's own QueryExecution (``collect`` — a
-    ``count()`` would plan a separate query and leave this plan
-    non-final).  The tree string marks each codegen subtree with a
+    Executes THIS Dataset's own QueryExecution (a ``count()`` would
+    plan a separate query and leave this plan non-final).  Drains via
+    ``toLocalIterator`` so the audit never buffers the full result on
+    the driver.  The tree string marks each codegen subtree with a
     ``*(N)`` stage prefix."""
-    df.collect()
+    for _ in df.toLocalIterator():
+        pass
     text = df._jdf.queryExecution().executedPlan().toString()
     return len(set(re.findall(r"\*\((\d+)\)", text)))

@@ -84,6 +84,7 @@ def run_edge_batches(
     state = prepare(bulk, mat=mat, tri=tri_bulk)
     for batch in micro_batches(stream, split, max_vertex, n_batches):
         state = incremental_update(state, batch, mat=mat)
+    state.max_vertex = max_vertex
     return state
 
 

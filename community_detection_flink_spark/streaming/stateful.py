@@ -149,9 +149,13 @@ def _make_first_seen_fn(ttl_ns: int):
         first_row = pdf.iloc[0]
         first_ns = int(pd.Timestamp(first_row["ts"]).value)
         if state.exists:
-            prev_ns, _prev_id = state.get
-            if first_ns >= prev_ns:  # duplicate inside TTL: drop batch
-                return
+            # Duplicate inside TTL: drop the whole batch, whatever its
+            # timestamps.  An out-of-order EARLIER occurrence is also
+            # suppressed (never re-emitted) — the emitted row stays the
+            # canonical "first seen", matching the append-mode contract
+            # documented on ``streaming_first_seen``.  State is left
+            # untouched so the TTL anchor equals the emitted row.
+            return
         state.update((first_ns, int(first_row["event_id"])))
         state.setTimeoutTimestamp(
             max(

@@ -137,3 +137,35 @@ def test_streaming_first_seen_dedup(spark):
         for r in got_df.where("key != '999'").collect()
     }
     assert got == {"1": 1, "2": 3, "3": 5}
+
+
+def test_streaming_first_seen_out_of_order_earlier_dup(spark):
+    # an EARLIER-timestamped duplicate arriving in a LATER micro-batch
+    # must be suppressed, not re-emitted (append-mode contract: one row
+    # per key, the first ARRIVAL is canonical)
+    rows_a = [
+        (1, _mins(30), 1, 7.0),  # first arrival for key 1 (ts = +30)
+        (2, _mins(2), 2, 8.0),
+    ]
+    rows_b = [
+        (3, _mins(5), 1, 7.0),   # earlier event time, later batch -> dropped
+        (4, _mins(40), 2, 8.0),  # later dup -> dropped
+    ]
+    src = tempfile.mkdtemp(prefix="cdfs-ooo-src-")
+    ckpt = tempfile.mkdtemp(prefix="cdfs-ooo-ckpt-")
+    _write_file(spark, rows_a, src, "f0_main")
+    _write_file(spark, rows_b, src, "f1_main")
+    _sentinels(spark, src)
+
+    got_df = _run_stream(
+        spark,
+        os.path.join(src, "*"),
+        lambda s: streaming_first_seen(
+            s.withColumn("k", F.col("user_id")), "k", ttl_minutes=60, watermark="3 hours"
+        ),
+        ckpt,
+        "first_seen_ooo",
+    )
+    rows = got_df.where("key != '999'").collect()
+    # exactly one row per key, and key 1 kept its first ARRIVAL (id 1)
+    assert sorted((r["key"], r["event_id"]) for r in rows) == [("1", 1), ("2", 2)]
