@@ -69,6 +69,7 @@ def refine_partition(
     mat: Materializer | None = None,
     tri: DataFrame | None = None,
     history: list | None = None,
+    materialize_every: int = 1,
 ) -> tuple[DataFrame, DataFrame, float, float, int]:
     """Run the accept-if-improved movement loop.
 
@@ -85,6 +86,16 @@ def refine_partition(
     ``tri`` (static triangle list of ``clean_edges``) turns the
     per-round tC pass into three joins + one aggregate (see
     ``intra_triangle_counts``); computed here if absent.
+
+    ``materialize_every``: parquet-land the accepted labeling every
+    k-th accepted round instead of every round (intermediate rounds
+    carry ≤ k−1 rounds of raw lineage rooted in persisted caches —
+    bounded, so Catalyst's compounding-stats pathology stays away).
+    Parquet states and in-memory caches a raw-lineage state still
+    depends on are dropped only at the next landing.  Measured at
+    sf0.1 (SCALING.md): the per-round round-trip is cheap relative to
+    the labeling passes, so k=1 stays the default; the knob exists
+    because the trade flips when rounds are many and states are small.
     """
     mat = mat or Materializer(vertices.sparkSession)
     if tri is None:
@@ -124,15 +135,27 @@ def refine_partition(
     retries = max_retries
     rounds = 0
     improved = True
+    # deferred cleanup for materialize_every > 1: a raw-lineage `best`
+    # still READS the superseded parquet states and persisted caches in
+    # its plan, so they are only released at the next parquet landing
+    pending_drop: list[DataFrame] = []
+    pending_unpersist: list[DataFrame] = []
+
+    def _flush_pending() -> None:
+        for df in pending_unpersist:
+            df.unpersist(False)
+        pending_unpersist.clear()
+        for df in pending_drop:
+            mat.drop(df)
+        pending_drop.clear()
+
     while improved and retries > 0:
-        moved = mat(
-            best_movement(
-                best, loop_edges, best_cs, global_cc, vertex_count,
-                mat=mat, vcd=best_vcd,
-            ),
-            "moved",
+        raw_moved = best_movement(
+            best, loop_edges, best_cs, global_cc, vertex_count,
+            mat=mat, vcd=best_vcd,
         )
-        mat.release()  # drop this round's own-community cache
+        land = (rounds + 1) % materialize_every == 0
+        moved = mat(raw_moved, "moved") if land else raw_moved
         new_vcd, new_cs, new_wcc = _eval(moved)
         retries -= 1
         rounds += 1
@@ -142,17 +165,28 @@ def refine_partition(
             # the retry budget (DistributedWCC.scala:309-312).
             if best_wcc <= 0 or (new_wcc / best_wcc - 1.0) > threshold:
                 retries = max_retries
-            best_vcd.unpersist(False)
-            best_cs.unpersist(False)
-            mat.drop(best)      # superseded labeling: free its parquet
+            pending_unpersist += [best_vcd, best_cs]
+            pending_drop.append(best)
             best, best_cs, best_wcc, best_vcd = moved, new_cs, new_wcc, new_vcd
+            if land:
+                # the accepted state is on parquet: nothing live reads
+                # the superseded states or the raw rounds' ephemeral
+                # caches any more
+                mat.release()
+                _flush_pending()
             if history is not None:
                 history.append(best_wcc)
         else:
             new_vcd.unpersist(False)
             new_cs.unpersist(False)
-            mat.drop(moved)     # rejected labeling
+            mat.drop(moved)     # rejected labeling (no-op when raw)
             improved = False
+    if pending_drop or pending_unpersist:
+        # loop ended on a raw-lineage (or rejected-landing) best: land
+        # it before releasing the states its plan still reads
+        best = mat(best, "best-final")
+        _flush_pending()
+    mat.release()  # any ephemeral caches from a final rejected round
     # the returned stats must outlive the caches they derive from
     cached_cs = best_cs
     best_cs = mat(best_cs, "cs-final")
@@ -169,6 +203,7 @@ def run_wcc(
     keep_internals: bool = False,
     pre: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     mat: Materializer | None = None,
+    materialize_every: int = 1,
 ) -> WCCResult:
     """E1/E3 — full batch WCC community detection.
 
@@ -217,7 +252,7 @@ def run_wcc(
     history: list = []
     best, best_cs, best_wcc, global_cc, rounds = refine_partition(
         init, clean_edges, vertex_count, max_retries, threshold, mat=mat,
-        tri=tri, history=history,
+        tri=tri, history=history, materialize_every=materialize_every,
     )
     # only `edges` (feeds all_vertices), `best`, and `best_cs` survive
     # into the returned plans — free the pipeline intermediates (the

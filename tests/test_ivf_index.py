@@ -1,0 +1,75 @@
+"""Persisted IVF index: build-once semantics and plan shape.
+
+VERDICT r2 #3: the cell assignment is an index you build once, not a
+per-query stage.  These tests pin (a) the indexed query returns the
+same answer as the ad-hoc path, and (b) the indexed query's PHYSICAL
+PLAN contains no corpus-side Python/Arrow stage — the corpus scan is a
+plain bucketed-table read, and the only Arrow eval left is the tiny
+broadcast probe side.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from community_detection_flink_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from community_detection_flink_spark.sources.tables import load_table
+
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+def test_indexed_matches_adhoc(spark, emb):
+    idx = S.build_ivf_index(emb, table="t_ivf_idx_eq")
+    qs = emb.where("vec_id < 8")
+    adhoc = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in S.ann_topk_ivf(emb, qs, k=5).collect()
+    }
+    indexed = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in S.ann_topk_ivf(emb, qs, k=5, index=idx).collect()
+    }
+    assert indexed == adhoc
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+def test_indexed_plan_has_no_corpus_assignment_stage(spark, emb):
+    idx = S.build_ivf_index(emb, table="t_ivf_idx_plan")
+    qs = emb.where("vec_id < 8")
+
+    adhoc_plan = S.ann_topk_ivf(emb, qs, k=5)._jdf.queryExecution().simpleString()
+    indexed_plan = (
+        S.ann_topk_ivf(emb, qs, k=5, index=idx)._jdf.queryExecution().simpleString()
+    )
+
+    # ad-hoc: Arrow stages on BOTH sides (corpus assign — which Spark
+    # even plans as two stacked evals — plus the query probe); indexed:
+    # exactly ONE Arrow stage total (the broadcast probe side), and the
+    # corpus side is a plain scan of the persisted index table.
+    assert adhoc_plan.count("ArrowEvalPython") >= 2
+    assert indexed_plan.count("ArrowEvalPython") == 1
+    assert "t_ivf_idx_plan" in indexed_plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+def test_index_table_is_bucketed_by_cell(spark, emb):
+    idx = S.build_ivf_index(emb, table="t_ivf_idx_spec")
+    desc = spark.sql("DESCRIBE TABLE EXTENDED t_ivf_idx_spec").collect()
+    kv = {r.col_name: r.data_type for r in desc}
+    assert kv.get("Bucket Columns") == "[`cell`]"
+    # every stored cell id must be a valid centroid index
+    idx_rows = spark.table("t_ivf_idx_spec").selectExpr(
+        "min(cell) AS mn", "max(cell) AS mx", "count(*) AS n"
+    ).first()
+    assert idx_rows.mn >= 0
+    assert idx_rows.mx < idx.n_cells
+    assert idx_rows.n == emb.count()
