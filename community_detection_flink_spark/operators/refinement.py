@@ -92,10 +92,12 @@ def refine_partition(
     carry ≤ k−1 rounds of raw lineage rooted in persisted caches —
     bounded, so Catalyst's compounding-stats pathology stays away).
     Parquet states and in-memory caches a raw-lineage state still
-    depends on are dropped only at the next landing.  Measured at
-    sf0.1 (SCALING.md): the per-round round-trip is cheap relative to
-    the labeling passes, so k=1 stays the default; the knob exists
-    because the trade flips when rounds are many and states are small.
+    depends on are dropped only at the next landing.  MEASURED at
+    sf0.1 / local[32] (SCALING.md): k=1 66s vs k=2 190s for the same
+    16 rounds — a raw-lineage labeling is RE-EXECUTED by every
+    consumer job of the next round (movement pass + vcd forcing),
+    which costs far more than the parquet round-trip it saves.  k=1
+    stays the default; the knob documents the measured trade.
     """
     mat = mat or Materializer(vertices.sparkSession)
     if tri is None:
