@@ -242,6 +242,7 @@ def best_movement(
     mat=None,
     ewc: DataFrame | None = None,
     vcd: DataFrame | None = None,
+    moves_observation=None,
 ) -> DataFrame:
     """I4 kernel — one simultaneous best-movement pass over all vertices
     (``DistributedWCC.scala:331-419``).  Returns ``vertices`` with an
@@ -255,6 +256,14 @@ def best_movement(
     strictly-better candidate in Scala Map iteration order (arbitrary);
     we take max wccT with ties broken by smallest community id —
     deterministic, same fixed points.
+
+    ``moves_observation``: optional ``pyspark.sql.Observation``; when
+    given, the number of vertices whose label CHANGED this pass is
+    recorded as metric ``moves`` — piggybacked on whatever action first
+    executes the result (the loop's parquet landing), zero extra jobs.
+    A 0-move pass is a fixed point (identical labels ⇒ identical stats
+    ⇒ identical next decision), so callers break their round loop on
+    it instead of paying another evaluate/compare cycle.
     """
     # vcd + own label in one relation: every downstream branch (degree
     # totals, own-community row, candidate scan) reads this single
@@ -366,13 +375,14 @@ def best_movement(
         )
     )
 
-    return (
-        vertices.join(decided, "vId", "left")
-        .select(
-            "vId",
-            "t",
-            "vt",
-            "cc",
-            F.coalesce("newC", F.col("cId")).alias("cId"),
+    merged = vertices.join(decided, "vId", "left").withColumn(
+        "_newC", F.coalesce("newC", F.col("cId"))
+    )
+    if moves_observation is not None:
+        merged = merged.observe(
+            moves_observation,
+            F.count(F.when(F.col("_newC") != F.col("cId"), F.lit(1))).alias("moves"),
         )
+    return merged.select(
+        "vId", "t", "vt", "cc", F.col("_newC").alias("cId")
     )

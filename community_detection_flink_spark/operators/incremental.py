@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from community_detection_flink_spark.functions.wcc_metric import cc_col
@@ -49,6 +49,7 @@ from community_detection_flink_spark.plans.iteration import Materializer
 from community_detection_flink_spark.sources.edges import symmetrize_edges
 
 INCREMENTAL_ROUNDS = 5  # IncrementalWCC.scala:382 (fixed, no convergence test)
+COMPACT_EVERY = 8  # batches between parquet compactions of the lazy edge unions
 
 
 @dataclass
@@ -73,6 +74,12 @@ class WCCState:
     # that need the id ceiling read it here instead of re-running an
     # agg job over the edge set
     max_vertex: int | None = None
+    # batches since ``edges``/``clean_edges`` were last parquet-landed:
+    # inserts extend both as LAZY unions of disjoint deltas (no O(|E|)
+    # dedup-shuffle-and-rewrite per batch — the r2 plans all paid one),
+    # compacted to a single parquet root every COMPACT_EVERY batches so
+    # scan fan-out and plan depth stay bounded
+    pending_unions: int = 0
 
 
 def prepare(
@@ -192,9 +199,14 @@ def incremental_update(
 
     sym = symmetrize_edges(batch_edges)
     new_e = mat(sym.join(state.edges, ["src", "dst"], "left_anti"), "inc-newe")
-    full_edges = mat(
-        state.edges.unionByName(new_e).dropDuplicates(["src", "dst"]), "inc-edges"
-    )
+    # new_e is anti-joined against the carried set, so the union is
+    # DISJOINT — no dedup shuffle, no O(|E|) rewrite per batch.  The
+    # union stays lazy (a scan of the carried parquet roots plus this
+    # batch's delta file) and is compacted every COMPACT_EVERY batches.
+    full_edges = state.edges.unionByName(new_e)
+    compact = state.pending_unions + 1 >= COMPACT_EVERY
+    if compact:
+        full_edges = mat(full_edges, "inc-edges")
 
     # distributed border/new classification (J5; reference collects maps)
     batch_verts = (
@@ -219,10 +231,20 @@ def incremental_update(
     tri_edges = tri_half.unionByName(
         tri_half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).dropDuplicates(["src", "dst"])
-    clean_new = mat(
-        state.clean_edges.unionByName(tri_edges).dropDuplicates(["src", "dst"]),
-        "inc-clean",
+    # a new triangle's edges may already be clean — subtract them with
+    # ONE scan of the carried clean set (broadcast semi: tri_edges is
+    # batch-sized) instead of a full dedup shuffle, then union the now-
+    # DISJOINT delta
+    already = state.clean_edges.join(
+        F.broadcast(tri_edges), ["src", "dst"], "left_semi"
     )
+    clean_add = mat(
+        tri_edges.join(F.broadcast(already), ["src", "dst"], "left_anti"),
+        "inc-clean-add",
+    )
+    clean_new = state.clean_edges.unionByName(clean_add)
+    if compact:
+        clean_new = mat(clean_new, "inc-clean")
     vt_new = clean_new.groupBy(F.col("src").alias("vId")).agg(
         F.count("*").cast("int").alias("vt_new")
     )
@@ -260,6 +282,7 @@ def incremental_update(
     return _elect_and_refine(
         vertices, clean_new, changed_verts, tri_static, full_edges,
         vertex_count, global_cc, mat, rounds, election_scope,
+        pending_unions=0 if compact else state.pending_unions + 1,
     )
 
 
@@ -274,6 +297,7 @@ def _elect_and_refine(
     mat: Materializer,
     rounds: int,
     election_scope: str,
+    pending_unions: int = 0,
 ) -> WCCState:
     """Shared tail of every incremental batch (insert or delete):
     re-elect centers (inside affected communities, or globally), run
@@ -319,14 +343,21 @@ def _elect_and_refine(
     # materializes it; the second reads the cache (see refine_partition)
     cur_cs = community_stats(cur, loop_edges, vcd=cur_vcd).persist()
     for _ in range(rounds):
+        obs = Observation()
         nxt = mat(
             best_movement(
                 cur, loop_edges, cur_cs, global_cc, vertex_count,
-                mat=mat, vcd=cur_vcd,
+                mat=mat, vcd=cur_vcd, moves_observation=obs,
             ),
             "inc-mv",
         )
         mat.release()
+        if obs.get["moves"] == 0:
+            # fixed point: the remaining fixed rounds are identity
+            # passes (IncrementalWCC.scala:382 runs them anyway); the
+            # carried vcd/cs caches are already those of this labeling
+            mat.drop(nxt)
+            break
         cur_vcd.unpersist(False)
         cur_cs.unpersist(False)
         prev = cur
@@ -359,6 +390,7 @@ def _elect_and_refine(
         global_wcc=wcc,
         vertex_count=vertex_count,
         tri=tri_static,
+        pending_unions=pending_unions,
     )
 
 

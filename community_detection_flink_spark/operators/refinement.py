@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from community_detection_flink_spark.operators.community import (
@@ -152,12 +152,23 @@ def refine_partition(
         pending_drop.clear()
 
     while improved and retries > 0:
+        obs = Observation()
         raw_moved = best_movement(
             best, loop_edges, best_cs, global_cc, vertex_count,
-            mat=mat, vcd=best_vcd,
+            mat=mat, vcd=best_vcd, moves_observation=obs,
         )
         land = (rounds + 1) % materialize_every == 0
         moved = mat(raw_moved, "moved") if land else raw_moved
+        if land and obs.get["moves"] == 0:
+            # fixed point: identical labels ⇒ identical stats ⇒ the
+            # evaluate-and-compare below would conclude "no
+            # improvement" after recomputing everything — skip it.
+            # (Only decidable when the pass was landed: the
+            # observation needs an executed action.)
+            rounds += 1
+            mat.drop(moved)
+            improved = False
+            break
         new_vcd, new_cs, new_wcc = _eval(moved)
         retries -= 1
         rounds += 1
