@@ -48,8 +48,18 @@ def write_bucketed(
     keys = list(keys)
     # a stale managed-table LOCATION (e.g. from a previous session
     # whose catalog is gone) fails the create even in overwrite mode —
-    # drop through the catalog first
-    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    # drop through the catalog first, and if the catalog never heard of
+    # the table (fresh metastore, old warehouse dir) clear the leftover
+    # directory too (LOCATION_ALREADY_EXISTS otherwise)
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    import os
+    import shutil
+
+    wh = (spark.conf.get("spark.sql.warehouse.dir", "") or "").removeprefix("file:")
+    loc = os.path.join(wh, table.lower())
+    if loc.startswith("/") and os.path.isdir(loc):  # local paths only
+        shutil.rmtree(loc, ignore_errors=True)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
