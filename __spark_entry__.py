@@ -653,6 +653,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         windows — no iteration, shards pack in parallel)."""
         return T.pack_chunks(load_table(spark, sf, "documents"), 512, "source")
 
+    def doc_repetition(spark, sf):
+        """Gopher-style within-document repetition signals
+        (dup-word / top-bigram / dup-trigram fractions + the published
+        flag thresholds)."""
+        return T.repetition_stats(load_table(spark, sf, "documents"))
+
+    def doc_stratified_sample(spark, sf):
+        """Deterministic per-source reservoir: the 10 smallest
+        md5(salt, doc_id) docs per source — engine-stable sampling."""
+        return T.stratified_sample(load_table(spark, sf, "documents"), 10)
+
     # ---------------- embeddings (similarity search) ------------------
 
     def emb_quantize(spark, sf):
@@ -807,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_split": doc_sample_split,
         "doc_pack_chunks": doc_pack_chunks,
         "doc_contamination": doc_contamination,
+        "doc_repetition": doc_repetition,
+        "doc_stratified_sample": doc_stratified_sample,
         "emb_quantize": emb_quantize,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dups": emb_near_dups,
@@ -1315,6 +1328,47 @@ SELECT doc_id, shard, CAST(ch AS BIGINT) AS chunk_id,
   CAST(greatest(off, ch * 512) AS BIGINT) AS tok_start,
   CAST(least(cum, (ch + 1) * 512) AS BIGINT) AS tok_end
 FROM s, UNNEST(range(CAST(off // 512 AS BIGINT), CAST((cum - 1) // 512 + 1 AS BIGINT))) AS u(ch)""",
+        "doc_repetition": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+b AS (
+  SELECT doc_id,
+    len(tk) AS n_tok,
+    len(list_distinct(tk)) AS n_tok_d,
+    CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2]) END AS bg,
+    CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(len(tk) - 2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) END AS tg
+  FROM t
+),
+m AS (
+  SELECT doc_id, MAX(c) AS top_bg FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(bg) AS g FROM b)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+r AS (
+  SELECT b.doc_id,
+    CASE WHEN n_tok = 0 THEN 0.0
+         ELSE 1.0 - CAST(n_tok_d AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS dup_word_frac,
+    CASE WHEN len(bg) = 0 OR top_bg IS NULL THEN 0.0
+         ELSE CAST(top_bg AS DOUBLE) / CAST(len(bg) AS DOUBLE) END AS top_bigram_frac,
+    1.0 - (CASE WHEN len(tg) = 0 THEN 1.0
+           ELSE CAST(len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE) END) AS dup_trigram_frac
+  FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+)
+SELECT doc_id, dup_word_frac, top_bigram_frac, dup_trigram_frac,
+  (top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30) AS flagged
+FROM r""",
+        "doc_stratified_sample": """
+SELECT doc_id, source AS key, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY md5('strat-v1' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+    ) AS rnk
+  FROM documents
+) WHERE rnk <= 10""",
         "emb_quantize": """
 WITH b AS (
   SELECT vec_id, embedding,

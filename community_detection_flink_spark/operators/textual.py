@@ -260,3 +260,95 @@ def contamination_flags(
         (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
         F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, "Scaling Language Models" §A1.1 — public filter family):
+    repeated content is the strongest single predictor of low-quality
+    training text.
+
+      * ``dup_word_frac``     = 1 − |distinct tokens| / |tokens|
+      * ``top_bigram_frac``   = occurrences of the most frequent word
+                                bigram / |bigrams|
+      * ``dup_trigram_frac``  = 1 − |distinct trigrams| / |trigrams|
+      * ``flagged``           = top_bigram_frac > 0.18 OR
+                                dup_trigram_frac > 0.30 (the published
+                                Gopher thresholds for these two)
+
+    Distinct counts are per-row ``array_distinct`` (JVM, linear in doc
+    length); the bigram MODE is relational — explode → count → per-doc
+    max — because a per-row nested-loop mode would be O(len²) in the
+    expression engine and the explode shape is what scales on a
+    cluster (combiner-friendly, one shuffle keyed by doc).
+    """
+    toks = tokens_col(F.col("text"))
+
+    def _grams(n):
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        return F.when(
+            F.size(toks) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_tok_d"),
+        F.size(_grams(2)).cast("long").alias("n_bg"),
+        F.size(_grams(3)).cast("long").alias("n_tg"),
+        F.size(F.array_distinct(_grams(3))).cast("long").alias("n_tg_d"),
+    )
+    top_bg = (
+        docs.select("doc_id", F.explode(_grams(2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_bg"))
+    )
+    dup_word = F.lit(1.0) - F.try_divide(
+        F.col("n_tok_d").cast("double"), F.col("n_tok").cast("double")
+    )
+    top_bigram = F.coalesce(
+        F.try_divide(F.col("top_bg").cast("double"), F.col("n_bg").cast("double")),
+        F.lit(0.0),
+    )
+    dup_trigram = F.lit(1.0) - F.coalesce(
+        F.try_divide(F.col("n_tg_d").cast("double"), F.col("n_tg").cast("double")),
+        F.lit(1.0),
+    )
+    return (
+        base.join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(dup_word, F.lit(0.0)).alias("dup_word_frac"),
+            top_bigram.alias("top_bigram_frac"),
+            dup_trigram.alias("dup_trigram_frac"),
+            ((top_bigram > 0.18) | (dup_trigram > 0.30)).alias("flagged"),
+        )
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, n_per_key: int, key: str = "source", salt: str = "strat-v1"
+) -> DataFrame:
+    """Deterministic per-group sample: the ``n_per_key`` documents with
+    the smallest ``md5(salt ‖ doc_id)`` inside each ``key`` group — a
+    seedless, engine-stable reservoir (same property as
+    ``sample_split``: membership is a pure function of the id, so
+    re-runs, retries, and other engines agree row-for-row).
+
+    The window ranks within each group — one shuffle keyed by ``key``;
+    skewed group sizes are bounded by rank ≤ n_per_key before anything
+    downstream.  For heavily-skewed keys at cluster scale, pre-filter
+    with an approximate per-key quantile of the hash to cut the sort
+    input (not needed at these sizes — documented escape hatch).
+    """
+    h = F.md5(F.concat_ws("", F.lit(salt), F.col("doc_id").cast("string")))
+    w = Window.partitionBy(key).orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= n_per_key)
+        .select("doc_id", F.col(key).alias("key"), "rank")
+    )
