@@ -33,6 +33,27 @@ def tokens_col(text: Column) -> Column:
     return F.array_remove(F.split(F.lower(text), TOKEN_RE), "")
 
 
+def let_col(value: Column, body) -> Column:
+    """Let-binding for expression-level common subexpressions:
+    evaluate ``value`` ONCE per row and refer to it as a lambda
+    variable inside ``body(v)``.
+
+    Why this exists: higher-order functions (``transform`` /
+    ``aggregate`` / ``filter``) are CodegenFallback in Spark — they
+    evaluate INTERPRETED, outside whole-stage codegen and its
+    subexpression elimination — so every REFERENCE to a shared
+    expression subtree re-evaluates it.  Worse, Project-through-
+    Repartition pushdown dissolves "compute in a previous select"
+    barriers.  Measured on the MinHash banding: the band array
+    referenced the signature 4× and the signature referenced the md5
+    shingle base 16×, re-hashing every shingle 64× (3.9s vs 0.4s per
+    pass at sf0.1).  ``element_at(transform(array(value), body), 1)``
+    evaluates ``value`` exactly once; lambda-variable references are
+    lookups, not re-evaluations.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def shingles_col(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings ("a b c")."""
     toks = tokens_col(text)
@@ -76,24 +97,32 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3
     reproduces it bit-for-bit.  All JVM-side (``transform`` +
     ``array_min``), no shuffle: signatures compute in the scan stage.
     """
-    sh = shingles_col(F.col("text"), shingle_n)
-    base = F.transform(sh, lambda s: _hash60(s) % MINHASH_MOD)
-    # two-step select so the md5 base array is computed once, not once
-    # per permutation (CollapseProject keeps multi-referenced non-cheap
-    # expressions un-inlined)
-    with_base = docs.select("doc_id", base.alias("mh_base"))
-
-    def _affine(a_i: int, b_i: int):
-        # PySpark inspects lambda arity: keep exactly one parameter
-        return lambda x: (x * a_i + b_i) % MINHASH_MOD
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("mh_base"), _affine(a_i, b_i)))
-            for a_i, b_i in minhash_coeffs(num_hashes)
-        ]
+    return docs.select(
+        "doc_id", _sig_col(F.col("text"), num_hashes, shingle_n).alias("sig")
     )
-    return with_base.select("doc_id", sig.alias("sig"))
+
+
+def _affine(a_i: int, b_i: int):
+    # PySpark inspects lambda arity: keep exactly one parameter
+    return lambda x: (x * a_i + b_i) % MINHASH_MOD
+
+
+def _sig_col(text: Column, num_hashes: int, shingle_n: int) -> Column:
+    """The MinHash signature as ONE expression: the md5 shingle base is
+    let-bound so the ``num_hashes`` permutations traverse a computed
+    array instead of re-hashing every shingle per permutation (see
+    ``let_col``)."""
+    sh = shingles_col(text, shingle_n)
+    base = F.transform(sh, lambda s: _hash60(s) % MINHASH_MOD)
+    return let_col(
+        base,
+        lambda mh: F.array(
+            *[
+                F.array_min(F.transform(mh, _affine(a_i, b_i)))
+                for a_i, b_i in minhash_coeffs(num_hashes)
+            ]
+        ),
+    )
 
 
 def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
@@ -126,30 +155,56 @@ def minhash_lsh_pairs(
     multiplicity, and the (band, bucket) shuffle key spreads load.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, shingle_n)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
-                ),
-            )
-        ).alias("band", "bucket"),
+    # band hashes as ONE let-bound expression: the signature (itself
+    # let-binding its md5 shingle base) is evaluated once per doc and
+    # sliced per band — without the binding, interpreted HOF evaluation
+    # re-hashed every shingle bands × num_hashes times (see let_col;
+    # a repartition "barrier" doesn't help — Project pushes through it)
+    bands_expr = let_col(
+        _sig_col(F.col("text"), num_hashes, shingle_n),
+        lambda sig: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.md5(
+                F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band))
+            ),
+        ),
     )
-    a = banded.withColumnsRenamed({"doc_id": "doc_a"})
-    b = banded.withColumnsRenamed({"doc_id": "doc_b"})
+    banded = docs.select(
+        "doc_id", F.posexplode(bands_expr).alias("band", "bucket")
+    )
+    # pairs in ONE pass: collect each bucket's members and explode the
+    # i<j combinations — half the compute of the former self-join (the
+    # banded subplan ran once per join side) and one less shuffle.
+    # Bucket lists are bounded by duplicate multiplicity (identical
+    # texts ⇒ identical signatures), the documented skew bound.
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size(ids) > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_bands"))
     )
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 1
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 1,
+    mat=None,
 ) -> DataFrame:
     """EXACT Jaccard-similar pairs over distinct word n-grams, via
     prefix filtering (the AllPairs/PPJoin scheme, Bayardo et al.
@@ -169,9 +224,29 @@ def ngram_jaccard_pairs(
     positives (exact verify).
 
     Output: ``doc_a < doc_b, jaccard`` (double), filtered ≥ threshold.
+
+    ``mat`` (optional ``plans.Materializer``): the exploded shingle
+    relation feeds FIVE subplans (ranking, document frequencies,
+    sizes, both prefix join sides, verify arrays) — uncached, each
+    re-evaluates the shingling scan (measured ≈ 3s per evaluation at
+    sf0.1, the dominant cost).  The intermediates are cached FORCED
+    (through ``mat.cache`` when given — caller releases — else
+    persist+count): an unforced persist is raced by the concurrently
+    scheduled consumer stages, which each recompute it before the
+    cache lands (measured: no speedup at all unforced, 12s → 4s
+    forced).  The verify arrays are rebuilt from the cached shingle
+    rows (``collect_list``) instead of re-shingling — their order is
+    irrelevant to ``array_intersect`` sizing.
     """
+    def _cache(df, name):
+        if mat is not None:
+            return mat.cache(df, name)
+        df = df.persist()
+        df.count()
+        return df
+
     sarr = F.array_distinct(shingles_col(F.col("text"), shingle_n))
-    sh = docs.select("doc_id", F.explode(sarr).alias("s"))
+    sh = _cache(docs.select("doc_id", F.explode(sarr).alias("s")), "jac-shingles")
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
     from pyspark.sql import Window
 
@@ -181,10 +256,11 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # prefix length |X| - ceil(t*|X|) + 1; the 1e-9 guards float noise in
     # t*|X| from shrinking the prefix (longer prefix = safe direction)
-    pref = (
+    pref = _cache(
         ranked.join(sizes, "doc_id")
         .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - 1e-9) + 1)
-        .select("doc_id", "s", "sz")
+        .select("doc_id", "s", "sz"),
+        "jac-prefix",
     )
     a = pref.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})
     b = pref.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"})
@@ -198,7 +274,7 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    arrays = docs.select("doc_id", sarr.alias("sarr"))
+    arrays = sh.groupBy("doc_id").agg(F.collect_list("s").alias("sarr"))
     return (
         cand.join(arrays.withColumnsRenamed({"doc_id": "doc_a", "sarr": "arr_a"}), "doc_a")
         .join(arrays.withColumnsRenamed({"doc_id": "doc_b", "sarr": "arr_b"}), "doc_b")
