@@ -659,6 +659,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         windows — no iteration, shards pack in parallel)."""
         return T.pack_chunks(load_table(spark, sf, "documents"), 512, "source")
 
+    def doc_cross_dedup(spark, sf):
+        """Cross-corpus dedup: corpus docs (source != src0) near-
+        duplicating any doc of the src0 'reference' corpus — LSH bucket
+        candidates, broadcast reference side, exact Jaccard verify."""
+        docs = load_table(spark, sf, "documents")
+        return D.cross_corpus_near_dups(
+            docs.where(F.col("source") != "src0"),
+            docs.where(F.col("source") == "src0"),
+            8, 4, 3, 0.5,
+        )
+
     def doc_repetition(spark, sf):
         """Gopher-style within-document repetition signals
         (dup-word / top-bigram / dup-trigram fractions + the published
@@ -824,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_split": doc_sample_split,
         "doc_pack_chunks": doc_pack_chunks,
         "doc_contamination": doc_contamination,
+        "doc_cross_dedup": doc_cross_dedup,
         "doc_repetition": doc_repetition,
         "doc_stratified_sample": doc_stratified_sample,
         "emb_quantize": emb_quantize,
@@ -1334,6 +1346,25 @@ SELECT doc_id, shard, CAST(ch AS BIGINT) AS chunk_id,
   CAST(greatest(off, ch * 512) AS BIGINT) AS tok_start,
   CAST(least(cum, (ch + 1) * 512) AS BIGINT) AS tok_end
 FROM s, UNNEST(range(CAST(off // 512 AS BIGINT), CAST((cum - 1) // 512 + 1 AS BIGINT))) AS u(ch)""",
+        "doc_cross_dedup": _minhash_sig_sql(8) + """,
+banded AS (
+  SELECT s.doc_id, d.source, b, md5(array_to_string(sig[b*2+1 : b*2+2], ',')) AS bucket
+  FROM sig s JOIN documents d USING (doc_id), UNNEST([0, 1, 2, 3]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, r.doc_id AS ref_id
+  FROM banded a JOIN banded r USING (b, bucket)
+  WHERE a.source <> 'src0' AND r.source = 'src0'
+),
+arrs AS (SELECT doc_id, list_distinct(s) AS arr FROM sh)
+SELECT doc_id, ref_id, jaccard FROM (
+  SELECT c.doc_id, c.ref_id,
+    CAST(len(list_intersect(x.arr, y.arr)) AS DOUBLE)
+      / CAST(len(x.arr) + len(y.arr) - len(list_intersect(x.arr, y.arr)) AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN arrs x ON c.doc_id = x.doc_id
+  JOIN arrs y ON c.ref_id = y.doc_id
+) WHERE jaccard >= 0.5""",
         "doc_repetition": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
 b AS (

@@ -136,6 +136,90 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return coeffs
 
 
+def _banded(docs: DataFrame, num_hashes: int, bands: int, shingle_n: int) -> DataFrame:
+    """``(doc_id, band, bucket)`` — one row per (doc, band).  The band
+    hashes are ONE let-bound expression: the signature (itself
+    let-binding its md5 shingle base) is evaluated once per doc and
+    sliced per band — without the binding, interpreted HOF evaluation
+    re-hashed every shingle bands × num_hashes times (see ``let_col``;
+    a repartition "barrier" doesn't help — Project pushes through it).
+    """
+    rows_per_band = num_hashes // bands
+    bands_expr = let_col(
+        _sig_col(F.col("text"), num_hashes, shingle_n),
+        lambda sig: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.md5(
+                F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band))
+            ),
+        ),
+    )
+    return docs.select("doc_id", F.posexplode(bands_expr).alias("band", "bucket"))
+
+
+def cross_corpus_near_dups(
+    docs: DataFrame,
+    reference: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Documents of ``docs`` near-duplicating ANY document of
+    ``reference`` — the cross-corpus dedup a training pipeline runs
+    whenever a new dump lands: dedupe train against eval benchmarks,
+    or a new crawl against the previous dumps.
+
+    Candidates come from shared MinHash LSH buckets — the reference's
+    band rows ride a BROADCAST (the reference is the small side in
+    both canonical uses; for dump-vs-dump at similar scale drop the
+    hint and it is a plain (band, bucket) shuffle join) — then every
+    candidate is verified with EXACT Jaccard over distinct shingles,
+    so the only approximation is candidate RECALL (missed pairs), the
+    same contract as ``minhash_lsh_pairs``.  The corpus side streams:
+    one scan to band, one semi-join-shaped candidate join, exact
+    verify only on candidates.
+
+    Output: ``doc_id, ref_id, jaccard`` (≥ threshold), doc_id from
+    ``docs``, ref_id from ``reference``.
+    """
+    cand = (
+        _banded(docs, num_hashes, bands, shingle_n)
+        .join(
+            F.broadcast(
+                _banded(reference, num_hashes, bands, shingle_n)
+                .withColumnsRenamed({"doc_id": "ref_id"})
+            ),
+            ["band", "bucket"],
+        )
+        .select("doc_id", "ref_id")
+        .distinct()
+    )
+    sarr = F.array_distinct(shingles_col(F.col("text"), shingle_n))
+    corpus_arr = docs.select("doc_id", sarr.alias("arr_a"))
+    ref_arr = reference.select(F.col("doc_id").alias("ref_id"), sarr.alias("arr_b"))
+    return (
+        cand.join(corpus_arr, "doc_id")
+        .join(F.broadcast(ref_arr), "ref_id")
+        .select(
+            "doc_id",
+            "ref_id",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("common"),
+            F.size("arr_a").alias("sz_a"),
+            F.size("arr_b").alias("sz_b"),
+        )
+        .select(
+            "doc_id",
+            "ref_id",
+            (
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -154,24 +238,7 @@ def minhash_lsh_pairs(
     produce identical signatures, so buckets are bounded by duplicate
     multiplicity, and the (band, bucket) shuffle key spreads load.
     """
-    rows_per_band = num_hashes // bands
-    # band hashes as ONE let-bound expression: the signature (itself
-    # let-binding its md5 shingle base) is evaluated once per doc and
-    # sliced per band — without the binding, interpreted HOF evaluation
-    # re-hashed every shingle bands × num_hashes times (see let_col;
-    # a repartition "barrier" doesn't help — Project pushes through it)
-    bands_expr = let_col(
-        _sig_col(F.col("text"), num_hashes, shingle_n),
-        lambda sig: F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.md5(
-                F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band))
-            ),
-        ),
-    )
-    banded = docs.select(
-        "doc_id", F.posexplode(bands_expr).alias("band", "bucket")
-    )
+    banded = _banded(docs, num_hashes, bands, shingle_n)
     # pairs in ONE pass: collect each bucket's members and explode the
     # i<j combinations — half the compute of the former self-join (the
     # banded subplan ran once per join side) and one less shuffle.

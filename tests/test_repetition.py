@@ -65,3 +65,27 @@ def test_stratified_sample_small_groups_keep_all(spark):
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
     out = T.stratified_sample(docs, 10).collect()
     assert {r.doc_id for r in out} == {0, 1, 2}
+
+
+def test_cross_corpus_near_dups_finds_planted(spark):
+    from community_detection_flink_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [
+            (10, base + " extra tail words here"),          # near-dup of ref 1
+            (11, "completely different content about graph engines and parquet"),
+            (12, base),                                      # exact text of ref 1
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(1, base), (2, "unrelated reference text nothing shared")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.ref_id) for r in
+           D.cross_corpus_near_dups(corpus, ref, 8, 4, 3, 0.5).collect()}
+    assert (12, 1) in out          # identical text always collides + verifies
+    assert (10, 1) in out          # high-overlap near-dup
+    assert all(ref_id != 2 for _, ref_id in out)
+    assert all(doc != 11 for doc, _ in out)
