@@ -149,8 +149,16 @@ def initial_partition(
         df.unpersist(False)
     for df in undec_files:
         mat.drop(df)
+    # only HIGHER-ordered center neighbors can be adopted (the adopt
+    # test below requires bestCtr to outrank the vertex), so the
+    # already-cached `higher` list replaces a recomputation of the full
+    # ew triplets join — half the edges, zero extra label joins beyond
+    # re-attaching the dst order key
     center_nbrs = (
-        ew.join(centers.withColumnsRenamed({"vId": "dst"}), "dst")
+        higher.join(centers.withColumnsRenamed({"vId": "dst"}), "dst", "left_semi")
+        .join(
+            key.withColumnsRenamed({"vId": "dst", "cc": "cc_d", "vt": "vt_d"}), "dst"
+        )
         .groupBy(F.col("src").alias("vId"))
         .agg(F.max(_ord("cc_d", "vt_d", "dst")).alias("bestCtr"))
     )
