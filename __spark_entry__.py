@@ -493,6 +493,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "purchase_value",
         )
 
+    def ev_funnel(spark, sf):
+        """Greedy earliest-match conversion funnel view → click →
+        purchase within 7 days of the first view (windowFunnel
+        semantics; operators/temporal.py::funnel)."""
+        from community_detection_flink_spark.operators.temporal import funnel
+
+        return funnel(
+            load_table(spark, sf, "events"),
+            ["view", "click", "purchase"],
+            within_seconds=7 * 86400,
+        )
+
     def ev_range_recent_purchases(spark, sf):
         """Bucketed band join with NO equi key: per click event, the
         number of purchase events corpus-wide in the preceding hour
@@ -816,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_json_props": ev_json_props,
         "ev_asof_prior_purchase": ev_asof_prior_purchase,
         "ev_range_recent_purchases": ev_range_recent_purchases,
+        "ev_funnel": ev_funnel,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_minhash_signatures": doc_minhash_signatures,
         "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
@@ -1164,6 +1177,28 @@ SELECT l.event_id,
           AND r.ts <= l.ts
           AND epoch_us(r.ts) > epoch_us(l.ts) - 3600000000) AS BIGINT) AS n_purchases_1h
 FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') l""",
+        "ev_funnel": """
+WITH s1 AS (
+  SELECT user_id AS "user", MIN(ts) AS t_1
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+d AS (SELECT "user", t_1, t_1 + INTERVAL 604800 SECONDS AS deadline FROM s1),
+s2 AS (
+  SELECT d."user", d.t_1, d.deadline,
+    MIN(CASE WHEN e.ts > d.t_1 AND e.ts <= d.deadline THEN e.ts END) AS t_2
+  FROM d LEFT JOIN events e ON e.user_id = d."user" AND e.event_type = 'click'
+  GROUP BY 1, 2, 3
+),
+s3 AS (
+  SELECT s2."user", s2.t_1, s2.t_2, s2.deadline,
+    MIN(CASE WHEN e.ts > s2.t_2 AND e.ts <= s2.deadline THEN e.ts END) AS t_3
+  FROM s2 LEFT JOIN events e ON e.user_id = s2."user" AND e.event_type = 'purchase'
+  GROUP BY 1, 2, 3, 4
+)
+SELECT "user", t_1, t_2, t_3,
+  CAST(1 + CAST(t_2 IS NOT NULL AS INT) + CAST(t_3 IS NOT NULL AS INT) AS BIGINT) AS reached,
+  t_3 IS NOT NULL AS converted
+FROM s3""",
         "doc_exact_dedup": """
 SELECT MIN(doc_id) AS representative, CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY md5(text)""",

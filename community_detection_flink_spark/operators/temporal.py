@@ -148,3 +148,65 @@ def range_count_join(
         .groupBy(*left.columns)
         .agg(F.count(F.when(in_band, F.lit(1))).alias(count_name))
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Greedy earliest-match conversion funnel (the windowFunnel
+    semantics popularized by ClickHouse): per user, t₁ = earliest
+    step-1 event; tᵢ = earliest step-i event STRICTLY after tᵢ₋₁ and
+    within ``within_seconds`` of t₁.  Users with no step-1 event are
+    absent; reaching step i fixes tᵢ even if a later choice of tᵢ₋₁
+    would have allowed more steps (greedy is the standard, and the
+    deterministic, contract).
+
+    Output: ``user, t_1 .. t_k (nullable), reached (long), converted``.
+
+    Plan shape: one filtered min-aggregate per step, chained by k−1
+    joins all keyed on the user — one user-hash exchange that AQE
+    reuses across the chain, each step's aggregate pre-shuffled by the
+    same key.  No windows over full event history, no per-user UDF:
+    at 100 TB each step touches only its own event-type partition
+    (pushed filter) and the per-user state is k timestamps.
+    """
+    u = F.col(user_col)
+    within = F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(u.alias("user"))
+        .agg(F.min(ts_col).alias("t_1"))
+        .withColumn("deadline", F.col("t_1") + within)
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.where(F.col(type_col) == step).select(
+            u.alias("user"), F.col(ts_col).alias("_ts")
+        )
+        # conditional min, NOT a row filter: a user whose step-i events
+        # all fall outside the window must surface with t_i = NULL, not
+        # vanish (min skips the NULLed-out invalid rows)
+        valid = F.when(
+            (F.col("_ts") > F.col(f"t_{i-1}")) & (F.col("_ts") <= F.col("deadline")),
+            F.col("_ts"),
+        )
+        cur = (
+            cur.join(nxt, "user", "left")
+            .groupBy("user", *[f"t_{j}" for j in range(1, i)], "deadline")
+            .agg(F.min(valid).alias(f"t_{i}"))
+        )
+    reached = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        reached = reached + F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0)
+    # reached is monotone: t_i is NULL whenever t_{i-1} is (its join
+    # predicate references t_{i-1}), so the sum counts a prefix
+    return cur.select(
+        "user",
+        *[f"t_{i}" for i in range(1, len(steps) + 1)],
+        reached.cast("long").alias("reached"),
+        F.col(f"t_{len(steps)}").isNotNull().alias("converted"),
+    )
