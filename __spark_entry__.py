@@ -795,6 +795,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def mm_frame_sample(spark, sf):
         return M.frame_sample_stub(load_table(spark, sf, "documents"), 128)
 
+    # ---------------- graph metrics beyond the reference ---------------
+
+    def g_pagerank(spark, sf):
+        """Fixed-iteration PageRank on the co-purchase graph (5 rounds,
+        d=0.85; operators/graph_metrics.py::pagerank).  Exact oracle:
+        the same five power-iteration rounds unrolled as CTEs."""
+        from community_detection_flink_spark.operators import graph_metrics as GM
+
+        edges, _, _ = _graph(spark, sf)
+        return GM.pagerank(edges, iterations=5)
+
+    def g_kcore(spark, sf):
+        """k=80 core of the co-purchase graph (iterative peel;
+        operators/graph_metrics.py::k_core).  The peel is idempotent at
+        its fixed point, so the oracle unrolls MORE rounds than the
+        data needs (12 vs the 6 observed at sf0.01) and still matches
+        exactly."""
+        from community_detection_flink_spark.operators import graph_metrics as GM
+
+        edges, _, _ = _graph(spark, sf)
+        return GM.k_core(edges, k=80)
+
+    # ---------------- retrieval + product analytics --------------------
+
+    def doc_bm25(spark, sf):
+        """BM25 top-50 keyword search over documents
+        (operators/search.py::bm25_topk)."""
+        from community_detection_flink_spark.operators.search import bm25_topk
+
+        return bm25_topk(
+            load_table(spark, sf, "documents"), _BM25_TERMS, k=50
+        )
+
+    def ev_retention(spark, sf):
+        """Weekly retention-cohort triangle over the event stream
+        (operators/temporal.py::retention_cohorts)."""
+        from community_detection_flink_spark.operators.temporal import (
+            retention_cohorts,
+        )
+
+        return retention_cohorts(load_table(spark, sf, "events"))
+
+    def doc_tfidf(spark, sf):
+        """Per-document top-3 TF-IDF keyword extraction
+        (operators/search.py::tfidf_top_terms)."""
+        from community_detection_flink_spark.operators.search import (
+            tfidf_top_terms,
+        )
+
+        return tfidf_top_terms(load_table(spark, sf, "documents"), k=3)
+
+    def rel_scd2(spark, sf):
+        """SCD2 dimension build: per-customer order-status history with
+        validity intervals (operators/temporal.py::scd2_history);
+        timestamps surfaced as unix micros for the gate hash."""
+        from community_detection_flink_spark.operators.temporal import scd2_history
+
+        h = scd2_history(
+            load_table(spark, sf, "orders"),
+            "o_custkey",
+            "o_orderdate",
+            ["o_orderstatus"],
+            tiebreak_col="o_orderkey",
+        )
+        # o_orderdate arrives TIMESTAMP_NTZ (µs parquet, no UTC
+        # adjustment); the UTC session makes the cast an identity on
+        # the wall-clock value, matching DuckDB's naive epoch_us
+        return h.select(
+            "o_custkey",
+            "o_orderstatus",
+            F.unix_micros(F.col("valid_from").cast("timestamp")).alias(
+                "valid_from_us"
+            ),
+            F.unix_micros(F.col("valid_to").cast("timestamp")).alias(
+                "valid_to_us"
+            ),
+            "is_current",
+        )
+
+    def ev_anomalies(spark, sf):
+        """Per-event-type z-score outliers (|z| > 3;
+        operators/temporal.py::zscore_anomalies)."""
+        from community_detection_flink_spark.operators.temporal import (
+            zscore_anomalies,
+        )
+
+        return zscore_anomalies(load_table(spark, sf, "events"))
+
     return {
         "g_edges": g_edges,
         "g_degrees": g_degrees,
@@ -862,6 +950,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_blob_meta": mm_blob_meta,
         "mm_decode_features": mm_decode_features,
         "mm_frame_sample": mm_frame_sample,
+        "g_pagerank": g_pagerank,
+        "g_kcore": g_kcore,
+        "doc_bm25": doc_bm25,
+        "ev_retention": ev_retention,
+        "doc_tfidf": doc_tfidf,
+        "rel_scd2": rel_scd2,
+        "ev_anomalies": ev_anomalies,
     }
 
 
@@ -1010,6 +1105,54 @@ _DOT = (
     "list_reduce(list_prepend(0.0, list_transform(range(len({a})), "
     "i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE))), (x, y) -> x + y)"
 )
+
+
+# query-term bag shared by the doc_bm25 Spark query and its oracle
+_BM25_TERMS = ["hash", "merge", "spark", "window"]
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled power-iteration CTE chain mirroring
+    ``graph_metrics.pagerank`` (fixed rounds make PageRank a pure
+    function of the input, hence SQL-expressible)."""
+    cte = [
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src)",
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
+        "p0 AS (SELECT src AS vId, 1.0 / n AS pr FROM deg, nv)",
+    ]
+    for i in range(1, iters + 1):
+        cte.append(
+            f"p{i} AS (SELECT e.dst AS vId, (1.0 - 0.85) / n + 0.85 * SUM(p.pr / d.d) AS pr\n"
+            f"  FROM edges e JOIN p{i-1} p ON p.vId = e.src JOIN deg d ON d.src = e.src, nv\n"
+            f"  GROUP BY e.dst, n)"
+        )
+    return (
+        ",\n".join(cte)
+        + f"\nSELECT vId, ROUND(pr, 9) AS pr FROM p{iters}"
+    )
+
+
+def _kcore_sql(k: int = 80, rounds: int = 12) -> str:
+    """Unrolled peel mirroring ``graph_metrics.k_core``: the peel is
+    idempotent at its fixed point, so unrolling MORE rounds than the
+    data needs (12 vs 6 observed at sf0.01) yields the identical
+    core."""
+    # AS MATERIALIZED: each round references the previous twice (the
+    # degree filter and the induced-edge join), so DuckDB's default
+    # CTE inlining would expand the chain 2^rounds times
+    parts = ["s0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM s{i-1} GROUP BY src HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT s.src, s.dst FROM s{i-1} s "
+            f"JOIN k{i} a ON s.src = a.src JOIN k{i} b ON s.dst = b.src)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT src AS vId, CAST(COUNT(*) AS BIGINT) AS deg FROM s{rounds} GROUP BY src"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1495,4 +1638,81 @@ FROM b""",
 WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS bl FROM documents)
 SELECT doc_id, CAST(f AS BIGINT) AS frame_no, CAST(f * 128 AS BIGINT) AS byte_offset
 FROM b, UNNEST(range(0, CAST(greatest(floor((bl - 1) / 128.0), 0) AS BIGINT) + 1)) AS t(f)""",
+        "g_pagerank": _G + ",\n" + _pagerank_sql(5),
+        "g_kcore": _G + ",\n" + _kcore_sql(80, 12),
+        "doc_bm25": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+tf AS (
+  SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS tok FROM toks)
+  WHERE tok IN ({", ".join("'" + t + "'" for t in sorted(_BM25_TERMS))})
+  GROUP BY doc_id, dl, tok
+),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(CAST(len(tk) AS DOUBLE)) AS avgdl FROM toks),
+dft AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY tok)
+SELECT doc_id,
+  ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+FROM tf JOIN dft USING (tok), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 50""",
+        "ev_retention": """
+WITH cohorts AS (
+  SELECT user_id AS u, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events
+)
+SELECT cohort_week,
+  CAST(date_diff('day', cohort_week, act_week) // 7 AS BIGINT) AS week_offset,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active JOIN cohorts USING (u)
+GROUP BY cohort_week, week_offset""",
+        "doc_tfidf": f"""
+WITH tf AS (
+  SELECT doc_id, tok AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, term,
+    ROUND(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS score
+  FROM tf JOIN dft USING (term), nd
+)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rank,
+  term, score
+FROM scored
+QUALIFY rank <= 3""",
+        "rel_scd2": """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+    LAG(o_orderstatus) OVER w AS prev,
+    LAG(o_orderdate) OVER w AS prev_ts
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+runs AS (
+  SELECT * FROM ordered
+  WHERE prev_ts IS NULL OR o_orderstatus IS DISTINCT FROM prev
+)
+SELECT o_custkey, o_orderstatus,
+  epoch_us(o_orderdate) AS valid_from_us,
+  epoch_us(LEAD(o_orderdate) OVER w2) AS valid_to_us,
+  (LEAD(o_orderdate) OVER w2) IS NULL AS is_current
+FROM runs
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+        "ev_anomalies": """
+WITH s AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT event_id, event_type, value, ROUND((value - mu) / sigma, 6) AS z
+FROM events JOIN s USING (event_type)
+WHERE ABS(ROUND((value - mu) / sigma, 6)) > 3.0""",
     }

@@ -37,6 +37,13 @@ HEADLINE = [
     "g_components_paths",     # CC over path graph (diameter stress)
     "doc_pack_chunks",        # sequence packing (prefix-sum windows)
     "ev_session",             # session windows
+    "g_pagerank",             # fixed-round power iteration
+    "g_kcore",                # iterative peel (parquet-landed rounds)
+    "doc_bm25",               # BM25 keyword search
+    "doc_tfidf",              # per-doc TF-IDF keyword extraction
+    "ev_retention",           # weekly retention cohorts
+    "rel_scd2",               # SCD2 dimension build
+    "ev_anomalies",           # per-group z-score outliers
 ]
 
 # the round-1 HEADLINE (BENCH_r01.json): its subtotal is the

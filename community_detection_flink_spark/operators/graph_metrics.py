@@ -1,0 +1,130 @@
+"""Extra whole-graph metrics beyond the reference's WCC family
+(SURVEY.md §2.10 engine extensions): PageRank and k-core.
+
+Both consume the same symmetrized doubled-edge DataFrame as the WCC
+pipeline (``sources.edges.symmetrize_edges`` /
+``sources.edges.co_purchase_edges``), so a user of the reference's
+graph loader gets these for free on the graphs they already build.
+
+Scale shape:
+
+* ``pagerank`` — a FIXED number of join+aggregate rounds; the
+  rank-mass transfer is one ``src``-keyed join and one ``dst``-keyed
+  hash aggregate per round, both combiner-friendly.  The degree-
+  annotated edge list is persisted ONCE and reused by every round, so
+  each iteration adds exactly one shuffle (the dst aggregate) — the
+  join side stays co-partitioned with the cached edges.  Nothing but
+  O(1) scalars (vertex count) reaches the driver.
+* ``k_core`` — iterative peel; each round is one degree aggregate and
+  two semi-joins, with the surviving edge set parquet-materialized
+  through ``plans.Materializer`` (same checkpoint discipline as the
+  refinement loop — bounded lineage, real stats).  Convergence is
+  detected from the materialized round's row count — a metadata read
+  of the parquet the round just wrote, not an extra pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from community_detection_flink_spark.plans.iteration import Materializer
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a symmetrized doubled-edge graph.
+
+    Returns ``(vId, pr)`` after exactly ``iterations`` synchronous
+    power-iteration rounds from the uniform start 1/N:
+
+        pr'(v) = (1-d)/N + d * Σ_{(u,v) ∈ E} pr(u) / deg(u)
+
+    On a symmetrized graph every vertex has deg ≥ 1, so there is no
+    dangling-mass term (documented precondition — the co-purchase and
+    reference CSV loaders both guarantee it).  A fixed round count
+    (rather than an epsilon test) keeps the result a pure function of
+    the input, which is what makes the exact DuckDB oracle possible.
+
+    The scalar 1/N enters through a broadcast one-row aggregate, not a
+    driver round-trip, so the whole computation is one lazily-planned
+    DAG: ``iterations`` joins deep, executed once by the caller's
+    action.  Ranks are rounded to 9 decimals on output — summation
+    order across engines/partitionings differs at ~1e-16 relative, far
+    below the rounding grain.
+    """
+    # one vertex-sized table, cached: feeds the degree-annotated edge
+    # list, the vertex-count scalar, AND the uniform start — one edge
+    # scan total, not one per consumer
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    # degree-annotated edges: reused by every round, so pay its shuffle once
+    dedges = edges.join(deg, "src").persist()
+    n1 = F.broadcast(deg.agg(F.count("*").cast("double").alias("n")))
+
+    ranks = deg.select("src", F.lit(1.0).alias("w")).crossJoin(n1).select(
+        F.col("src").alias("vId"), (F.col("w") / F.col("n")).alias("pr")
+    )
+    d = float(damping)
+    for _ in range(int(iterations)):
+        contrib = (
+            dedges.join(ranks, dedges["src"] == ranks["vId"])
+            .select(F.col("dst"), (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        # symmetrized graph: every vertex has an in-edge, so the
+        # aggregate's key set IS the vertex set — no outer re-join
+        ranks = contrib.crossJoin(n1).select(
+            F.col("dst").alias("vId"),
+            ((1.0 - d) / F.col("n") + d * F.col("mass")).alias("pr"),
+        )
+    return ranks.select("vId", F.round("pr", 9).alias("pr"))
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
+    """Vertices of the ``k``-core (maximal subgraph with min degree ≥ k).
+
+    Returns ``(vId, deg)`` — each surviving vertex with its degree
+    INSIDE the core.  Standard iterative peel: drop vertices of degree
+    < k, recompute degrees on the induced subgraph, repeat to fixed
+    point.  The k-core is unique, so the result is deterministic even
+    though the peel order isn't.
+
+    Distribution: each round is one hash aggregate (degrees) and two
+    ``left_semi`` joins (induced edges); no driver-side vertex state.
+    The surviving edge set is parquet-landed per round (Materializer),
+    so lineage stays O(1) no matter how many peel rounds run, and the
+    convergence test reads the landed round's row count.  Rounds are
+    data-dependent but bounded by the graph's degeneracy peel depth
+    (``max_rounds`` is a safety valve, not a tuning knob).
+    """
+    spark = edges.sparkSession
+    mat = Materializer(spark)
+    cur = mat(edges, "kcore")
+    n_edges = cur.count()
+    for _ in range(int(max_rounds)):
+        if n_edges == 0:
+            break
+        keep = cur.groupBy("src").agg(F.count("*").alias("deg")).where(
+            F.col("deg") >= k
+        )
+        nxt = mat(
+            cur.join(keep.select("src"), "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            ),
+            "kcore",
+        )
+        n_next = nxt.count()
+        mat.drop(cur)
+        cur = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    out = cur.groupBy("src").agg(F.count("*").cast("long").alias("deg")).select(
+        F.col("src").alias("vId"), "deg"
+    )
+    return out

@@ -1,0 +1,94 @@
+"""PageRank + k-core (operators/graph_metrics.py) against brute-force
+driver-side models on small fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from community_detection_flink_spark.operators.graph_metrics import k_core, pagerank
+from community_detection_flink_spark.sources.edges import symmetrize_edges
+
+
+def _doubled(spark, pairs):
+    return symmetrize_edges(
+        spark.createDataFrame(pairs, "src LONG, dst LONG")
+    )
+
+
+def _pagerank_model(pairs, iterations=5, d=0.85):
+    """Reference power iteration in plain Python dicts."""
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    pr = {v: 1.0 / n for v in adj}
+    for _ in range(iterations):
+        nxt = {}
+        for v in adj:
+            mass = sum(pr[u] / len(adj[u]) for u in adj[v])
+            nxt[v] = (1.0 - d) / n + d * mass
+        pr = nxt
+    return pr
+
+
+def test_pagerank_matches_model_and_sums_to_one(spark, golden_edges):
+    pairs = [(r.src, r.dst) for r in golden_edges.collect()]
+    got = {r.vId: r.pr for r in pagerank(symmetrize_edges(golden_edges)).collect()}
+    want = _pagerank_model(pairs)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    # total rank mass is conserved (no dangling vertices on a
+    # symmetrized graph)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_path_graph_ordering(spark):
+    # path 0-1-2-3-4: the degree-1 ends donate their WHOLE mass to
+    # vertices 1/3, which therefore outrank the middle; ends rank last
+    e = _doubled(spark, [(i, i + 1) for i in range(4)])
+    pr = {r.vId: r.pr for r in pagerank(e).collect()}
+    assert pr[1] == pytest.approx(pr[3], abs=1e-12)
+    assert pr[0] == pytest.approx(pr[4], abs=1e-12)
+    assert pr[1] > pr[2] > pr[0]
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def _kcore_model(pairs, k):
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    changed = True
+    while changed:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        changed = bool(drop)
+        alive -= drop
+    return {v: len(adj[v] & alive) for v in alive}
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_kcore_matches_model(spark, golden_edges, k):
+    pairs = [(r.src, r.dst) for r in golden_edges.collect()]
+    got = {r.vId: r.deg for r in k_core(symmetrize_edges(golden_edges), k).collect()}
+    assert got == _kcore_model(pairs, k)
+
+
+def test_kcore_peels_transitively(spark):
+    # a 3-clique with a pendant chain: k=2 keeps only the clique, and
+    # the chain must peel away over MULTIPLE rounds (5-4, then 4-3)
+    e = _doubled(spark, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)])
+    got = {r.vId: r.deg for r in k_core(e, 2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_empty_when_k_exceeds_degrees(spark):
+    e = _doubled(spark, [(0, 1), (1, 2)])
+    assert k_core(e, 5).count() == 0
