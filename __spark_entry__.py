@@ -883,6 +883,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return zscore_anomalies(load_table(spark, sf, "events"))
 
+    def doc_normalize(spark, sf):
+        """Canonical text cleanup (control chars, whitespace collapse,
+        lowercase; operators/textual.py::normalize_text)."""
+        return T.normalize_text(load_table(spark, sf, "documents"))
+
+    def doc_quality_sample(spark, sf):
+        """Deterministic quality-weighted importance sampling
+        (operators/textual.py::quality_weighted_sample over
+        quality_score)."""
+        docs = load_table(spark, sf, "documents")
+        return T.quality_weighted_sample(docs, T.quality_score(docs), boost=1.2)
+
+    def emb_centroid_assign(spark, sf):
+        """Exact nearest-centroid assignment (first 8 vectors as fixed
+        centroids; operators/similarity.py::nearest_centroid — the
+        oracle-verifiable twin of the IVF index's numpy assignment)."""
+        emb = load_table(spark, sf, "embeddings")
+        cents = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        return S.nearest_centroid(emb, cents)
+
     return {
         "g_edges": g_edges,
         "g_degrees": g_degrees,
@@ -957,6 +979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": doc_tfidf,
         "rel_scd2": rel_scd2,
         "ev_anomalies": ev_anomalies,
+        "doc_normalize": doc_normalize,
+        "doc_quality_sample": doc_quality_sample,
+        "emb_centroid_assign": emb_centroid_assign,
     }
 
 
@@ -1715,4 +1740,43 @@ WITH s AS (
 SELECT event_id, event_type, value, ROUND((value - mu) / sigma, 6) AS z
 FROM events JOIN s USING (event_type)
 WHERE ABS(ROUND((value - mu) / sigma, 6)) > 3.0""",
+        "doc_normalize": """
+WITH c AS (
+  SELECT doc_id, text,
+    lower(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g'))) AS clean_text
+  FROM documents
+)
+SELECT doc_id, clean_text,
+  CAST(length(text) - length(clean_text) AS BIGINT) AS n_removed
+FROM c""",
+        "doc_quality_sample": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+q AS (
+  SELECT doc_id,
+    0.4 * (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.0 END)
+    + 0.3 * greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 5.0)
+    + 0.3 * least(CAST(len(list_intersect(tk, ['the','and','of','to','is','in','that','with'])) AS DOUBLE) / 4.0, 1.0)
+    AS quality
+  FROM t
+),
+d AS (
+  SELECT doc_id, quality,
+    CAST({_H60.format(x="'qsample-v1' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 1152921504606846976.0 AS draw
+  FROM q
+)
+SELECT doc_id, quality, draw FROM d
+WHERE draw < least(1.0, 1.2 * quality)""",
+        "emb_centroid_assign": f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT e.vec_id, c.cid,
+    list_reduce(list_prepend(0.0, list_transform(range(len(e.embedding)),
+      i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.cvec[i+1] AS DOUBLE))
+         * (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.cvec[i+1] AS DOUBLE)))),
+      (x, y) -> x + y) AS dist2
+  FROM embeddings e, c
+)
+SELECT vec_id, cid AS cluster, dist2
+FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1""",
     }

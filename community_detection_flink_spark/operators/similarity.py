@@ -613,3 +613,50 @@ def quantize_int8(
     return emb.select(
         id_col, F.posexplode(q_arr).alias("pos", "q")
     ).select(id_col, F.col("pos").cast("long").alias("pos"), "q")
+
+
+def nearest_centroid(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Exact nearest-centroid assignment, all-JVM: for every vector the
+    centroid minimizing squared euclidean distance (ties → smallest
+    centroid id).
+
+    ``centroids``: ``(centroid_id, embedding)`` — SMALL (k rows), so it
+    broadcasts and the corpus never shuffles; cost is k left-fold dot
+    products per row inside the expression engine.  This is the
+    oracle-verifiable reference implementation of the assignment step
+    the IVF index's Arrow/numpy path (``_ivf_cell_udf``) vectorizes —
+    same argmin, k·|corpus| flops either way; at 100 TB you run the
+    numpy path and REGRESSION-CHECK it against this one on a sample.
+
+    Output: ``(<id>, cluster, dist2)`` with the fold-ordered distance —
+    bit-reproducible across engines (no rounding needed).
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("_cid"), F.col("embedding").alias("_cvec")
+        )
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("_cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.select(id_col, "embedding").crossJoin(c).select(
+        id_col, F.col("_cid"), diff2.alias("dist2")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("dist2"), F.col("_cid").alias("cluster"))).alias("b")
+    )
+    return best.select(
+        id_col, F.col("b.cluster").alias("cluster"), F.col("b.dist2").alias("dist2")
+    )

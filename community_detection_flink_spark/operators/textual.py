@@ -355,3 +355,66 @@ def stratified_sample(
         .where(F.col("rank") <= n_per_key)
         .select("doc_id", F.col(key).alias("key"), "rank")
     )
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonical text cleanup — the first transform of every pretraining
+    pipeline: strip control characters, collapse whitespace runs to a
+    single space, trim, lowercase.
+
+    Output: ``doc_id, clean_text, n_removed`` (chars dropped by the
+    cleanup — a cheap corruption signal: high removal counts flag
+    binary-ish or markup-heavy documents for the quality filters
+    downstream).
+
+    Pure per-row column expressions (regexp_replace chains compile into
+    whole-stage codegen) — zero shuffle, and the regexes use only
+    portable character classes so the DuckDB oracle (RE2) and Spark
+    (Java regex) agree byte-for-byte.
+    """
+    text = F.col("text")
+    cleaned = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(text, r"[\x00-\x1f\x7f]", " "), r"\s+", " "
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        (F.length(text) - F.length(cleaned)).cast("long").alias("n_removed"),
+    )
+
+
+def quality_weighted_sample(
+    docs: DataFrame,
+    quality: DataFrame,
+    boost: float = 1.0,
+    salt: str = "qsample-v1",
+) -> DataFrame:
+    """Importance sampling by quality score: keep each document with
+    probability ``min(1, boost · quality)`` using the deterministic
+    md5-uniform draw (same engine-stable construction as
+    ``sample_split`` — membership is a pure function of the id, so
+    re-runs and other engines agree row-for-row).
+
+    ``quality``: ``(doc_id, quality)`` in [0, 1] — typically
+    ``quality_score(docs)``.  Output: the kept ``(doc_id, quality,
+    draw)`` rows.  This is the standard up/down-sampling step between
+    scoring and tokenization in a pretraining data pipeline; at 100 TB
+    it is a zero-shuffle filter when ``quality`` rides the same row
+    (one broadcast/keyed join here because the score is a separate
+    relation).
+    """
+    u = (
+        _hash60(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+        .cast("double")
+        / F.lit(float(2**60))
+    )
+    return (
+        docs.select("doc_id")
+        .join(quality, "doc_id")
+        .select("doc_id", "quality", u.alias("draw"))
+        .where(F.col("draw") < F.least(F.lit(1.0), F.lit(float(boost)) * F.col("quality")))
+    )

@@ -187,3 +187,65 @@ def test_zscore_anomalies_small(spark):
     got = zscore_anomalies(ev).collect()
     assert [r.event_id for r in got] == [99]
     assert got[0].z > 3
+
+
+def test_normalize_text(spark):
+    from community_detection_flink_spark.operators.textual import normalize_text
+
+    docs = spark.createDataFrame(
+        [(0, "  Hello\x00\x01  WORLD\t\n again  "), (1, "clean")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: (r.clean_text, r.n_removed) for r in normalize_text(docs).collect()}
+    assert got[0][0] == "hello world again"
+    assert got[0][1] == len("  Hello\x00\x01  WORLD\t\n again  ") - len("hello world again")
+    assert got[1] == ("clean", 0)
+
+
+def test_quality_weighted_sample_boost_extremes(spark):
+    from community_detection_flink_spark.operators.textual import (
+        quality_weighted_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(50)], "doc_id LONG, text STRING"
+    )
+    q1 = docs.sparkSession.createDataFrame(
+        [(i, 1.0) for i in range(50)], "doc_id LONG, quality DOUBLE"
+    )
+    q0 = docs.sparkSession.createDataFrame(
+        [(i, 0.0) for i in range(50)], "doc_id LONG, quality DOUBLE"
+    )
+    # quality 1 → keep-probability 1 → everything kept; quality 0 → nothing
+    assert quality_weighted_sample(docs, q1).count() == 50
+    assert quality_weighted_sample(docs, q0).count() == 0
+    # deterministic: same inputs, same kept set
+    qh = docs.sparkSession.createDataFrame(
+        [(i, 0.5) for i in range(50)], "doc_id LONG, quality DOUBLE"
+    )
+    a = {r.doc_id for r in quality_weighted_sample(docs, qh).collect()}
+    b = {r.doc_id for r in quality_weighted_sample(docs, qh).collect()}
+    assert a == b and 0 < len(a) < 50
+
+
+def test_nearest_centroid_assignment_and_ties(spark):
+    from community_detection_flink_spark.operators.similarity import nearest_centroid
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 10.0]),
+            (2, [0.4, 0.0]),   # nearer centroid 0
+            (3, [5.0, 5.0]),   # equidistant → tie broken to centroid 0
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        "centroid_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = {r.vec_id: (r.cluster, r.dist2) for r in nearest_centroid(emb, cents).collect()}
+    assert got[0] == (0, 0.0)
+    assert got[1] == (1, 0.0)
+    assert got[2][0] == 0
+    assert got[3][0] == 0  # exact tie → smallest centroid id
