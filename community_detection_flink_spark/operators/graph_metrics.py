@@ -60,8 +60,17 @@ def pagerank(
     # list, the vertex-count scalar, AND the uniform start — one edge
     # scan total, not one per consumer
     deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
-    # degree-annotated edges: reused by every round, so pay its shuffle once
-    dedges = edges.join(deg, "src").persist()
+    # degree-annotated edges: reused by every round.  Partitioned AND
+    # sorted on the join key before caching, so each round's rank join
+    # re-exchanges/re-sorts only the (vertex-sized) rank side — the
+    # cached edge table contributes zero per-round shuffle or sort
+    # (exchange/sort reuse off the InMemoryRelation's layout).
+    dedges = (
+        edges.join(deg, "src")
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     n1 = F.broadcast(deg.agg(F.count("*").cast("double").alias("n")))
 
     ranks = deg.select("src", F.lit(1.0).alias("w")).crossJoin(n1).select(
