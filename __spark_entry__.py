@@ -895,6 +895,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf, "documents")
         return T.quality_weighted_sample(docs, T.quality_score(docs), boost=1.2)
 
+    def rel_window_distribution(spark, sf):
+        """Distribution window functions in one pass — ntile quartile,
+        cume_dist, percent_rank per nation by account balance (engine
+        §2.10 window breadth; one shuffle, one sort)."""
+        from pyspark.sql import Window
+
+        c = load_table(spark, sf, "customer")
+        w = Window.partitionBy("c_nationkey").orderBy(
+            F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+        )
+        return c.select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.cume_dist().over(w), 9).alias("cume"),
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        )
+
     def emb_centroid_assign(spark, sf):
         """Exact nearest-centroid assignment (first 8 vectors as fixed
         centroids; operators/similarity.py::nearest_centroid — the
@@ -982,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_normalize": doc_normalize,
         "doc_quality_sample": doc_quality_sample,
         "emb_centroid_assign": emb_centroid_assign,
+        "rel_window_distribution": rel_window_distribution,
     }
 
 
@@ -1779,4 +1798,12 @@ s AS (
 SELECT vec_id, cid AS cluster, dist2
 FROM s
 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1""",
+        "rel_window_distribution": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+  ROUND(CUME_DIST() OVER w, 9) AS cume,
+  ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)""",
     }
