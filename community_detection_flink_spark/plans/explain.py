@@ -87,3 +87,20 @@ def executed_codegen_span_count(df: DataFrame) -> int:
         pass
     text = df._jdf.queryExecution().executedPlan().toString()
     return len(set(re.findall(r"\*\((\d+)\)", text)))
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """Per parquet scan: the PartitionFilters entry (non-empty ⇒ the
+    scan prunes whole partition directories before reading a byte)."""
+    text = formatted_plan(df)
+    return [
+        m.strip()
+        for m in re.findall(r"PartitionFilters: \[(.*?)\]", text)
+    ]
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the plan (0 for fully
+    co-located bucketed joins/aggregations)."""
+    text = formatted_plan(df)
+    return len(re.findall(r"\n\(\d+\) Exchange", text))

@@ -79,3 +79,41 @@ def test_multimodal_decode_is_arrow_batched(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     nodes = python_eval_nodes(decode_features(docs))
     assert nodes == ["MapInPandas"]
+
+
+def test_partition_pruned_scan(spark, tmp_path):
+    from community_detection_flink_spark.plans.explain import partition_filters
+
+    src = spark.read.parquet(f"{SF}/events.parquet")
+    path = str(tmp_path / "ev_part")
+    src.write.partitionBy("event_type").parquet(path)
+    q = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    pf = partition_filters(q)
+    # the equality filter must land in PartitionFilters (directory
+    # pruning), not just PushedFilters (row-group pruning)
+    assert any("event_type" in f and "purchase" in f for f in pf)
+
+
+def test_bucketed_join_zero_exchange(spark):
+    from community_detection_flink_spark.plans.explain import exchange_count
+    from community_detection_flink_spark.sources.bucketed import write_bucketed
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    write_bucketed(c, "tp_bk_customer", ["c_custkey"], 4, sort_keys=["c_custkey"])
+    write_bucketed(o, "tp_bk_orders", ["o_custkey"], 4, sort_keys=["o_custkey"])
+    cb, ob = spark.table("tp_bk_customer"), spark.table("tp_bk_orders")
+    q = (
+        cb.join(ob, cb["c_custkey"] == ob["o_custkey"])
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    # join AND aggregate run on the bucket key: no shuffle anywhere
+    assert exchange_count(q) == 0
+    # sanity: same result as the plain (shuffling) plan
+    plain = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, plain.collect()))
