@@ -44,6 +44,8 @@ HEADLINE = [
     "ev_retention",           # weekly retention cohorts
     "rel_scd2",               # SCD2 dimension build
     "ev_anomalies",           # per-group z-score outliers
+    "ev_partition_pruned",    # directory-pruned lake scan
+    "rel_bucketed_join",      # zero-exchange co-bucketed join
 ]
 
 # the round-1 HEADLINE (BENCH_r01.json): its subtotal is the
