@@ -844,6 +844,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def mm_frame_sample(spark, sf):
         return M.frame_sample_stub(load_table(spark, sf, "documents"), 128)
 
+    def mm_wav_roundtrip(spark, sf):
+        """REAL audio decode, end-to-end: synthesize a mono 16-bit PCM
+        WAV per document (stdlib wave), then parse it back with the
+        chunk-walking RIFF decoder (multimodal.py::wav_pcm_stats — not
+        a stub).  The decoded header fields are a pure function of
+        doc_id, so the roundtrip has an exact SQL oracle."""
+        blobs = M.synthesize_wav_blobs(load_table(spark, sf, "documents"))
+        return M.wav_pcm_stats(blobs).select(
+            "doc_id", "ok", "n_channels", "sample_rate",
+            "bits_per_sample", "n_frames",
+        )
+
     # ---------------- graph metrics beyond the reference ---------------
 
     def g_pagerank(spark, sf):
@@ -1085,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_distribution": rel_window_distribution,
         "ev_partition_pruned": ev_partition_pruned,
         "rel_bucketed_join": rel_bucketed_join,
+        "mm_wav_roundtrip": mm_wav_roundtrip,
     }
 
 
@@ -1901,4 +1914,9 @@ SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
 FROM customer JOIN orders ON c_custkey = o_custkey
 WHERE c_acctbal > 0
 GROUP BY c_custkey""",
+        "mm_wav_roundtrip": """
+SELECT doc_id, true AS ok, CAST(1 AS BIGINT) AS n_channels,
+  CAST(8000 AS BIGINT) AS sample_rate, CAST(16 AS BIGINT) AS bits_per_sample,
+  CAST(100 + doc_id % 400 AS BIGINT) AS n_frames
+FROM documents""",
     }

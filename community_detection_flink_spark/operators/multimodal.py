@@ -1,15 +1,19 @@
 """Multimodal (binary) column plumbing (SURVEY.md §2.10).
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked stub (deterministic fake features derived from the raw
-bytes) — but every Spark-side piece a real pipeline needs is real and
-tested: the binary schema, the Arrow-batched ``mapInPandas`` transform
-shape, partition-sized batching, and metadata extraction with built-in
+Every Spark-side piece a real pipeline needs is real and tested: the
+binary schema, the Arrow-batched ``mapInPandas`` transform shape,
+partition-sized batching, and metadata extraction with built-in
 functions.
 
-Swap ``_fake_decode`` for PIL/ffmpeg in production; nothing else
-changes.
+The AUDIO decode path is REAL: ``wav_pcm_stats`` walks RIFF chunks and
+computes PCM signal stats with stdlib ``struct`` + numpy (no codec
+libraries needed — which is exactly why WAV/PCM is the honest format
+choice in this container), and ``synthesize_wav_blobs`` gives it an
+oracle-checkable encode→decode roundtrip (``mm_wav_roundtrip``).
+IMAGE/VIDEO decode stays a clearly-marked stub (``_fake_decode`` —
+the container has no codecs); swap it for PIL/ffmpeg in production and
+nothing else changes.
 """
 
 from __future__ import annotations
@@ -100,3 +104,145 @@ def frame_sample_stub(docs: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         "frame_no",
         (F.col("frame_no") * every_n_bytes).cast("long").alias("byte_offset"),
     )
+
+
+WAV_STATS_SCHEMA = (
+    "doc_id LONG, ok BOOLEAN, n_channels LONG, sample_rate LONG, "
+    "bits_per_sample LONG, n_frames LONG, duration_s DOUBLE, rms DOUBLE"
+)
+
+
+def _parse_wav(b: bytes):
+    """REAL RIFF/WAVE parser — pure stdlib ``struct``, no codec libs.
+
+    Walks the chunk list (not fixed offsets, so extra chunks like
+    LIST/fact are handled), reads the ``fmt `` header, and computes the
+    RMS amplitude of 16-bit PCM ``data``.  Returns None for anything
+    that is not a well-formed PCM WAV — the operator surfaces that as
+    ``ok = false`` instead of poisoning the batch.
+    """
+    import struct
+
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or n_ch == 0 or bits not in (8, 16):
+        return None  # PCM only
+    bytes_per_frame = n_ch * bits // 8
+    n_frames = len(data) // bytes_per_frame
+    if bits == 16:
+        import numpy as np
+
+        samples = np.frombuffer(
+            data[: n_frames * bytes_per_frame], dtype="<i2"
+        ).astype("float64")
+    else:
+        import numpy as np
+
+        samples = (
+            np.frombuffer(data[: n_frames * bytes_per_frame], dtype="u1").astype(
+                "float64"
+            )
+            - 128.0
+        )
+    rms = float((samples**2).mean() ** 0.5) if samples.size else 0.0
+    return (
+        n_ch,
+        rate,
+        bits,
+        n_frames,
+        (n_frames / rate) if rate else 0.0,
+        rms,
+    )
+
+
+def wav_pcm_stats(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
+    """Audio decode that is NOT a stub: per-blob WAV/PCM header +
+    signal stats via a real chunk-walking RIFF parser (stdlib struct +
+    one numpy pass per blob — no external codecs, which is exactly why
+    WAV/PCM is the honest choice in this container).
+
+    Same Arrow ``mapInPandas`` shape as ``decode_features``: whole
+    batches per worker, schema declared up front, malformed blobs come
+    back as ``ok = false`` rows rather than task failures — the
+    behavior a 100 TB media crawl needs (a corrupt file must never
+    kill a partition).
+    """
+    from collections.abc import Iterator as _It
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for b in batches:
+            rows = []
+            for i, blob in zip(b[id_col], b[blob_col]):
+                parsed = _parse_wav(bytes(blob))
+                if parsed is None:
+                    rows.append((int(i), False, 0, 0, 0, 0, 0.0, 0.0))
+                else:
+                    rows.append((int(i), True, *parsed))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "ok", "n_channels", "sample_rate",
+                    "bits_per_sample", "n_frames", "duration_s", "rms",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, WAV_STATS_SCHEMA)
+
+
+def synthesize_wav_blobs(
+    docs: DataFrame, id_col: str = "doc_id", rate: int = 8000
+) -> DataFrame:
+    """Deterministic WAV synthesis (stdlib ``wave``): one mono 16-bit
+    PCM blob per row, ``100 + id % 400`` frames of a fixed-amplitude
+    sine whose frequency varies with the id.
+
+    Exists so the REAL decoder (``wav_pcm_stats``) has a driver-data
+    path to run against end-to-end: encode → binary column → Arrow
+    batch → chunk-walking decode.  The decoded header fields are a
+    pure function of the id, which is what makes the roundtrip
+    oracle-checkable in SQL.
+    """
+    import io
+    import math as _math
+    import wave as _wave
+
+    from collections.abc import Iterator as _It
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        import numpy as np
+
+        for b in batches:
+            out = []
+            for i in b[id_col]:
+                i = int(i)
+                n = 100 + i % 400
+                buf = io.BytesIO()
+                w = _wave.open(buf, "wb")
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                t = np.arange(n)
+                freq = 200.0 + (i % 20) * 50.0
+                w.writeframes(
+                    (10000 * np.sin(2 * _math.pi * freq * t / rate))
+                    .astype("<i2")
+                    .tobytes()
+                )
+                w.close()
+                out.append((i, buf.getvalue()))
+            yield pd.DataFrame(out, columns=[id_col, "blob"])
+
+    return docs.select(id_col).mapInPandas(run, f"{id_col} LONG, blob BINARY")
