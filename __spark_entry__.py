@@ -856,6 +856,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bits_per_sample", "n_frames",
         )
 
+    def mm_bmp_roundtrip(spark, sf):
+        """REAL image decode, end-to-end: synthesize a 24-bit solid-color
+        BMP per document (pure struct packing), decode it back with the
+        stride/row-order-aware DIB parser (multimodal.py::bmp_stats).
+        Dimensions AND exact per-channel means are pure functions of
+        doc_id — exact SQL oracle."""
+        blobs = M.synthesize_bmp_blobs(load_table(spark, sf, "documents"))
+        return M.bmp_stats(blobs)
+
     # ---------------- graph metrics beyond the reference ---------------
 
     def g_pagerank(spark, sf):
@@ -1098,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_partition_pruned": ev_partition_pruned,
         "rel_bucketed_join": rel_bucketed_join,
         "mm_wav_roundtrip": mm_wav_roundtrip,
+        "mm_bmp_roundtrip": mm_bmp_roundtrip,
     }
 
 
@@ -1918,5 +1928,14 @@ GROUP BY c_custkey""",
 SELECT doc_id, true AS ok, CAST(1 AS BIGINT) AS n_channels,
   CAST(8000 AS BIGINT) AS sample_rate, CAST(16 AS BIGINT) AS bits_per_sample,
   CAST(100 + doc_id % 400 AS BIGINT) AS n_frames
+FROM documents""",
+        "mm_bmp_roundtrip": """
+SELECT doc_id, true AS ok,
+  CAST(8 + doc_id % 24 AS BIGINT) AS width,
+  CAST(4 + doc_id % 12 AS BIGINT) AS height,
+  CAST(24 AS BIGINT) AS bits,
+  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
 FROM documents""",
     }

@@ -6,14 +6,16 @@ binary schema, the Arrow-batched ``mapInPandas`` transform shape,
 partition-sized batching, and metadata extraction with built-in
 functions.
 
-The AUDIO decode path is REAL: ``wav_pcm_stats`` walks RIFF chunks and
-computes PCM signal stats with stdlib ``struct`` + numpy (no codec
-libraries needed — which is exactly why WAV/PCM is the honest format
-choice in this container), and ``synthesize_wav_blobs`` gives it an
-oracle-checkable encode→decode roundtrip (``mm_wav_roundtrip``).
-IMAGE/VIDEO decode stays a clearly-marked stub (``_fake_decode`` —
-the container has no codecs); swap it for PIL/ffmpeg in production and
-nothing else changes.
+The AUDIO and IMAGE decode paths are REAL for the codec-free formats:
+``wav_pcm_stats`` walks RIFF chunks and computes PCM signal stats, and
+``bmp_stats`` parses 24-bit uncompressed DIBs (stride + row-order
+aware) — both stdlib ``struct`` + one numpy pass, no codec libraries,
+which is exactly why WAV/PCM and BMP are the honest format choices in
+this container.  ``synthesize_wav_blobs`` / ``synthesize_bmp_blobs``
+give them oracle-checkable encode→decode roundtrips
+(``mm_wav_roundtrip`` / ``mm_bmp_roundtrip``).  Compressed-format
+decode (JPEG/MP4) stays a clearly-marked stub (``_fake_decode``); swap
+it for PIL/ffmpeg in production and nothing else changes.
 """
 
 from __future__ import annotations
@@ -244,5 +246,98 @@ def synthesize_wav_blobs(
                 w.close()
                 out.append((i, buf.getvalue()))
             yield pd.DataFrame(out, columns=[id_col, "blob"])
+
+    return docs.select(id_col).mapInPandas(run, f"{id_col} LONG, blob BINARY")
+
+
+BMP_STATS_SCHEMA = (
+    "doc_id LONG, ok BOOLEAN, width LONG, height LONG, bits LONG, "
+    "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE"
+)
+
+
+def _parse_bmp(b: bytes):
+    """REAL BMP parser — 24-bit uncompressed DIBs, stdlib ``struct``.
+
+    Reads BITMAPFILEHEADER + BITMAPINFOHEADER, honors the 4-byte row
+    stride and bottom-up row order, and averages each channel with one
+    numpy pass.  Returns None for anything else (compressed,
+    paletted, truncated) — surfaced as ``ok = false``.
+    """
+    import struct
+
+    if len(b) < 54 or b[0:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size, w, h, _planes, bits = struct.unpack_from("<IiiHH", b, 14)
+    if hdr_size < 40 or bits != 24 or w <= 0 or h == 0:
+        return None
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0:
+        return None
+    import numpy as np
+
+    height = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = data_off + stride * height
+    if len(b) < need:
+        return None
+    rows = np.frombuffer(b, dtype="u1", count=stride * height, offset=data_off)
+    px = rows.reshape(height, stride)[:, : w * 3].reshape(height, w, 3)
+    # BMP stores BGR; bottom-up when h > 0 (irrelevant for means)
+    means = px.astype("float64").mean(axis=(0, 1))
+    return (w, height, bits, float(means[2]), float(means[1]), float(means[0]))
+
+
+def bmp_stats(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
+    """Image decode that is NOT a stub for the one format that needs no
+    codec: 24-bit uncompressed BMP.  Same Arrow batch shape and same
+    corrupt-input contract as ``wav_pcm_stats``."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for b in batches:
+            rows = []
+            for i, blob in zip(b[id_col], b[blob_col]):
+                parsed = _parse_bmp(bytes(blob))
+                if parsed is None:
+                    rows.append((int(i), False, 0, 0, 0, 0.0, 0.0, 0.0))
+                else:
+                    rows.append((int(i), True, *parsed))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "ok", "width", "height", "bits",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, BMP_STATS_SCHEMA)
+
+
+def synthesize_bmp_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 24-bit BMP synthesis (pure struct packing): a
+    ``(8 + id % 24) × (4 + id % 12)`` solid-color image whose RGB is a
+    pure function of the id — giving ``bmp_stats`` an oracle-checkable
+    encode→decode roundtrip (width/height/bits AND the exact channel
+    means are all integer-derived)."""
+    import struct
+
+    from collections.abc import Iterator as _It
+
+    def make(i: int) -> bytes:
+        w, h = 8 + i % 24, 4 + i % 12
+        r, g, bl = i % 256, (i * 7) % 256, (i * 13) % 256
+        stride = (w * 3 + 3) & ~3
+        row = (bytes((bl, g, r)) * w) + b"\x00" * (stride - w * 3)
+        pixels = row * h
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+        filehdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+        return filehdr + info + pixels
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for b in batches:
+            yield pd.DataFrame(
+                [(int(i), make(int(i))) for i in b[id_col]],
+                columns=[id_col, "blob"],
+            )
 
     return docs.select(id_col).mapInPandas(run, f"{id_col} LONG, blob BINARY")

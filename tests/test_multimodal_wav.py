@@ -88,3 +88,63 @@ def test_wav_stats_truncated_and_odd_sizes(spark):
     fmt_at = wavb.index(b"fmt ")
     struct.pack_into("<H", mutated, fmt_at + 8, 3)
     assert _parse_wav(bytes(mutated)) is None
+
+
+def _make_bmp(w, h, rgb=(10, 20, 30), top_down=False):
+    r, g, b = rgb
+    stride = (w * 3 + 3) & ~3
+    row = (bytes((b, g, r)) * w) + b"\x00" * (stride - w * 3)
+    pixels = row * h
+    hh = -h if top_down else h
+    info = struct.pack("<IiiHHIIiiII", 40, w, hh, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    filehdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return filehdr + info + pixels
+
+
+def test_bmp_stats_parses_real_bmps(spark):
+    from community_detection_flink_spark.operators.multimodal import bmp_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(_make_bmp(5, 3, (200, 100, 50)))),   # stride padding (5*3=15→16)
+            (1, bytearray(_make_bmp(4, 2, (1, 2, 3), top_down=True))),
+            (2, bytearray(b"BM but not really")),
+        ],
+        "doc_id LONG, blob BINARY",
+    )
+    got = {r.doc_id: r for r in bmp_stats(df).collect()}
+    assert got[0].ok and (got[0].width, got[0].height, got[0].bits) == (5, 3, 24)
+    assert (got[0].mean_r, got[0].mean_g, got[0].mean_b) == (200.0, 100.0, 50.0)
+    assert got[1].ok and (got[1].width, got[1].height) == (4, 2)
+    assert got[2].ok is False
+
+
+def test_bmp_rejects_compressed_and_truncated(spark):
+    from community_detection_flink_spark.operators.multimodal import _parse_bmp
+
+    good = _make_bmp(4, 4)
+    assert _parse_bmp(good) is not None
+    assert _parse_bmp(good[:-5]) is None          # truncated pixel data
+    mutated = bytearray(good)
+    struct.pack_into("<I", mutated, 30, 1)        # BI_RLE8 compression
+    assert _parse_bmp(bytes(mutated)) is None
+    mutated = bytearray(good)
+    struct.pack_into("<H", mutated, 28, 8)        # 8-bit paletted
+    assert _parse_bmp(bytes(mutated)) is None
+
+
+def test_bmp_roundtrip_means_are_exact(spark):
+    from community_detection_flink_spark.operators.multimodal import (
+        bmp_stats,
+        synthesize_bmp_blobs,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id LONG")
+    got = {r.doc_id: r for r in bmp_stats(synthesize_bmp_blobs(docs)).collect()}
+    for i in range(40):
+        assert got[i].ok
+        assert got[i].width == 8 + i % 24 and got[i].height == 4 + i % 12
+        # solid color → the mean is EXACTLY the channel value
+        assert got[i].mean_r == float(i % 256)
+        assert got[i].mean_g == float((i * 7) % 256)
+        assert got[i].mean_b == float((i * 13) % 256)
