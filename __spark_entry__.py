@@ -887,6 +887,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges, _, _ = _graph(spark, sf)
         return GM.k_core(edges, k=80)
 
+    def g_bfs(spark, sf):
+        """BFS shortest-path distances from the smallest vertex id over
+        the co-purchase graph (frontier expansion, parquet-landed
+        rounds; operators/graph_metrics.py::bfs_distances).  Oracle:
+        depth-capped recursive CTE taking MIN(d) per vertex."""
+        from community_detection_flink_spark.operators import graph_metrics as GM
+
+        edges, _, _ = _graph(spark, sf)
+        return GM.bfs_distances(edges, max_depth=20)
+
     # ---------------- retrieval + product analytics --------------------
 
     def doc_bm25(spark, sf):
@@ -1095,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": mm_frame_sample,
         "g_pagerank": g_pagerank,
         "g_kcore": g_kcore,
+        "g_bfs": g_bfs,
         "doc_bm25": doc_bm25,
         "ev_retention": ev_retention,
         "doc_tfidf": doc_tfidf,
@@ -1791,6 +1802,18 @@ SELECT doc_id, CAST(f AS BIGINT) AS frame_no, CAST(f * 128 AS BIGINT) AS byte_of
 FROM b, UNNEST(range(0, CAST(greatest(floor((bl - 1) / 128.0), 0) AS BIGINT) + 1)) AS t(f)""",
         "g_pagerank": _G + ",\n" + _pagerank_sql(5),
         "g_kcore": _G + ",\n" + _kcore_sql(80, 12),
+        # UNION (not UNION ALL) bounds the working set at one row per
+        # (vertex, depth) pair, so the recursion never explodes on the
+        # dense graph; MIN(d) per vertex is the BFS distance
+        "g_bfs": _G.replace("WITH li", "WITH RECURSIVE li") + """,
+src0 AS (SELECT MIN(src) AS s FROM edges),
+walk(vId, d) AS (
+  SELECT s, 0 FROM src0
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.vId
+  WHERE w.d < 20
+)
+SELECT vId, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY vId""",
         "doc_bm25": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
 tf AS (

@@ -137,3 +137,54 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
         F.col("src").alias("vId"), "deg"
     )
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: int | None = None,
+    max_depth: int = 20,
+) -> DataFrame:
+    """Unweighted shortest-path distances from ``source`` (default: the
+    smallest vertex id) over a symmetrized doubled-edge graph.
+
+    Returns ``(vId, dist)`` for every REACHABLE vertex within
+    ``max_depth`` hops.  Classic frontier BFS: each round expands the
+    current frontier through one src-keyed join, anti-joins the visited
+    set, and parquet-lands the new frontier (Materializer — bounded
+    lineage, and the landed count doubles as the emptiness test).
+    Rounds = eccentricity of the source, so on small-world graphs this
+    is a handful of joins regardless of |V|; per-round cost tracks the
+    FRONTIER's edge neighborhood, not |E|.
+    """
+    spark = edges.sparkSession
+    mat = Materializer(spark)
+    if source is None:
+        source = edges.agg(F.min("src")).first()[0]
+        if source is None:
+            return spark.createDataFrame([], "vId LONG, dist LONG")
+    visited = mat(
+        spark.createDataFrame([(int(source), 0)], "vId LONG, dist LONG"), "bfs"
+    )
+    frontier = visited
+    for d in range(1, int(max_depth) + 1):
+        nxt = mat(
+            edges.join(
+                frontier.withColumnsRenamed({"vId": "src"}).select("src"),
+                "src",
+                "left_semi",
+            )
+            .select(F.col("dst").alias("vId"))
+            .distinct()
+            .join(visited, "vId", "left_anti")
+            .select("vId", F.lit(d).cast("long").alias("dist")),
+            "bfs",
+        )
+        if nxt.count() == 0:
+            mat.drop(nxt)
+            break
+        new_visited = mat(visited.unionByName(nxt), "bfs-vis")
+        mat.drop(visited)
+        mat.drop(nxt)
+        visited = new_visited
+        frontier = visited.where(F.col("dist") == d)
+    return visited

@@ -92,3 +92,22 @@ def test_kcore_peels_transitively(spark):
 def test_kcore_empty_when_k_exceeds_degrees(spark):
     e = _doubled(spark, [(0, 1), (1, 2)])
     assert k_core(e, 5).count() == 0
+
+
+def test_bfs_distances_path_and_unreachable(spark):
+    from community_detection_flink_spark.operators.graph_metrics import bfs_distances
+
+    # path 0-1-2-3 plus a disconnected edge 10-11
+    e = _doubled(spark, [(0, 1), (1, 2), (2, 3), (10, 11)])
+    got = {r.vId: r.dist for r in bfs_distances(e).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 10/11 unreachable → absent
+
+
+def test_bfs_distances_explicit_source_and_cap(spark):
+    from community_detection_flink_spark.operators.graph_metrics import bfs_distances
+
+    e = _doubled(spark, [(i, i + 1) for i in range(6)])
+    got = {r.vId: r.dist for r in bfs_distances(e, source=3).collect()}
+    assert got == {3: 0, 2: 1, 4: 1, 1: 2, 5: 2, 0: 3, 6: 3}
+    capped = {r.vId: r.dist for r in bfs_distances(e, source=0, max_depth=2).collect()}
+    assert capped == {0: 0, 1: 1, 2: 2}
