@@ -887,6 +887,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges, _, _ = _graph(spark, sf)
         return GM.k_core(edges, k=80)
 
+    def rel_sketch_quality(spark, sf):
+        """Sketch operators under measured quality contracts
+        (operators/sketches.py): HLL++ distinct within 5%, KLL-style
+        median within 5%, Bloom no-false-negatives + fp-rate bound.
+        The oracle pins the BOOLEANS (emb_ann_quality pattern)."""
+        from community_detection_flink_spark.operators import sketches as SK
+
+        li = load_table(spark, sf, "lineitem")
+        return (
+            SK.distinct_within(li, "l_partkey")
+            .unionByName(SK.percentile_within(li, "l_extendedprice", 0.5))
+            .unionByName(SK.hll_merge_within(li, "l_partkey", "l_returnflag"))
+            .unionByName(SK.kll_quantile_within(li, "l_extendedprice", 0.5))
+        )
+
     def g_bfs(spark, sf):
         """BFS shortest-path distances from the smallest vertex id over
         the co-purchase graph (frontier expansion, parquet-landed
@@ -1119,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_bucketed_join": rel_bucketed_join,
         "mm_wav_roundtrip": mm_wav_roundtrip,
         "mm_bmp_roundtrip": mm_bmp_roundtrip,
+        "rel_sketch_quality": rel_sketch_quality,
     }
 
 
@@ -1961,4 +1977,9 @@ SELECT doc_id, true AS ok,
   CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
   CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
 FROM documents""",
+        "rel_sketch_quality": """
+SELECT 'hll_distinct_l_partkey_within_5pct' AS metric, true AS ok
+UNION ALL SELECT 'approx_p50_l_extendedprice_within_5pct', true
+UNION ALL SELECT 'hll_merged_l_partkey_by_l_returnflag_within_5pct', true
+UNION ALL SELECT 'kll_p50_l_extendedprice_within_5pct', true""",
     }

@@ -25,3 +25,31 @@ def test_profile_table_exact_and_approx(spark):
     pa = {r.column: r for r in profile_table(df, approx=True).collect()}
     assert abs(pa["m"].n_distinct - 10) <= 2  # HLL within rsd
     assert pa["n"].n_nulls == 15              # nulls stay exact
+
+
+def test_sketch_contracts_small(spark):
+    from community_detection_flink_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [(i % 100, "g%d" % (i % 4), float(i % 50)) for i in range(2000)],
+        "key LONG, grp STRING, val DOUBLE",
+    )
+    assert SK.distinct_within(df, "key").collect()[0].ok
+    assert SK.percentile_within(df, "val", 0.5).collect()[0].ok
+    assert SK.hll_merge_within(df, "key", "grp").collect()[0].ok
+    assert SK.kll_quantile_within(df, "val", 0.5).collect()[0].ok
+
+
+def test_sketch_contract_is_sensitive(spark):
+    """The boolean really measures: an impossible tolerance must fail."""
+    from community_detection_flink_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "key LONG, val DOUBLE"
+    )
+    row = SK.percentile_within(df, "val", 0.99, rel_tol=0.0).collect()[0]
+    # exact == approx can hold at small n; widen: a NEGATIVE tolerance
+    # can never hold unless both are identical AND zero
+    row2 = SK.distinct_within(df, "key", rel_tol=-1.0).collect()[0]
+    assert row2.ok is False
+    assert row.metric.startswith("approx_p99")
