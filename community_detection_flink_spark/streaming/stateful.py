@@ -31,6 +31,16 @@ the grouping key (one shuffle per micro-batch, same key → same
 partition every batch, so state never moves); Arrow batches per key
 group keep the Python boundary vectorized; event-time timeouts mean
 state is dropped deterministically by watermark, not by wall clock.
+
+Why not ``transformWithStateInPandas`` (Spark 4's successor API with
+typed state handles and timers): its driver worker imports
+``google.protobuf``, which is broken in this container
+(``ImportError: cannot import name 'descriptor'`` — verified, and
+``pip install`` is unavailable), so every query fails at worker init
+with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.  The operators
+here stick to ``applyInPandasWithState``, which has no protobuf
+dependency; porting them to the new API is a mechanical
+StatefulProcessor wrapper once the environment carries protobuf.
 """
 
 from __future__ import annotations

@@ -169,3 +169,4 @@ def test_streaming_first_seen_out_of_order_earlier_dup(spark):
     rows = got_df.where("key != '999'").collect()
     # exactly one row per key, and key 1 kept its first ARRIVAL (id 1)
     assert sorted((r["key"], r["event_id"]) for r in rows) == [("1", 1), ("2", 2)]
+
