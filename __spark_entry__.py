@@ -900,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(SK.percentile_within(li, "l_extendedprice", 0.5))
             .unionByName(SK.hll_merge_within(li, "l_partkey", "l_returnflag"))
             .unionByName(SK.kll_quantile_within(li, "l_extendedprice", 0.5))
+            .unionByName(SK.cms_heavy_hitters_within(li, "l_partkey"))
         )
 
     def g_bfs(spark, sf):
@@ -1981,5 +1982,6 @@ FROM documents""",
 SELECT 'hll_distinct_l_partkey_within_5pct' AS metric, true AS ok
 UNION ALL SELECT 'approx_p50_l_extendedprice_within_5pct', true
 UNION ALL SELECT 'hll_merged_l_partkey_by_l_returnflag_within_5pct', true
-UNION ALL SELECT 'kll_p50_l_extendedprice_within_5pct', true""",
+UNION ALL SELECT 'kll_p50_l_extendedprice_within_5pct', true
+UNION ALL SELECT 'cms_top5_l_partkey_within_eps', true""",
     }

@@ -1,21 +1,20 @@
 """Sketch-based approximate operators with MEASURED quality contracts
 (SURVEY.md §2.10 engine extensions).
 
-At 100 TB the exact forms of distinct-count, percentile, and membership
+At 100 TB the exact forms of distinct-count, percentile, and frequency
 are shuffle-heavy or impossible (a distinct over a trillion keys);
 their sketch counterparts — HyperLogLog++ (``approx_count_distinct``),
-the Greenwald-Khanna/KLL family (``approx_percentile``), and Bloom
-filters (``bloom_filter_agg`` / ``might_contain``) — are single-pass,
-mergeable, and bounded-memory.  All three are JVM aggregates (no
-Python anywhere).
+Apache DataSketches HLL (mergeable via ``hll_union_agg``) and KLL
+quantiles, the ``approx_percentile`` digest, and the Count-Min
+frequency sketch — are single-pass, mergeable, and bounded-memory.
+All builds are JVM aggregates (no Python in any row path).
 
 An approximate answer can't hash-match an exact oracle, so the gate
 contract is the QUALITY CLAIM instead: each check computes sketch and
 exact answers side by side and emits a boolean row ("within 5%",
-"no false negatives", "fp rate under bound") — booleans the DuckDB
-oracle pins as constants.  Same pattern as ``emb_ann_quality``: the
-artifact recorded by the driver is the measured guarantee, not a
-lucky number.
+"estimate never under-counts") — booleans the DuckDB oracle pins as
+constants.  Same pattern as ``emb_ann_quality``: the artifact recorded
+by the driver is the measured guarantee, not a lucky number.
 """
 
 from __future__ import annotations
@@ -124,4 +123,49 @@ def kll_quantile_within(
             F.abs(F.col("approx") - F.col("exact"))
             <= F.lit(float(rel_tol)) * F.abs(F.col("exact"))
         ).alias("ok"),
+    )
+
+
+def cms_heavy_hitters_within(
+    df: DataFrame,
+    col: str,
+    k: int = 5,
+    eps: float = 0.0001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """One row pinning the Count-Min sketch contract on the ``k``
+    heaviest keys: every estimate must be ≥ the exact count (CMS never
+    under-counts) and ≤ exact + eps·N (the one-sided error bound, held
+    with probability ``confidence``).
+
+    The sketch builds as one distributed ``count_min_sketch``
+    aggregate; the probe deserializes it through Spark's public
+    ``org.apache.spark.util.sketch.CountMinSketch`` and queries the
+    ``k`` exact heavy hitters (a bounded top-k collect — the contract
+    check, not the data path)."""
+    spark = df.sparkSession
+    sk = df.agg(
+        F.count_min_sketch(
+            col, F.lit(float(eps)), F.lit(float(confidence)), F.lit(int(seed))
+        ).alias("s")
+    ).first()["s"]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk))
+    )
+    top = (
+        df.groupBy(col)
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col(col).asc())
+        .limit(int(k))
+        .collect()
+    )
+    total = int(cms.totalCount())
+    ok = all(
+        int(r["n"]) <= cms.estimateCount(int(r[col])) <= int(r["n"]) + eps * total
+        for r in top
+    )
+    return spark.createDataFrame(
+        [(f"cms_top{int(k)}_{col}_within_eps", bool(ok))], "metric STRING, ok BOOLEAN"
     )

@@ -53,3 +53,13 @@ def test_sketch_contract_is_sensitive(spark):
     row2 = SK.distinct_within(df, "key", rel_tol=-1.0).collect()[0]
     assert row2.ok is False
     assert row.metric.startswith("approx_p99")
+
+
+def test_cms_heavy_hitters_contract(spark):
+    from community_detection_flink_spark.operators import sketches as SK
+
+    # zipf-ish key distribution: key k appears ~2000/(k+1) times
+    rows = [(k,) for k in range(50) for _ in range(2000 // (k + 1))]
+    df = spark.createDataFrame(rows, "key LONG")
+    row = SK.cms_heavy_hitters_within(df, "key", k=5).collect()[0]
+    assert row.ok and row.metric == "cms_top5_key_within_eps"
