@@ -903,6 +903,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(SK.cms_heavy_hitters_within(li, "l_partkey"))
         )
 
+    def g_pagerank_weighted(spark, sf):
+        """Weighted PageRank over the co-purchase graph with edge
+        weight = number of orders the pair co-occurs in (derived here,
+        not the cached distinct graph; graph_metrics.pagerank_weighted).
+        Exact oracle: the same five weighted rounds unrolled."""
+        from community_detection_flink_spark.operators import graph_metrics as GM
+
+        li = load_table(spark, sf, "lineitem")
+        pairs = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+        ew = (
+            pairs.alias("a")
+            .join(pairs.alias("b"), "ok")
+            .where(F.col("a.pk") != F.col("b.pk"))
+            .groupBy(
+                F.col("a.pk").alias("src"), F.col("b.pk").alias("dst")
+            )
+            .agg(F.count("*").alias("w"))
+        )
+        return GM.pagerank_weighted(ew, iterations=5)
+
+    def g_modularity(spark, sf):
+        """Newman modularity of the deterministic vId%10 labeling on the
+        co-purchase graph (graph_metrics.modularity) — a labeling
+        scorer usable on ANY partition, oracle-checked exactly."""
+        from community_detection_flink_spark.operators import graph_metrics as GM
+
+        edges, _, _ = _graph(spark, sf)
+        labels = edges.select(F.col("src").alias("vId")).distinct().withColumn(
+            "cId", F.col("vId") % 10
+        )
+        return GM.modularity(labels, edges)
+
     def g_bfs(spark, sf):
         """BFS shortest-path distances from the smallest vertex id over
         the co-purchase graph (frontier expansion, parquet-landed
@@ -1120,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_features": mm_decode_features,
         "mm_frame_sample": mm_frame_sample,
         "g_pagerank": g_pagerank,
+        "g_pagerank_weighted": g_pagerank_weighted,
+        "g_modularity": g_modularity,
         "g_kcore": g_kcore,
         "g_bfs": g_bfs,
         "doc_bm25": doc_bm25,
@@ -1819,6 +1855,38 @@ SELECT doc_id, CAST(f AS BIGINT) AS frame_no, CAST(f * 128 AS BIGINT) AS byte_of
 FROM b, UNNEST(range(0, CAST(greatest(floor((bl - 1) / 128.0), 0) AS BIGINT) + 1)) AS t(f)""",
         "g_pagerank": _G + ",\n" + _pagerank_sql(5),
         "g_kcore": _G + ",\n" + _kcore_sql(80, 12),
+        "g_pagerank_weighted": """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+wedges AS (
+  SELECT a.pk AS src, b.pk AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM li a JOIN li b USING (ok) WHERE a.pk <> b.pk GROUP BY a.pk, b.pk
+),
+ws AS (SELECT src, SUM(w) AS wsum FROM wedges GROUP BY src),
+nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ws),
+p0 AS (SELECT src AS vId, 1.0 / n AS pr FROM ws, nv),
+"""
+        + ",\n".join(
+            f"p{i} AS (SELECT e.dst AS vId, (1.0 - 0.85) / n + 0.85 * SUM(p.pr * e.w / s.wsum) AS pr\n"
+            f"  FROM wedges e JOIN p{i-1} p ON p.vId = e.src JOIN ws s ON s.src = e.src, nv\n"
+            f"  GROUP BY e.dst, n)"
+            for i in range(1, 6)
+        )
+        + "\nSELECT vId, ROUND(pr, 9) AS pr FROM p5",
+        "g_modularity": _G + """,
+mlab AS (SELECT DISTINCT src AS vId, src % 10 AS cId FROM edges),
+mew AS (
+  SELECT l1.cId AS c_src, l2.cId AS c_dst
+  FROM edges e JOIN mlab l1 ON l1.vId = e.src JOIN mlab l2 ON l2.vId = e.dst
+),
+mper AS (
+  SELECT c_src,
+    SUM(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END) / 2.0 AS a,
+    CAST(COUNT(*) AS DOUBLE) AS deg
+  FROM mew GROUP BY c_src
+),
+mm AS (SELECT COUNT(*) / 2.0 AS m FROM edges)
+SELECT ROUND(SUM(a / m - POW(deg / (2.0 * m), 2.0)), 9) AS modularity
+FROM mper, mm""",
         # UNION (not UNION ALL) bounds the working set at one row per
         # (vertex, depth) pair, so the recursion never explodes on the
         # dense graph; MIN(d) per vertex is the BFS distance

@@ -188,3 +188,78 @@ def bfs_distances(
         visited = new_visited
         frontier = visited.where(F.col("dist") == d)
     return visited
+
+
+def pagerank_weighted(
+    edges_w: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over WEIGHTED doubled edges ``(src, dst, w)``:
+    contributions are proportional to edge weight, pr(u)·w_uv / W_u
+    with W_u the vertex's outgoing weight sum.  Same fixed-round /
+    cached-edge-layout shape as ``pagerank`` (which is the w ≡ 1
+    special case); same 9-decimal rounding contract for the oracle.
+    """
+    wsum = edges_w.groupBy("src").agg(F.sum("w").cast("double").alias("wsum")).persist()
+    dedges = (
+        edges_w.join(wsum, "src")
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    n1 = F.broadcast(wsum.agg(F.count("*").cast("double").alias("n")))
+
+    ranks = wsum.select("src").crossJoin(n1).select(
+        F.col("src").alias("vId"), (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    d = float(damping)
+    for _ in range(int(iterations)):
+        contrib = (
+            dedges.join(ranks, dedges["src"] == ranks["vId"])
+            .select(
+                F.col("dst"),
+                (F.col("pr") * F.col("w").cast("double") / F.col("wsum")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = contrib.crossJoin(n1).select(
+            F.col("dst").alias("vId"),
+            ((1.0 - d) / F.col("n") + d * F.col("mass")).alias("pr"),
+        )
+    return ranks.select("vId", F.round("pr", 9).alias("pr"))
+
+
+def modularity(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Newman modularity Q of a labeling over a symmetrized doubled-edge
+    graph: Q = Σ_c [ a_c/m − (d_c/2m)² ] with m undirected edges, a_c
+    intra-community undirected edges, d_c the community's degree sum.
+
+    One triplets pass (two label joins — labels broadcast when small)
+    + two tiny aggregates; the result is a single scalar row
+    ``(modularity)`` rounded to 9 decimals (sum-order float noise is
+    ~1e-16).  The quality metric the WCC family's own objective is an
+    alternative to — exposed so users can score ANY labeling.
+    """
+    lab = labels.select("vId", "cId")
+    ewc = (
+        edges.join(lab.withColumnsRenamed({"vId": "src", "cId": "c_src"}), "src")
+        .join(lab.withColumnsRenamed({"vId": "dst", "cId": "c_dst"}), "dst")
+    )
+    per_c = ewc.groupBy("c_src").agg(
+        (
+            F.sum(F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0)) / 2.0
+        ).alias("a"),
+        F.count("*").cast("double").alias("deg"),
+    )
+    m1 = F.broadcast(
+        edges.agg((F.count("*") / 2.0).alias("m"))
+    )
+    q = per_c.crossJoin(m1).select(
+        (
+            F.col("a") / F.col("m")
+            - F.pow(F.col("deg") / (2.0 * F.col("m")), 2.0)
+        ).alias("qc")
+    )
+    return q.agg(F.round(F.sum("qc"), 9).alias("modularity"))

@@ -111,3 +111,46 @@ def test_bfs_distances_explicit_source_and_cap(spark):
     assert got == {3: 0, 2: 1, 4: 1, 1: 2, 5: 2, 0: 3, 6: 3}
     capped = {r.vId: r.dist for r in bfs_distances(e, source=0, max_depth=2).collect()}
     assert capped == {0: 0, 1: 1, 2: 2}
+
+
+def test_weighted_pagerank_reduces_to_unweighted(spark, golden_edges):
+    from community_detection_flink_spark.operators.graph_metrics import (
+        pagerank,
+        pagerank_weighted,
+    )
+
+    e = symmetrize_edges(golden_edges)
+    ew = e.withColumn("w", F.lit(1).cast("long"))
+    uw = {r.vId: r.pr for r in pagerank(e).collect()}
+    ww = {r.vId: r.pr for r in pagerank_weighted(ew).collect()}
+    assert uw == ww  # w ≡ 1 must be EXACTLY the unweighted result
+
+
+def test_weighted_pagerank_weight_pulls_rank(spark):
+    from community_detection_flink_spark.operators.graph_metrics import (
+        pagerank_weighted,
+    )
+
+    # triangle 0-1-2, but edge 0-1 is 10x heavier: 0 and 1 outrank 2
+    rows = [(0, 1, 10), (1, 0, 10), (0, 2, 1), (2, 0, 1), (1, 2, 1), (2, 1, 1)]
+    ew = spark.createDataFrame(rows, "src LONG, dst LONG, w LONG")
+    pr = {r.vId: r.pr for r in pagerank_weighted(ew).collect()}
+    assert pr[0] == pytest.approx(pr[1], abs=1e-9)
+    assert pr[0] > pr[2]
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_modularity_known_values(spark):
+    from community_detection_flink_spark.operators.graph_metrics import modularity
+
+    # two disjoint triangles, perfectly split labeling: Q = 1/2
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    e = _doubled(spark, pairs)
+    labs = spark.createDataFrame(
+        [(i, i // 3) for i in range(6)], "vId LONG, cId LONG"
+    )
+    q = modularity(labs, e).collect()[0].modularity
+    assert q == pytest.approx(0.5, abs=1e-9)
+    # everything in ONE community: Q = 0
+    labs1 = spark.createDataFrame([(i, 0) for i in range(6)], "vId LONG, cId LONG")
+    assert modularity(labs1, e).collect()[0].modularity == pytest.approx(0.0, abs=1e-9)
