@@ -887,6 +887,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges, _, _ = _graph(spark, sf)
         return GM.k_core(edges, k=80)
 
+    def rel_q3_shipping_priority(spark, sf):
+        """TPC-H Q3 analog (shipping priority): revenue of BUILDING-
+        segment orders placed before / shipped after the cut date,
+        top-10 by revenue.  Classic 3-way star join + decimal-exact
+        aggregate + deterministic top-k."""
+        cut = "1998-01-01"
+        c = load_table(spark, sf, "customer").where(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        o = load_table(spark, sf, "orders").where(F.col("o_orderdate") < cut)
+        li = load_table(spark, sf, "lineitem").where(F.col("l_shipdate") > cut)
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                )
+                .cast("double")
+                .alias("revenue")
+            )
+            .select(
+                "l_orderkey",
+                F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                    "o_orderdate_us"
+                ),
+                "o_orderpriority",
+                "revenue",
+            )
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10)
+        )
+
+    def rel_q18_large_orders(spark, sf):
+        """TPC-H Q18 analog (large-volume customers): orders whose
+        total quantity exceeds 150, with customer and order context.
+        Aggregate-then-semi-join shape — the HAVING subquery never
+        re-scans lineitem."""
+        li = load_table(spark, sf, "lineitem")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+            .where(F.col("total_qty") > 150)
+        )
+        o = load_table(spark, sf, "orders")
+        c = load_table(spark, sf, "customer")
+        return (
+            big.join(o, big["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .select(
+                "c_custkey",
+                "c_name",
+                F.col("l_orderkey").alias("o_orderkey"),
+                F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                    "o_orderdate_us"
+                ),
+                "o_totalprice",
+                "total_qty",
+            )
+        )
+
     def rel_sketch_quality(spark, sf):
         """Sketch operators under measured quality contracts
         (operators/sketches.py): HLL++ distinct within 5%, KLL-style
@@ -1172,6 +1236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_wav_roundtrip": mm_wav_roundtrip,
         "mm_bmp_roundtrip": mm_bmp_roundtrip,
         "rel_sketch_quality": rel_sketch_quality,
+        "rel_q3_shipping_priority": rel_q3_shipping_priority,
+        "rel_q18_large_orders": rel_q18_large_orders,
     }
 
 
@@ -2052,4 +2118,28 @@ UNION ALL SELECT 'approx_p50_l_extendedprice_within_5pct', true
 UNION ALL SELECT 'hll_merged_l_partkey_by_l_returnflag_within_5pct', true
 UNION ALL SELECT 'kll_p50_l_extendedprice_within_5pct', true
 UNION ALL SELECT 'cms_top5_l_partkey_within_eps', true""",
+        "rel_q3_shipping_priority": """
+SELECT l_orderkey,
+  epoch_us(o_orderdate) AS o_orderdate_us,
+  o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10""",
+        "rel_q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(l_quantity) AS DOUBLE) > 150
+)
+SELECT c_custkey, c_name, o_orderkey,
+  epoch_us(o_orderdate) AS o_orderdate_us, o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey""",
     }
