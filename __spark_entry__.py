@@ -887,6 +887,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges, _, _ = _graph(spark, sf)
         return GM.k_core(edges, k=80)
 
+    def rel_pivot_status(spark, sf):
+        """Pivot: order counts per priority pivoted across the three
+        order statuses (one wide row per priority).  The oracle mirrors
+        with CASE-sums, pinning the same reshaping."""
+        o = load_table(spark, sf, "orders")
+        return (
+            o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.count(F.lit(1)))
+            .select(
+                "o_orderpriority",
+                F.coalesce("F", F.lit(0)).cast("long").alias("n_f"),
+                F.coalesce("O", F.lit(0)).cast("long").alias("n_o"),
+                F.coalesce("P", F.lit(0)).cast("long").alias("n_p"),
+            )
+        )
+
+    def rel_snapshot_diff(spark, sf):
+        """Snapshot diff (lakehouse change detection): classify every
+        order key as added / removed / changed / unchanged between two
+        deterministic snapshots of the orders table (cut by order key
+        range, price perturbed on a slice).  Full-outer join +
+        null-safe comparison — the T7-family op a CDC backfill needs."""
+        o = load_table(spark, sf, "orders")
+        old = o.where(F.col("o_orderkey") % 10 != 0).select(
+            "o_orderkey", F.col("o_totalprice").alias("price")
+        )
+        new = o.where(F.col("o_orderkey") % 7 != 0).select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")).alias("price"),
+        )
+        j = old.alias("a").join(
+            new.alias("b"), "o_orderkey", "full_outer"
+        )
+        status = (
+            F.when(F.col("a.price").isNull(), "added")
+            .when(F.col("b.price").isNull(), "removed")
+            .when(~F.col("a.price").eqNullSafe(F.col("b.price")), "changed")
+            .otherwise("unchanged")
+        )
+        return j.select("o_orderkey", status.alias("status"))
+
     def rel_q3_shipping_priority(spark, sf):
         """TPC-H Q3 analog (shipping priority): revenue of BUILDING-
         segment orders placed before / shipped after the cut date,
@@ -1238,6 +1282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sketch_quality": rel_sketch_quality,
         "rel_q3_shipping_priority": rel_q3_shipping_priority,
         "rel_q18_large_orders": rel_q18_large_orders,
+        "rel_pivot_status": rel_pivot_status,
+        "rel_snapshot_diff": rel_snapshot_diff,
     }
 
 
@@ -2142,4 +2188,25 @@ SELECT c_custkey, c_name, o_orderkey,
 FROM big
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey""",
+        "rel_pivot_status": """
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority""",
+        "rel_snapshot_diff": """
+WITH s_old AS (
+  SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_orderkey % 10 <> 0
+),
+s_new AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT o_orderkey,
+  CASE WHEN o.price IS NULL THEN 'added'
+       WHEN n.price IS NULL THEN 'removed'
+       WHEN o.price IS DISTINCT FROM n.price THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM s_old o FULL OUTER JOIN s_new n USING (o_orderkey)""",
     }
