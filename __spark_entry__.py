@@ -904,6 +904,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def rel_unpivot_prices(spark, sf):
+        """Unpivot (melt): each order's two numeric measures unpacked
+        to (key, metric, value) long format — the inverse reshaping of
+        rel_pivot_status, via the native `unpivot` operator."""
+        o = load_table(spark, sf, "orders")
+        return o.unpivot(
+            "o_orderkey",
+            [
+                F.col("o_totalprice").alias("totalprice"),
+                F.col("o_custkey").cast("double").alias("custkey"),
+            ],
+            "metric",
+            "value",
+        )
+
     def rel_snapshot_diff(spark, sf):
         """Snapshot diff (lakehouse change detection): classify every
         order key as added / removed / changed / unchanged between two
@@ -1283,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q3_shipping_priority": rel_q3_shipping_priority,
         "rel_q18_large_orders": rel_q18_large_orders,
         "rel_pivot_status": rel_pivot_status,
+        "rel_unpivot_prices": rel_unpivot_prices,
         "rel_snapshot_diff": rel_snapshot_diff,
     }
 
@@ -2194,6 +2210,10 @@ SELECT o_orderpriority,
   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
   CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders GROUP BY o_orderpriority""",
+        "rel_unpivot_prices": """
+SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders
+UNION ALL
+SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders""",
         "rel_snapshot_diff": """
 WITH s_old AS (
   SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_orderkey % 10 <> 0
