@@ -1136,6 +1136,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return zscore_anomalies(load_table(spark, sf, "events"))
 
+    def ev_topk_per_window(spark, sf):
+        """Windowed top-k: the 3 busiest users of every tumbling hour
+        (time-bucketed count + per-window rank — the batch twin of a
+        streaming leaderboard)."""
+        from pyspark.sql import Window
+
+        ev = load_table(spark, sf, "events")
+        hour = (F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)).cast("long")
+        counts = ev.groupBy(hour.alias("hour_bucket"), "user_id").agg(
+            F.count("*").cast("long").alias("n_events")
+        )
+        w = Window.partitionBy("hour_bucket").orderBy(
+            F.col("n_events").desc(), F.col("user_id").asc()
+        )
+        return (
+            counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 3)
+        )
+
+    def doc_dup_ratio_by_source(spark, sf):
+        """Per-source duplication hygiene: distinct-text ratio per
+        source shard — the 'which shard is dirtiest' question every
+        crawl pipeline asks before sampling."""
+        docs = load_table(spark, sf, "documents")
+        return docs.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct(F.md5("text")).cast("long").alias("n_distinct"),
+            F.round(
+                F.countDistinct(F.md5("text")) / F.count("*"), 6
+            ).alias("distinct_ratio"),
+        )
+
     def doc_normalize(spark, sf):
         """Canonical text cleanup (control chars, whitespace collapse,
         lowercase; operators/textual.py::normalize_text)."""
@@ -1286,6 +1318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": doc_tfidf,
         "rel_scd2": rel_scd2,
         "ev_anomalies": ev_anomalies,
+        "ev_topk_per_window": ev_topk_per_window,
+        "doc_dup_ratio_by_source": doc_dup_ratio_by_source,
         "doc_normalize": doc_normalize,
         "doc_quality_sample": doc_quality_sample,
         "emb_centroid_assign": emb_centroid_assign,
@@ -2102,6 +2136,21 @@ WITH s AS (
 SELECT event_id, event_type, value, ROUND((value - mu) / sigma, 6) AS z
 FROM events JOIN s USING (event_type)
 WHERE ABS(ROUND((value - mu) / sigma, 6)) > 3.0""",
+        "ev_topk_per_window": """
+WITH counts AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_bucket, user_id,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT hour_bucket, user_id, n_events,
+  CAST(ROW_NUMBER() OVER (PARTITION BY hour_bucket ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS rank
+FROM counts
+QUALIFY rank <= 3""",
+        "doc_dup_ratio_by_source": """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+  ROUND(CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6) AS distinct_ratio
+FROM documents GROUP BY source""",
         "doc_normalize": """
 WITH c AS (
   SELECT doc_id, text,
