@@ -50,11 +50,18 @@ def pagerank(
     the input, which is what makes the exact DuckDB oracle possible.
 
     The scalar 1/N enters through a broadcast one-row aggregate, not a
-    driver round-trip, so the whole computation is one lazily-planned
-    DAG: ``iterations`` joins deep, executed once by the caller's
-    action.  Ranks are rounded to 9 decimals on output — summation
-    order across engines/partitionings differs at ~1e-16 relative, far
-    below the rounding grain.
+    driver round-trip.  Ranks are rounded to 9 decimals on output —
+    summation order across engines/partitionings differs at ~1e-16
+    relative, far below the rounding grain.
+
+    The result is computed EAGERLY (localCheckpoint): the two
+    edge-sized caches the rounds share (deg, dedges) are unpersisted
+    before returning, so repeated invocations in one session don't
+    accumulate executor storage (ADVICE r3); the returned vertex-sized
+    result is RDD-backed and freed by the ContextCleaner when the
+    caller drops it.  (localCheckpoint is safe for a single terminal
+    state — the compounding-stats pathology in ``plans/iteration.py``
+    bites only when rounds re-checkpoint on top of each other.)
     """
     # one vertex-sized table, cached: feeds the degree-annotated edge
     # list, the vertex-count scalar, AND the uniform start — one edge
@@ -90,7 +97,10 @@ def pagerank(
             F.col("dst").alias("vId"),
             ((1.0 - d) / F.col("n") + d * F.col("mass")).alias("pr"),
         )
-    return ranks.select("vId", F.round("pr", 9).alias("pr"))
+    out = ranks.select("vId", F.round("pr", 9).alias("pr")).localCheckpoint()
+    deg.unpersist(False)
+    dedges.unpersist(False)
+    return out
 
 
 def k_core(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
@@ -199,7 +209,8 @@ def pagerank_weighted(
     contributions are proportional to edge weight, pr(u)·w_uv / W_u
     with W_u the vertex's outgoing weight sum.  Same fixed-round /
     cached-edge-layout shape as ``pagerank`` (which is the w ≡ 1
-    special case); same 9-decimal rounding contract for the oracle.
+    special case); same 9-decimal rounding contract for the oracle,
+    and the same eager-result / unpersist-caches lifetime (ADVICE r3).
     """
     wsum = edges_w.groupBy("src").agg(F.sum("w").cast("double").alias("wsum")).persist()
     dedges = (
@@ -228,7 +239,10 @@ def pagerank_weighted(
             F.col("dst").alias("vId"),
             ((1.0 - d) / F.col("n") + d * F.col("mass")).alias("pr"),
         )
-    return ranks.select("vId", F.round("pr", 9).alias("pr"))
+    out = ranks.select("vId", F.round("pr", 9).alias("pr")).localCheckpoint()
+    wsum.unpersist(False)
+    dedges.unpersist(False)
+    return out
 
 
 def modularity(labels: DataFrame, edges: DataFrame) -> DataFrame:
