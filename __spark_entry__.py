@@ -341,6 +341,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         state = incremental_delete(state, dels)
         return state.vertices.select("vId", "cId")
 
+    def wcc_incremental_localized(spark, sf):
+        """E2 with LOCALIZED micro-batches and batch-neighborhood
+        (scoped) refinement — rows-only, iterative (VERDICT r3 #2/#3).
+        The id-range harness batches touch every community, hiding the
+        scoped path's win; this runs the localized fixture
+        (``streaming.localized_batches``) through the default scoped
+        ``incremental_update``, whose splice algebra is exactness-
+        pinned by tests/test_incremental_localized.py."""
+        from community_detection_flink_spark.operators.incremental import (
+            incremental_update,
+        )
+        from community_detection_flink_spark.streaming.incremental_stream import (
+            localized_batches,
+            run_edge_batches,
+        )
+
+        e, _, _ = _graph(spark, sf)
+        state = run_edge_batches(
+            e, bulk_to_stream_ratio=0.8, n_batches=1, tri_full=_TRI_CACHE[sf]
+        )
+        for batch in localized_batches(state, n_batches=2, new_per_batch=20):
+            state = incremental_update(state, batch)
+        return state.vertices.select("vId", "cId")
+
     def g_adjacency(spark, sf):
         """A1 adjacency lists, exploded to (vId, pos, neighbor) scalar
         rows so the oracle hash-check can canonicalize them (pandas
@@ -1317,6 +1341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pivot_status": rel_pivot_status,
         "rel_unpivot_prices": rel_unpivot_prices,
         "rel_snapshot_diff": rel_snapshot_diff,
+        # new in round 4
+        "wcc_incremental_localized": wcc_incremental_localized,
         # certified in r1-r3 (CORRECTNESS_r01-r03) — below the cap now
         "g_degrees": g_degrees,
         "g_triangle_counts": g_triangle_counts,

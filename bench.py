@@ -70,7 +70,14 @@ def wcc_incremental_split(spark, sf_dir: str, n_batches: int = 4):
     benchable claim of the incremental path is delta ≪ full-pipeline,
     which a single end-to-end number hides.  ``n_batches=4`` so the
     carried-state reuse (triangle-list union, incremental.py) is
-    exercised batch-over-batch.  Returns (rows, t_prepare, t_delta)."""
+    exercised batch-over-batch.
+
+    After the id-range batches (locality-free: SCALING.md measured
+    them touching 1712/1712 communities), runs ``n_batches`` LOCALIZED
+    batches (VERDICT r3 #3) through the same state — the workload
+    shape where the scoped refinement's delta ∝ batch neighborhood
+    shows up.  Returns (rows, t_prepare, t_delta, t_localized, diag)
+    with diag the last localized batch's scope telemetry."""
     from pyspark.sql import functions as F
 
     from community_detection_flink_spark.operators.incremental import (
@@ -79,6 +86,7 @@ def wcc_incremental_split(spark, sf_dir: str, n_batches: int = 4):
     )
     from community_detection_flink_spark.plans.iteration import Materializer
     from community_detection_flink_spark.streaming.incremental_stream import (
+        localized_batches,
         micro_batches,
         split_bulk_stream,
     )
@@ -100,7 +108,59 @@ def wcc_incremental_split(spark, sf_dir: str, n_batches: int = 4):
         state = incremental_update(state, batch, mat=mat)
     rows = state.vertices.select("vId", "cId").count()
     t_delta = time.time() - t0
-    return rows, t_prepare, t_delta
+    state.max_vertex = max_vertex
+    t0 = time.time()
+    diag: dict = {}
+    loc = list(localized_batches(state, n_batches=n_batches))
+    for i, batch in enumerate(loc):
+        # telemetry counts only on the last batch — keeps the timed
+        # loop free of extra jobs
+        state = incremental_update(
+            state, batch, mat=mat, diag=diag if i == len(loc) - 1 else None
+        )
+    state.vertices.count()
+    t_localized = time.time() - t0
+    return rows, t_prepare, t_delta, t_localized, diag
+
+
+def wcc_incremental_clustered(spark, n_comms: int = 2000, size: int = 10,
+                              n_batches: int = 4):
+    """Localized incremental batches on the CLUSTERED graph fixture
+    (VERDICT r3 #3).  The co-purchase graph is dense small-world —
+    every community's one-hop neighborhood spans the graph, so no
+    batch is localized there and the scoped path's win is invisible.
+    This is the regime where it shows: each batch anchors to one of
+    ``n_comms`` clusters, and the scoped refinement's data volume
+    tracks the batch neighborhood (diag counts prove it), not |E|.
+    Returns (t_prepare, t_localized, diag)."""
+    from community_detection_flink_spark.operators.incremental import (
+        incremental_update,
+        prepare,
+    )
+    from community_detection_flink_spark.plans.iteration import Materializer
+    from community_detection_flink_spark.sources.synthetic import clustered_graph
+    from community_detection_flink_spark.streaming.incremental_stream import (
+        localized_batches,
+    )
+
+    mat = Materializer(spark)
+    g = clustered_graph(spark, n_comms, size)
+    t0 = time.time()
+    state = prepare(g, mat=mat)
+    state.vertices.count()
+    t_prepare = time.time() - t0
+    state.max_vertex = n_comms * size - 1
+    t0 = time.time()
+    diag: dict = {}
+    loc = list(localized_batches(state, n_batches=n_batches))
+    for i, batch in enumerate(loc):
+        state = incremental_update(
+            state, batch, mat=mat, diag=diag if i == len(loc) - 1 else None
+        )
+    state.vertices.count()
+    t_localized = time.time() - t0
+    diag["n_vertices"] = state.vertex_count
+    return t_prepare, t_localized, diag
 
 
 def ann_quality(spark, sf_dir: str) -> dict[str, float]:
@@ -176,16 +236,22 @@ def main() -> None:
             # pipeline on the 80% bulk; the deltas are the actual
             # incremental path.  The combined number stays under the
             # old key for round-over-round comparability.
-            n, t_prep, t_delta = wcc_incremental_split(spark, sf_dir)
-            dt = t_prep + t_delta
+            n, t_prep, t_delta, t_loc, loc_diag = wcc_incremental_split(
+                spark, sf_dir
+            )
+            dt = t_prep + t_delta + t_loc
             timings["wcc_incremental_prepare"] = round(t_prep, 3)
             timings["wcc_incremental_delta"] = round(t_delta, 3)
             timings["wcc_incremental_delta_per_batch"] = round(t_delta / 4, 3)
+            timings["wcc_incremental_localized"] = round(t_loc, 3)
+            timings["wcc_incremental_localized_per_batch"] = round(t_loc / 4, 3)
             timings[name] = round(dt, 3)
             total += dt
             print(
                 f"# {name}: {n} rows in {dt:.2f}s "
-                f"(prepare {t_prep:.2f}s + 4-batch delta {t_delta:.2f}s)",
+                f"(prepare {t_prep:.2f}s + 4-batch delta {t_delta:.2f}s "
+                f"+ 4-batch localized {t_loc:.2f}s; last localized scope: "
+                f"{loc_diag})",
                 file=sys.stderr,
                 flush=True,
             )
@@ -196,6 +262,20 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr, flush=True)
+
+    # clustered-graph localized incremental (own fixture, scaled to
+    # ~|V| of sf0.1's co-purchase graph; timed outside `total` — it is
+    # a fixture demo, not a driver-data query)
+    t_cprep, t_cloc, cdiag = wcc_incremental_clustered(spark, 2000, 10)
+    timings["wcc_incremental_clustered_prepare"] = round(t_cprep, 3)
+    timings["wcc_incremental_localized_clustered"] = round(t_cloc, 3)
+    timings["wcc_incremental_localized_clustered_per_batch"] = round(t_cloc / 4, 3)
+    print(
+        f"# wcc_incremental_clustered: prepare {t_cprep:.2f}s + "
+        f"4-batch localized {t_cloc:.2f}s; last scope: {cdiag}",
+        file=sys.stderr,
+        flush=True,
+    )
 
     quality = ann_quality(spark, sf_dir)
     print(f"# ann quality: {quality}", file=sys.stderr, flush=True)

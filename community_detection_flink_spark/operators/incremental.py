@@ -39,7 +39,7 @@ from community_detection_flink_spark.operators.community import (
     best_movement,
     community_adjacency,
     community_stats,
-    global_wcc,
+    wccv_by_community,
 )
 from community_detection_flink_spark.operators.partition import initial_partition
 from community_detection_flink_spark.operators.preprocess import preprocess
@@ -74,6 +74,11 @@ class WCCState:
     # that need the id ceiling read it here instead of re-running an
     # agg job over the edge set
     max_vertex: int | None = None
+    # per-community sums of the per-vertex WCC kernel ``(cId, s, n)``
+    # (community.wccv_by_community) — carrying them is what lets a
+    # batch's final evaluation touch ONLY the communities in the batch
+    # neighborhood: every carried term outside it is provably unchanged
+    wccv: DataFrame | None = None
     # batches since ``edges``/``clean_edges`` were last parquet-landed:
     # inserts extend both as LAZY unions of disjoint deltas (no O(|E|)
     # dedup-shuffle-and-rewrite per batch — the r2 plans all paid one),
@@ -119,15 +124,25 @@ def prepare(
         ),
         "inc-vertices",
     )
+    stats = mat(res.stats, "inc-stats")
+    # per-community WCC sums, carried so incremental batches can
+    # re-evaluate only the communities they touch (one extra
+    # community-adjacency pass here, at bulk-load time)
+    clean_labeled = vertices.where(F.col("t") > 0)
+    vcd = mat.cache(community_adjacency(clean_labeled, clean_e), "prep-vcd")
+    wccv = mat(
+        wccv_by_community(clean_labeled, stats, vcd, res.tri), "inc-wccv"
+    )
     mat.release()
     return WCCState(
         edges=edges,
         clean_edges=clean_e,
         vertices=vertices,
-        stats=mat(res.stats, "inc-stats"),
+        stats=stats,
         global_wcc=res.global_wcc,
         vertex_count=res.vertex_count,
         tri=res.tri,
+        wccv=wccv,
     )
 
 
@@ -177,6 +192,8 @@ def incremental_update(
     mat: Materializer | None = None,
     rounds: int = INCREMENTAL_ROUNDS,
     election_scope: str = "affected",
+    refine_scope: str = "affected",
+    diag: dict | None = None,
 ) -> WCCState:
     """Merge one edge micro-batch and re-partition
     (``IncrementalWCC.run``, ``IncrementalWCC.scala:27-71``).
@@ -194,6 +211,20 @@ def incremental_update(
         refinement rounds that follow still move any boundary vertex
         the local election placed suboptimally.
       * ``"full"`` — the reference's behavior, kept for parity checks.
+
+    ``refine_scope`` (``"affected"`` default / ``"full"``): whether the
+    fixed-round refinement moves only the batch-neighborhood candidate
+    set or every clean vertex — see ``_elect_and_refine``.  The scoped
+    path additionally reuses the carried per-community stats/WCC sums
+    for everything outside the neighborhood, so the whole batch costs
+    ∝ the batch neighborhood, not |E| (VERDICT r3 #2; the reference
+    re-scans the whole graph 5×/batch, ``IncrementalWCC.scala:332-393``
+    — forbidden at 100 TB).
+
+    ``diag``: optional dict; when given, receives per-batch scope
+    telemetry (``n_affected_comms``, ``n_scope_vertices``,
+    ``n_candidates``, ``refine_rounds``) at the cost of a few extra
+    count jobs — for tests and SCALING.md, not the hot path.
     """
     mat = mat or Materializer(state.edges.sparkSession)
 
@@ -263,10 +294,12 @@ def incremental_update(
         .withColumn("cc", cc_col(F.col("t"), F.col("vt"))),
         "inc-verts",
     )
-    vertex_count = vertices.count()
-    global_cc = float(
-        vertices.agg(F.sum("cc")).first()[0] or 0.0
-    ) / vertex_count  # IncrementalWCC.scala:109
+    # one job for both scalars (count + cc sum)
+    row = vertices.agg(
+        F.count("*").alias("n"), F.sum("cc").alias("s")
+    ).first()  # IncrementalWCC.scala:109
+    vertex_count = int(row["n"])
+    global_cc = float(row["s"] or 0.0) / vertex_count
 
     # t changes exactly at corners of new triangles; vt changes at
     # endpoints of newly-cleaned edges — all of which are corners
@@ -283,6 +316,10 @@ def incremental_update(
         vertices, clean_new, changed_verts, tri_static, full_edges,
         vertex_count, global_cc, mat, rounds, election_scope,
         pending_unions=0 if compact else state.pending_unions + 1,
+        refine_scope=refine_scope,
+        old_stats=state.stats,
+        old_wccv=state.wccv,
+        diag=diag,
     )
 
 
@@ -298,18 +335,43 @@ def _elect_and_refine(
     rounds: int,
     election_scope: str,
     pending_unions: int = 0,
+    refine_scope: str = "affected",
+    old_stats: DataFrame | None = None,
+    old_wccv: DataFrame | None = None,
+    diag: dict | None = None,
+    affected_comms: DataFrame | None = None,
 ) -> WCCState:
     """Shared tail of every incremental batch (insert or delete):
     re-elect centers (inside affected communities, or globally), run
-    the fixed-round refinement, and assemble the next ``WCCState``."""
-    # center election on the cleaned subgraph
-    if election_scope == "affected":
+    the fixed-round refinement, and assemble the next ``WCCState``.
+
+    ``refine_scope="affected"`` (with ``election_scope="affected"``
+    and carried ``old_stats``/``old_wccv``) runs the movement rounds
+    over ONLY the batch neighborhood — see ``_refine_scoped`` — so a
+    localized batch costs ∝ its neighborhood instead of 5×O(|E|)
+    (VERDICT r3 #2).  Any other combination falls back to the
+    reference-shaped whole-graph rounds
+    (``IncrementalWCC.scala:332-393``), kept as the parity mode.
+
+    ``affected_comms``: optional override of the affected-community
+    set.  The default derives it from ``vertices``' labels of the
+    changed vertices — correct for inserts (new vertices carry their
+    own id as label).  The DELETE path must pass the PRE-delete labels
+    instead: a vertex reverted to a singleton (t → 0) already carries
+    ``cId = vId`` in ``vertices``, which would hide its former
+    community from the affected set even though that community lost a
+    member and its boundary edges — the carried-stats splice (and the
+    election) must see it.
+    """
+    if affected_comms is None:
         affected_comms = (
             vertices.join(changed_verts, "vId", "left_semi")
             .select("cId")
             .distinct()
         )
-        clean_all = vertices.where(F.col("t") > 0)
+    clean_all = vertices.where(F.col("t") > 0)
+    # center election on the cleaned subgraph
+    if election_scope == "affected":
         elect_verts = clean_all.join(
             F.broadcast(affected_comms), "cId", "left_semi"
         ).select("vId", "t", "vt", "cc")
@@ -326,10 +388,23 @@ def _elect_and_refine(
     else:
         # reference behavior (IncrementalWCC.scala:185-227): rerun the
         # election Pregel over the whole triangle subgraph
-        clean_verts = vertices.where(F.col("t") > 0).select("vId", "t", "vt", "cc")
+        clean_verts = clean_all.select("vId", "t", "vt", "cc")
         part = mat(initial_partition(clean_verts, clean_new, mat=mat), "inc-part")
     mat.release()
 
+    if (
+        refine_scope == "affected"
+        and election_scope == "affected"
+        and old_stats is not None
+        and old_wccv is not None
+    ):
+        return _refine_scoped(
+            vertices, part, clean_new, affected_comms, tri_static,
+            full_edges, vertex_count, global_cc, mat, rounds,
+            old_stats, old_wccv, pending_unions, diag,
+        )
+
+    # ---------------- whole-graph parity path -------------------------
     # fixed-round refinement, no accept test (IncrementalWCC.scala:332-393).
     # Same per-round plan shape as refine_partition: one fused
     # community-adjacency aggregate per labeling, LAZY per-round stats
@@ -338,6 +413,7 @@ def _elect_and_refine(
     # triangle re-enumeration.
     loop_edges = clean_new.repartition("src").persist()  # see refine_partition
     cur = part
+    n_rounds = 0
     cur_vcd = community_adjacency(cur, loop_edges).persist()
     # persisted but not forced: the first broadcast in best_movement
     # materializes it; the second reads the cache (see refine_partition)
@@ -352,6 +428,7 @@ def _elect_and_refine(
             "inc-mv",
         )
         mat.release()
+        n_rounds += 1
         if obs.get["moves"] == 0:
             # fixed point: the remaining fixed rounds are identity
             # passes (IncrementalWCC.scala:382 runs them anyway); the
@@ -366,12 +443,23 @@ def _elect_and_refine(
         cur_cs = community_stats(cur, loop_edges, vcd=cur_vcd).persist()
         mat.drop(prev)     # superseded round state (no-op for `part`'s caller refs)
 
-    wcc = global_wcc(cur, loop_edges, cur_cs, vertex_count, vcd=cur_vcd, tri=tri_static)
+    # per-community WCC sums (carried for the scoped path of future
+    # batches); their total over |V| is the batch's global WCC — same
+    # kernel ``global_wcc`` evaluates, summed per community first
+    new_wccv = mat(
+        wccv_by_community(cur, cur_cs, cur_vcd, tri_static), "inc-wccv"
+    )
+    wcc = float(new_wccv.agg(F.sum("s")).first()[0] or 0.0) / vertex_count
     cached_cs = cur_cs
     cur_cs = mat(cur_cs, "inc-cs")  # outlives the vcd cache it derives from
     cached_cs.unpersist(False)
     cur_vcd.unpersist(False)
     loop_edges.unpersist(False)
+    if diag is not None:
+        diag["n_affected_comms"] = affected_comms.count()
+        diag["n_scope_vertices"] = None  # whole graph
+        diag["n_candidates"] = None
+        diag["refine_rounds"] = n_rounds
 
     final_vertices = mat(
         vertices.drop("cId")
@@ -391,6 +479,210 @@ def _elect_and_refine(
         vertex_count=vertex_count,
         tri=tri_static,
         pending_unions=pending_unions,
+        wccv=new_wccv,
+    )
+
+
+def _refine_scoped(
+    vertices: DataFrame,      # pre-election labeling (vId,t,vt,cc,cId)
+    part: DataFrame,          # post-election labeling, same schema
+    clean_new: DataFrame,
+    affected_comms: DataFrame,  # PRE-election labels of changed vertices
+    tri_static: DataFrame,
+    full_edges: DataFrame,
+    vertex_count: int,
+    global_cc: float,
+    mat: Materializer,
+    rounds: int,
+    old_stats: DataFrame,
+    old_wccv: DataFrame,
+    pending_unions: int,
+    diag: dict | None,
+) -> WCCState:
+    """Batch-neighborhood refinement (VERDICT r3 #2): run the fixed
+    movement rounds over only the vertices a batch can influence, and
+    splice carried per-community stats/WCC sums for everything else.
+
+    Scope construction (all sets distributed, nothing driver-side):
+
+      * S  = members of the post-election fragments of every affected
+             community (the vertices the election may have relabeled);
+      * M  = S ∪ neighbors(S) — the MOVEMENT CANDIDATES: exactly the
+             vertices whose movement inputs (own stats, a neighbor's
+             label, own t/vt) a batch can change;
+      * R  = labels of M — every community a candidate belongs to, and
+             the communities candidates may move INTO;
+      * V_R = all members of R-communities (complete communities, so
+             scoped community stats are exact).
+
+    Candidate TARGETS are clipped to R (the movement pass's stats join
+    is inner, so a target without fresh scoped stats simply isn't a
+    candidate).  For S-candidates this loses nothing — their
+    neighbors' labels are all in R by construction.  For boundary
+    candidates (nbr(S) \\ S) it forbids moves into communities the
+    batch didn't touch; from a converged prior state such a move was
+    already rejected before the batch, so the clip only matters where
+    the batch's global-scalar update flips a marginal far decision.
+    (Including neighbors-of-M labels in R instead was measured to
+    close the 2-hop neighborhood over the whole graph on dense
+    small-world inputs — scope 2160/2160 vertices at sf0.01 — turning
+    the scoped path into the full path with extra steps.)
+
+    Vertices outside M keep their labels: their own t/vt/cc, every
+    neighbor's label, their community's (r, a, b, d), and the triangle
+    corners around them are all batch-invariant, so a whole-graph
+    movement pass starting from a converged prior labeling decides
+    STAY for them — the only divergence from the ``"full"`` parity
+    mode is (a) leftover movement pressure when a PREVIOUS batch's
+    fixed 5 rounds ended before its fixed point, and (b) marginal
+    decisions that flip with the batch's update of the two global
+    scalars (global CC, |V|) — both bounded by the reference's own
+    approximation (it caps rounds at 5 with no convergence test).
+    Parity is regression-pinned in tests/test_incremental_localized.py.
+
+    Cost ∝ |edges incident to V_R| per round, + O(|T| scan) once for
+    the scoped triangle semi-join, + community-sized splices.  The
+    carried-stat algebra is exact: a pre-batch community either has
+    ALL members in V_R (dropped and recomputed — election relabels
+    whole communities, R-membership is by whole community) or NONE
+    (carried unchanged; no edge, label, or triangle it sums over can
+    have changed — every changed vertex is in an affected community
+    and every changed edge/triangle is incident to one).
+    """
+    clean_all = vertices.where(F.col("t") > 0)
+    affected_ids = clean_all.join(
+        F.broadcast(affected_comms), "cId", "left_semi"
+    ).select("vId")
+    # post-election labels of relabeled vertices = ALL fragments the
+    # election carved out of affected communities (not just fragments
+    # containing a changed vertex — every fragment needs fresh stats)
+    aff_new = part.join(affected_ids, "vId", "left_semi").select("cId").distinct()
+    s_ids = part.join(F.broadcast(aff_new), "cId", "left_semi").select("vId")
+    nbr_s = (
+        clean_new.join(s_ids.withColumnsRenamed({"vId": "src"}), "src", "left_semi")
+        .select(F.col("dst").alias("vId"))
+    )
+    m_ids = mat(s_ids.unionByName(nbr_s).distinct(), "scope-m")
+    r_comms = part.join(m_ids, "vId", "left_semi").select("cId").distinct()
+    vr = mat(part.join(F.broadcast(r_comms), "cId", "left_semi"), "scope-vr")
+    vr_ids = vr.select("vId")
+    # landed vr is the scope's root: re-derive the (tiny) community set
+    # from it instead of landing it separately
+    r_comms = vr.select("cId").distinct()
+    # the only edges any scoped aggregate reads: src inside V_R
+    scope_edges = (
+        clean_new.join(vr_ids.withColumnsRenamed({"vId": "src"}), "src", "left_semi")
+        .repartition("src")
+        .persist()
+    )
+    # labels of dst endpoints OUTSIDE V_R never change during the
+    # rounds — land them once, reuse in every per-round label map
+    outer_lab = mat(
+        part.select("vId", "cId")
+        .join(
+            scope_edges.select(F.col("dst").alias("vId")).distinct(),
+            "vId",
+            "left_semi",
+        )
+        .join(vr_ids, "vId", "left_anti"),
+        "scope-outer",
+    )
+
+    def _vcd(labels_scoped: DataFrame) -> DataFrame:
+        lab = labels_scoped.select("vId", "cId").unionByName(outer_lab)
+        return community_adjacency(lab, scope_edges)
+
+    cur = vr
+    n_rounds = 0
+    cur_vcd = _vcd(cur).persist()
+    cur_cs = community_stats(cur, scope_edges, vcd=cur_vcd).persist()
+    for _ in range(rounds):
+        obs = Observation()
+        moved_m = best_movement(
+            cur.join(m_ids, "vId", "left_semi"),
+            scope_edges, cur_cs, global_cc, vertex_count,
+            mat=mat,
+            vcd=cur_vcd.join(m_ids, "vId", "left_semi"),
+            moves_observation=obs,
+        )
+        nxt = mat(
+            cur.join(m_ids, "vId", "left_anti").unionByName(moved_m),
+            "inc-mv",
+        )
+        mat.release()
+        n_rounds += 1
+        if obs.get["moves"] == 0:
+            mat.drop(nxt)
+            break
+        cur_vcd.unpersist(False)
+        cur_cs.unpersist(False)
+        prev = cur
+        cur = nxt
+        cur_vcd = _vcd(cur).persist()
+        cur_cs = community_stats(cur, scope_edges, vcd=cur_vcd).persist()
+        if prev is not vr:
+            mat.drop(prev)
+
+    # splice carried stats/WCC sums: drop every PRE-batch community
+    # with a member in V_R (complete communities — see docstring),
+    # splice in the freshly computed scoped tables
+    dropped_old = vertices.join(vr_ids, "vId", "left_semi").select("cId").distinct()
+    new_stats = mat(
+        old_stats.select("cId", "r", "a", "b", "d")
+        .join(F.broadcast(dropped_old), "cId", "left_anti")
+        .unionByName(cur_cs.select("cId", "r", "a", "b", "d")),
+        "inc-cs",
+    )
+    wccv_scope = wccv_by_community(
+        cur, cur_cs, cur_vcd, tri_static, tri_scope=vr_ids
+    )
+    # the WCC total rides the splice landing as an Observation — no
+    # separate aggregation job
+    wccv_obs = Observation()
+    new_wccv = mat(
+        old_wccv.select("cId", "s", "n")
+        .join(F.broadcast(dropped_old), "cId", "left_anti")
+        .unionByName(wccv_scope.select("cId", "s", "n"))
+        .observe(wccv_obs, F.sum("s").alias("total")),
+        "inc-wccv",
+    )
+    wcc = float(wccv_obs.get["total"] or 0.0) / vertex_count
+
+    # merge the refined scope back over the untouched remainder
+    part_final = part.join(F.broadcast(r_comms), "cId", "left_anti").unionByName(cur)
+    final_vertices = mat(
+        vertices.drop("cId")
+        .join(part_final.select("vId", F.col("cId").alias("new_cId")), "vId", "left")
+        .select(
+            "vId", "t", "vt", "cc",
+            F.coalesce("new_cId", F.col("vId")).alias("cId"),
+        ),
+        "inc-final",
+    )
+    if diag is not None:
+        diag["n_affected_comms"] = affected_comms.count()
+        diag["n_scope_vertices"] = vr_ids.count()
+        diag["n_candidates"] = m_ids.count()
+        diag["refine_rounds"] = n_rounds
+
+    cur_vcd.unpersist(False)
+    cur_cs.unpersist(False)
+    scope_edges.unpersist(False)
+    for df in (m_ids, r_comms, outer_lab, part):
+        mat.drop(df)
+    if cur is not vr:
+        mat.drop(cur)
+    mat.drop(vr)
+    return WCCState(
+        edges=full_edges,
+        clean_edges=clean_new,
+        vertices=final_vertices,
+        stats=new_stats,
+        global_wcc=wcc,
+        vertex_count=vertex_count,
+        tri=tri_static,
+        pending_unions=pending_unions,
+        wccv=new_wccv,
     )
 
 
@@ -400,6 +692,8 @@ def incremental_delete(
     mat: Materializer | None = None,
     rounds: int = INCREMENTAL_ROUNDS,
     election_scope: str = "affected",
+    refine_scope: str = "affected",
+    diag: dict | None = None,
 ) -> WCCState:
     """Engine extension BEYOND the reference (``IncrementalWCC`` is
     insert-only): remove an edge micro-batch and re-partition.
@@ -505,15 +799,28 @@ def incremental_delete(
         .withColumn("cc", cc_col(F.col("t"), F.col("vt"))),
         "inc-verts",
     )
-    vertex_count = vertices.count()
-    global_cc = float(vertices.agg(F.sum("cc")).first()[0] or 0.0) / vertex_count
+    row = vertices.agg(F.count("*").alias("n"), F.sum("cc").alias("s")).first()
+    vertex_count = int(row["n"])
+    global_cc = float(row["s"] or 0.0) / vertex_count
 
     changed_verts = (
         dead.select(F.explode(F.array("u", "v", "w")).alias("vId")).distinct()
     )
+    # PRE-delete labels (see _elect_and_refine: a reverted singleton's
+    # new cId = vId would hide its former community from the set)
+    affected_old = (
+        state.vertices.join(changed_verts, "vId", "left_semi")
+        .select("cId")
+        .distinct()
+    )
     return _elect_and_refine(
         vertices, clean_new, changed_verts, tri_new, full_edges,
         vertex_count, global_cc, mat, rounds, election_scope,
+        refine_scope=refine_scope,
+        old_stats=state.stats,
+        old_wccv=state.wccv,
+        diag=diag,
+        affected_comms=affected_old,
     )
 
 
@@ -531,6 +838,8 @@ def save_state(state: WCCState, path: str) -> None:
     state.stats.write.mode("overwrite").parquet(f"{path}/stats")
     if state.tri is not None:
         state.tri.write.mode("overwrite").parquet(f"{path}/tri")
+    if state.wccv is not None:
+        state.wccv.write.mode("overwrite").parquet(f"{path}/wccv")
     spark.createDataFrame(
         [
             (
@@ -538,10 +847,11 @@ def save_state(state: WCCState, path: str) -> None:
                 state.vertex_count,
                 state.tri is not None,
                 state.max_vertex,
+                state.wccv is not None,
             )
         ],
         "global_wcc DOUBLE, vertex_count LONG, has_tri BOOLEAN,"
-        " max_vertex LONG",
+        " max_vertex LONG, has_wccv BOOLEAN",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
 
 
@@ -560,6 +870,13 @@ def load_state(spark, path: str) -> WCCState:
         max_vertex=(
             int(meta.max_vertex)
             if "max_vertex" in meta.__fields__ and meta.max_vertex is not None
+            else None
+        ),
+        # older saves have no carried WCC sums — batches fall back to
+        # the whole-graph parity path until the first full evaluation
+        wccv=(
+            spark.read.parquet(f"{path}/wccv")
+            if "has_wccv" in meta.__fields__ and meta.has_wccv
             else None
         ),
     )

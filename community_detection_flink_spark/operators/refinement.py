@@ -70,12 +70,16 @@ def refine_partition(
     tri: DataFrame | None = None,
     history: list | None = None,
     materialize_every: int = 1,
+    moves_history: list | None = None,
 ) -> tuple[DataFrame, DataFrame, float, float, int]:
     """Run the accept-if-improved movement loop.
 
     Returns (best_vertices, best_stats, best_wcc, global_cc, rounds).
     ``history``, if given, receives the initial WCC and each ACCEPTED
     round's WCC (driver-side floats the loop computes anyway).
+    ``moves_history``, if given, receives each landed round's moved-
+    vertex count (the Observation the loop already pays for) — scale
+    telemetry for SCALING.md's round-floor analysis, zero extra jobs.
 
     Per-round plan shape: ONE pass over the triplets per labeling — the
     two label joins feed directly into the ``community_adjacency``
@@ -159,6 +163,8 @@ def refine_partition(
         )
         land = (rounds + 1) % materialize_every == 0
         moved = mat(raw_moved, "moved") if land else raw_moved
+        if land and moves_history is not None:
+            moves_history.append(int(obs.get["moves"]))
         if land and obs.get["moves"] == 0:
             # fixed point: identical labels ⇒ identical stats ⇒ the
             # evaluate-and-compare below would conclude "no

@@ -18,6 +18,7 @@ only the driver-provided parquet tables.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def clustered_embeddings(
@@ -42,3 +43,50 @@ def clustered_embeddings(
     pts = centers[assign] + rng.normal(0.0, sigma, (n, dim))
     rows = [(int(i), [float(x) for x in pts[i]]) for i in range(n)]
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def clustered_graph(
+    spark: SparkSession, n_comms: int = 200, size: int = 10
+) -> DataFrame:
+    """Symmetrized doubled edge set of a deterministic CLUSTERED graph:
+    the graph-side twin of ``clustered_embeddings`` (VERDICT r3 #3).
+
+    The driver's co-purchase graph is dense small-world (average
+    degree ≈ 115 at sf0.01): any community's one-hop neighborhood
+    covers most of the graph, so no batch is localized THERE by
+    construction and scoped-vs-whole-graph incremental refinement is
+    indistinguishable.  Real incremental graph workloads (social,
+    citation, tenant-partitioned) are clustered; this generates that
+    regime: ``n_comms`` circulant clusters — vertex ``i`` links to
+    ``i±1, i±2`` within its cluster, so every consecutive triple is a
+    triangle and EVERY intra edge survives preprocessing — plus one
+    triangle-free bridge between consecutive clusters (pruned by the
+    triangle cleanup, exactly like the golden graph's 3-4 bridge).
+
+    Generated with Spark range/expressions — no driver-side edge
+    lists, so the fixture scales to any ``n_comms`` a bench wants.
+    """
+    n = n_comms * size
+    base = spark.range(n).select(F.col("id"))
+    comm_start = F.col("id") - (F.col("id") % size)
+    halves = [
+        base.select(
+            F.col("id").alias("src"),
+            (comm_start + (F.col("id") + off) % size).alias("dst"),
+        )
+        for off in (1, 2)
+    ]
+    bridges = spark.range(n_comms - 1).select(
+        (F.col("id") * size + size - 1).alias("src"),
+        ((F.col("id") + 1) * size).alias("dst"),
+    )
+    half = (
+        halves[0].unionByName(halves[1]).unionByName(bridges)
+        .where(F.col("src") != F.col("dst"))
+    )
+    return (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
