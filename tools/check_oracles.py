@@ -5,11 +5,19 @@ Runs every ``queries()`` entry at a given sf_dir on Spark AND its
 an order-insensitive value hash.  Usage::
 
     PYTHONPATH=/root/repo python tools/check_oracles.py [sf_dir] [name ...]
+    PYTHONPATH=/root/repo python tools/check_oracles.py --json OUT.json [sf_dir]
+
+``--json`` additionally writes a CORRECTNESS_r{N}.json-shaped record
+per query (rows_match/schema_match/hash_match/spark_rows/oracle_rows/
+err) — committed each round as ``CORRECTNESS_local_r{N}.json`` so the
+driver gate's 50-query prefix cap never leaves a registry entry
+without recorded evidence at HEAD (VERDICT r3 #6).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 import time
 
@@ -45,8 +53,14 @@ def table_hash(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
     spark = get_spark(master="local[8]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -67,10 +81,19 @@ def main():
             rows = [tuple(r) for r in df.collect()]
         except Exception as e:
             print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:200]}")
+            records[name] = dict(
+                rows_match=False, schema_match=None, hash_match=None,
+                spark_rows=None, oracle_rows=None,
+                err=f"spark: {type(e).__name__}",
+            )
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(rows)} rows ({time.time()-t0:.1f}s)")
+            records[name] = dict(
+                rows_match=None, schema_match=None, hash_match=None,
+                spark_rows=len(rows), oracle_rows=None, err="no_oracle",
+            )
             continue
         try:
             res = con.execute(oracles[name])
@@ -78,6 +101,11 @@ def main():
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:200]}")
+            records[name] = dict(
+                rows_match=None, schema_match=None, hash_match=None,
+                spark_rows=len(rows), oracle_rows=None,
+                err=f"oracle: {type(e).__name__}",
+            )
             n_fail += 1
             continue
         problems = []
@@ -89,6 +117,14 @@ def main():
             hs, ho = table_hash(rows, cols), table_hash(orows, ocols)
             if hs != ho:
                 problems.append(f"valuehash {hs} vs {ho}")
+        records[name] = dict(
+            rows_match=len(rows) == len(orows),
+            schema_match=sorted(cols) == sorted(ocols),
+            hash_match=not problems,
+            spark_rows=len(rows),
+            oracle_rows=len(orows),
+            err=None if not problems else "; ".join(problems),
+        )
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")
             # show a sample diff
@@ -103,6 +139,10 @@ def main():
             print(f"PASS {name}: {len(rows)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {json_out} ({len(records)} records)")
 
 
 if __name__ == "__main__":
