@@ -119,6 +119,43 @@ def _bucketed_rel(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return _BUCKETED_REL_CACHE[sf_dir]
 
 
+_FORMAT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _landed_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """A column subset of a driver table landed ONCE per (sf_dir, fmt)
+    as a CSV or JSON directory (S1/S5 source-format coverage): the
+    roundtrip queries read it back and aggregate, while the oracle
+    aggregates the parquet directly — hash equality proves the
+    engine's CSV/JSON sink→source path is lossless for the types
+    involved (long/string/double; Java's shortest-repr double
+    formatting round-trips exactly in both directions)."""
+    import os
+
+    key = (sf_dir, fmt)
+    if key in _FORMAT_CACHE and not os.path.isdir(_FORMAT_CACHE[key]):
+        del _FORMAT_CACHE[key]
+    if key not in _FORMAT_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix=f"cdfs-{fmt}-{_sf_tag(sf_dir)}-")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        if fmt == "csv":
+            df = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            )
+            df.write.mode("overwrite").option("header", True).csv(path)
+        else:
+            df = load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment", "c_acctbal"
+            )
+            df.write.mode("overwrite").json(path)
+        _FORMAT_CACHE[key] = path
+    return _FORMAT_CACHE[key]
+
+
 def _ivf_index(spark: SparkSession, sf_dir: str):
     """Persisted IVF index for the embeddings table, built ONCE per
     sf_dir per session (build = one corpus scan + bucketed-by-cell
@@ -364,6 +401,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for batch in localized_batches(state, n_batches=2, new_per_batch=20):
             state = incremental_update(state, batch)
         return state.vertices.select("vId", "cId")
+
+    def rel_csv_roundtrip(spark, sf):
+        """S1+S5 source-format parity (round 4): orders landed as CSV
+        with header, read back with an explicit schema, aggregated.
+        The oracle aggregates the PARQUET directly, so a hash match
+        proves the CSV sink→source path loses nothing (the reference
+        is CSV-native, ``CSVGraph.scala:23-45`` — this pins the same
+        fidelity for the engine's CSV path on typed columns)."""
+        path = _landed_copy(spark, sf, "csv")
+        o = (
+            spark.read.schema(
+                "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE"
+            )
+            .option("header", True)
+            .csv(path)
+        )
+        return o.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("o_orderkey").alias("first_order"),
+        )
+
+    def rel_json_roundtrip(spark, sf):
+        """S5+ JSON source-format parity (round 4): customer landed as
+        JSON lines, read back, aggregated; oracle reads the parquet.
+        Same lossless-roundtrip contract as ``rel_csv_roundtrip``."""
+        path = _landed_copy(spark, sf, "json")
+        c = spark.read.schema(
+            "c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE"
+        ).json(path)
+        return c.groupBy("c_mktsegment").agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_balance"),
+            F.min("c_custkey").alias("first_cust"),
+        )
+
+    def rel_grouping_sets(spark, sf):
+        """A9+ GROUPING SETS (round 4) — the general form of the
+        rollup/cube pair already certified; exercised through the SQL
+        surface (`spark.sql`) like a warehouse user would write it."""
+        load_table(spark, sf, "orders").createOrReplaceTempView("v_orders_gs")
+        return spark.sql(
+            """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS LONG) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM v_orders_gs
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            """
+        )
+
+    def doc_pii_scrub(spark, sf):
+        """Text-pipeline PII scrub (round 4): redact email-shaped
+        tokens and long digit runs, returning per-doc redaction counts
+        and an md5 fingerprint of the scrubbed text — the fingerprint
+        makes the gate prove the REPLACEMENT matches the oracle
+        byte-for-byte, not just the counts.  Patterns restricted to
+        syntax with identical semantics in Java regex and RE2."""
+        email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+        longnum = r"[0-9]{6,}"
+        d = load_table(spark, sf, "documents")
+        scrubbed = F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"),
+            longnum,
+            "<NUM>",
+        )
+        return d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0)))
+            .cast("long")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all("text", F.lit(longnum), F.lit(0)))
+            .cast("long")
+            .alias("n_longnums"),
+            F.md5(scrubbed).alias("scrub_md5"),
+        )
 
     def g_adjacency(spark, sf):
         """A1 adjacency lists, exploded to (vId, pos, neighbor) scalar
@@ -1343,6 +1460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_snapshot_diff": rel_snapshot_diff,
         # new in round 4
         "wcc_incremental_localized": wcc_incremental_localized,
+        "rel_csv_roundtrip": rel_csv_roundtrip,
+        "rel_json_roundtrip": rel_json_roundtrip,
+        "rel_grouping_sets": rel_grouping_sets,
+        "doc_pii_scrub": doc_pii_scrub,
         # certified in r1-r3 (CORRECTNESS_r01-r03) — below the cap now
         "g_degrees": g_degrees,
         "g_triangle_counts": g_triangle_counts,
@@ -1859,6 +1980,33 @@ FROM lineitem GROUP BY l_returnflag""",
         # dense-graph star-contraction CC: exact min-label oracle,
         # over-unrolled past the measured diameter (see _cc_minlabel_sql)
         "g_connected_components": _cc_minlabel_sql(30),
+        # source-format roundtrips: the oracle reads the PARQUET the
+        # engine's CSV/JSON copy was landed from — equality proves the
+        # sink→source path lossless
+        "rel_csv_roundtrip": """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+  MIN(o_orderkey) AS first_order
+FROM orders GROUP BY o_orderstatus""",
+        "rel_json_roundtrip": """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+  MIN(c_custkey) AS first_cust
+FROM customer GROUP BY c_mktsegment""",
+        "rel_grouping_sets": """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+        "doc_pii_scrub": r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
+  md5(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '[0-9]{6,}', '<NUM>', 'g')) AS scrub_md5
+FROM documents""",
         # iterative star-contraction CC with an exact closure oracle:
         # the order-chain graph is a union of short paths, so the
         # transitive closure is Σ chain² — tiny (contrast the dense
