@@ -457,30 +457,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def doc_pii_scrub(spark, sf):
-        """Text-pipeline PII scrub (round 4): redact email-shaped
-        tokens and long digit runs, returning per-doc redaction counts
-        and an md5 fingerprint of the scrubbed text — the fingerprint
-        makes the gate prove the REPLACEMENT matches the oracle
-        byte-for-byte, not just the counts.  Patterns restricted to
-        syntax with identical semantics in Java regex and RE2."""
-        email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-        longnum = r"[0-9]{6,}"
-        d = load_table(spark, sf, "documents")
-        scrubbed = F.regexp_replace(
-            F.regexp_replace(F.col("text"), email, "<EMAIL>"),
-            longnum,
-            "<NUM>",
-        )
-        return d.select(
-            "doc_id",
-            F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0)))
-            .cast("long")
-            .alias("n_emails"),
-            F.size(F.regexp_extract_all("text", F.lit(longnum), F.lit(0)))
-            .cast("long")
-            .alias("n_longnums"),
-            F.md5(scrubbed).alias("scrub_md5"),
-        )
+        """Text-pipeline PII scrub (round 4, ``textual.pii_scrub``):
+        per-doc redaction counts plus an md5 fingerprint of the
+        scrubbed text — the fingerprint makes the gate prove the
+        REPLACEMENT matches the oracle byte-for-byte, not just the
+        counts."""
+        return T.pii_scrub(load_table(spark, sf, "documents")).drop("clean_text")
 
     def g_adjacency(spark, sf):
         """A1 adjacency lists, exploded to (vId, pos, neighbor) scalar

@@ -418,3 +418,40 @@ def quality_weighted_sample(
         .select("doc_id", "quality", u.alias("draw"))
         .where(F.col("draw") < F.least(F.lit(1.0), F.lit(float(boost)) * F.col("quality")))
     )
+
+
+# PII patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB/Go tooling): character classes, bounded
+# and open quantifiers — no backreferences, no lookaround
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONGNUM = r"[0-9]{6,}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email-shaped tokens and long digit runs (≥6) from a text
+    column — the standard PII pass between crawling and tokenization
+    in a pretraining pipeline.
+
+    Output: ``(doc_id, n_emails, n_longnums, scrub_md5, clean_text)``
+    — redaction counts, an md5 fingerprint of the scrubbed text (what
+    the driver-gate oracle matches byte-for-byte), and the scrubbed
+    text itself.  Pure JVM ``regexp_replace``/``regexp_extract_all``
+    column expressions: zero Python, zero shuffle, one scan — at
+    100 TB this runs at parquet-read speed inside whole-stage codegen
+    (PLANS.md pins 0 exchanges / 0 Python nodes).
+    """
+    text = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), PII_LONGNUM, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_LONGNUM), F.lit(0)))
+        .cast("long")
+        .alias("n_longnums"),
+        F.md5(scrubbed).alias("scrub_md5"),
+        scrubbed.alias("clean_text"),
+    )

@@ -65,3 +65,30 @@ def test_contamination_flags(spark):
         for r in contamination_flags(corpus, bench, 5).collect()
     }
     assert got == {1: (True, 2), 2: (False, 0), 3: (False, 0)}
+
+
+def test_pii_scrub_redacts(spark):
+    from community_detection_flink_spark.operators.textual import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe+x@ex-ample.co.uk or a@b.io now"),
+            (2, "card 1234567890 pin 12345 ok 999999"),
+            (3, "clean text, no pii at all"),
+            (4, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (got[1].n_emails, got[1].n_longnums) == (2, 0)
+    assert got[1].clean_text == "mail me at <EMAIL> or <EMAIL> now"
+    # 12345 is below the 6-digit floor and survives
+    assert (got[2].n_emails, got[2].n_longnums) == (0, 2)
+    assert got[2].clean_text == "card <NUM> pin 12345 ok <NUM>"
+    assert (got[3].n_emails, got[3].n_longnums) == (0, 0)
+    assert got[3].clean_text == "clean text, no pii at all"
+    assert got[4].clean_text == ""
+    import hashlib
+
+    for r in got.values():  # fingerprint = md5 of the scrubbed text
+        assert r.scrub_md5 == hashlib.md5(r.clean_text.encode()).hexdigest()
