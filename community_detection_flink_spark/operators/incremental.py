@@ -377,7 +377,7 @@ def _elect_and_refine(
     # center election on the cleaned subgraph
     if election_scope == "affected":
         elect_verts = clean_all.join(
-            F.broadcast(affected_comms), "cId", "left_semi"
+            affected_comms, "cId", "left_semi"
         ).select("vId", "t", "vt", "cc")
         elect_edges = (
             clean_new.join(
@@ -386,7 +386,7 @@ def _elect_and_refine(
         )
         local = initial_partition(elect_verts, elect_edges, mat=mat)
         keep = clean_all.join(
-            F.broadcast(affected_comms), "cId", "left_anti"
+            affected_comms, "cId", "left_anti"
         ).select("vId", "t", "vt", "cc", "cId")
         part = mat(local.unionByName(keep), "inc-part")
     else:
@@ -566,13 +566,13 @@ def _refine_scoped(
     """
     clean_all = vertices.where(F.col("t") > 0)
     affected_ids = clean_all.join(
-        F.broadcast(affected_comms), "cId", "left_semi"
+        affected_comms, "cId", "left_semi"
     ).select("vId")
     # post-election labels of relabeled vertices = ALL fragments the
     # election carved out of affected communities (not just fragments
     # containing a changed vertex — every fragment needs fresh stats)
     aff_new = part.join(affected_ids, "vId", "left_semi").select("cId").distinct()
-    s_ids = part.join(F.broadcast(aff_new), "cId", "left_semi").select("vId")
+    s_ids = part.join(aff_new, "cId", "left_semi").select("vId")
 
     # ---- scope probe (two stages, cheapest first) --------------------
     # A batch is only worth scoping when its neighborhood is a small
@@ -592,7 +592,7 @@ def _refine_scoped(
     r_comms = part.join(m_ids, "vId", "left_semi").select("cId").distinct()
     vr_obs = Observation()
     vr = mat(
-        part.join(F.broadcast(r_comms), "cId", "left_semi").observe(
+        part.join(r_comms, "cId", "left_semi").observe(
             vr_obs, F.count(F.lit(1)).alias("n")
         ),
         "scope-vr",
@@ -665,7 +665,7 @@ def _refine_scoped(
     dropped_old = vertices.join(vr_ids, "vId", "left_semi").select("cId").distinct()
     new_stats = mat(
         old_stats.select("cId", "r", "a", "b", "d")
-        .join(F.broadcast(dropped_old), "cId", "left_anti")
+        .join(dropped_old, "cId", "left_anti")
         .unionByName(cur_cs.select("cId", "r", "a", "b", "d")),
         "inc-cs",
     )
@@ -677,7 +677,7 @@ def _refine_scoped(
     wccv_obs = Observation()
     new_wccv = mat(
         old_wccv.select("cId", "s", "n")
-        .join(F.broadcast(dropped_old), "cId", "left_anti")
+        .join(dropped_old, "cId", "left_anti")
         .unionByName(wccv_scope.select("cId", "s", "n"))
         .observe(wccv_obs, F.sum("s").alias("total")),
         "inc-wccv",
@@ -685,7 +685,7 @@ def _refine_scoped(
     wcc = float(wccv_obs.get["total"] or 0.0) / vertex_count
 
     # merge the refined scope back over the untouched remainder
-    part_final = part.join(F.broadcast(r_comms), "cId", "left_anti").unionByName(cur)
+    part_final = part.join(r_comms, "cId", "left_anti").unionByName(cur)
     final_vertices = mat(
         vertices.drop("cId")
         .join(part_final.select("vId", F.col("cId").alias("new_cId")), "vId", "left")
