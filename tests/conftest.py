@@ -14,6 +14,11 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # local mode = driver and executors share one JVM whose default
+        # heap is 1g; a full-suite session (130+ tests, dozens of WCC
+        # pipelines) runs at that margin and was observed to OOM in a
+        # plan-explain near the end — give it real headroom
+        .config("spark.driver.memory", "6g")
         # fresh warehouse per test session: bucketed-table tests
         # (saveAsTable) must never collide with a previous run's
         # managed-table locations or litter the repo tree
