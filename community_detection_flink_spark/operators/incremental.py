@@ -578,11 +578,22 @@ def _refine_scoped(
     # A batch is only worth scoping when its neighborhood is a small
     # fraction of the graph; otherwise the scoped machinery is the full
     # path plus overhead.  Stage 1 checks the affected members alone
-    # (one vertex-sized count, no edge scan); stage 2 checks V_R after
-    # the one edge scan that builds the candidate set.  Returning None
-    # tells _elect_and_refine to run the whole-graph rounds.
-    n_clean = clean_all.count()
-    if s_ids.count() > _SCOPE_FRACTION * n_clean:
+    # (the relabeled set == the affected pre-election members, so ONE
+    # vertex-sized left-join aggregate yields both counts — no edge
+    # scan); stage 2 checks V_R after the one edge scan that builds
+    # the candidate set.  Returning None tells _elect_and_refine to
+    # run the whole-graph rounds.
+    probe = (
+        clean_all.join(
+            affected_comms.select("cId").withColumn("_aff", F.lit(1)),
+            "cId",
+            "left",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.count("_aff").alias("s"))
+        .first()
+    )
+    n_clean = int(probe["n"])
+    if int(probe["s"]) > _SCOPE_FRACTION * n_clean:
         return None
     nbr_s = (
         clean_new.join(s_ids.withColumnsRenamed({"vId": "src"}), "src", "left_semi")
