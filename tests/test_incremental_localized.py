@@ -194,3 +194,67 @@ def test_scoped_delete_splice_exact(spark):
     for c, (s, n) in want.items():
         assert got[c][1] == n
         assert math.isclose(got[c][0], s, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_scoped_vs_full_on_reference_graph(spark, monkeypatch):
+    """VERDICT r3 #2 'Done' criterion on the reference's OWN graph
+    (SNAP email-Eu-core).  The graph is small-world, so the scope
+    probe would normally decline a batch this central — the test
+    forces the scoped path (fraction → 1.01) because what it pins is
+    the ALGEBRA, not the heuristic.
+
+    Two claims with different strengths:
+
+    * HARD — the scoped result is internally EXACT: its spliced stats
+      equal a from-scratch recomputation on its own labeling.
+    * QUALITY FLOOR — scoped vs whole-graph labels agree on ≥90% of
+      vertices (measured 93.4%) and land within 1% on global WCC (measured 0.6% — full mode refines
+      everywhere, so it edges slightly higher).
+      Exact parity does NOT hold here: on a small-world graph the
+      movement pass never reaches a fixed point (moves plateau at
+      ~20% of |V| — SCALING.md round-floor analysis), so the
+      whole-graph rounds keep churning far labels the scoped rounds
+      deliberately leave alone, plus the batch's global-scalar update
+      flips marginal far decisions — both inside the reference's own
+      approximation envelope (5 fixed rounds, no convergence test,
+      ``IncrementalWCC.scala:332-393``), and quality-neutral by the
+      WCC bound.  The synthetic fixture's exact-parity test above
+      covers the converged well-separated case.
+    """
+    import os
+
+    import community_detection_flink_spark.operators.incremental as inc
+    from community_detection_flink_spark.sources.edges import (
+        load_edges_csv,
+        symmetrize_edges,
+    )
+
+    ref = "/root/reference/test_graph.csv"
+    if not os.path.exists(ref):  # reference absent in some environments
+        import pytest
+
+        pytest.skip("reference graph absent")
+    monkeypatch.setattr(inc, "_SCOPE_FRACTION", 1.01)
+
+    edges = symmetrize_edges(load_edges_csv(spark, ref))
+    state = prepare(edges)
+    # drive toward a movement fixed point so out-of-scope divergence
+    # is limited to the global-scalar marginal class
+    b0 = _anchored_batch(spark, [0, 1], range(2000, 2006))
+    state = incremental_update(state, b0, rounds=50, refine_scope="full")
+
+    b1 = _anchored_batch(spark, [2, 3, 4], range(2100, 2110))
+    diag = {}
+    scoped = incremental_update(state, b1, refine_scope="affected", diag=diag)
+    assert diag["n_scope_vertices"] is not None  # scoped path engaged
+
+    # HARD: splice exactness on the reference graph
+    assert _stats_map(scoped.stats) == _stats_map(_recomputed_stats(scoped))
+
+    full = incremental_update(state, b1, refine_scope="full")
+    got = {r.vId: r.cId for r in scoped.vertices.collect()}
+    want = {r.vId: r.cId for r in full.vertices.collect()}
+    assert set(got) == set(want)
+    agree = sum(1 for v in got if got[v] == want[v]) / len(got)
+    assert agree >= 0.90, f"label agreement {agree:.3f}"
+    assert abs(scoped.global_wcc - full.global_wcc) <= 0.01 * full.global_wcc
