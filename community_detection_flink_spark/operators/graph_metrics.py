@@ -294,3 +294,143 @@ def modularity(labels: DataFrame, edges: DataFrame) -> DataFrame:
         ).alias("qc")
     )
     return q.agg(F.round(F.sum("qc"), 9).alias("modularity"))
+
+
+def link_scores(edges: DataFrame) -> DataFrame:
+    """Link-prediction features for every EXISTING undirected edge:
+    common-neighbor count (= the edge's triangle support), Jaccard
+    coefficient, and preferential attachment.
+
+    The standard neighborhood-overlap scores (Liben-Nowell & Kleinberg
+    2003) the reference's triangle machinery almost computes — exposed
+    per-edge so users can rank intra-graph links.  Input is the usual
+    symmetrized doubled-edge DataFrame (both directions present, no
+    self-loops).
+
+    Scale shape: the wedge join (N(u) × N(v) via the shared endpoint)
+    is closed against the edge list BEFORE the aggregate, so only
+    wedges that complete a triangle survive into the shuffle — the
+    same Σ deg² bound as the triangle enumeration the pipeline already
+    pays, not an all-pairs blowup.  Jaccard/PA derive from integer
+    counts, so results are bit-exact (oracle-hashable).
+    """
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    pairs = edges.where(F.col("src") < F.col("dst"))
+    wedges = edges.select(F.col("src").alias("u"), F.col("dst").alias("w")).join(
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("w")), "w"
+    ).where(F.col("u") < F.col("v"))
+    cn = (
+        wedges.join(
+            pairs.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            ["u", "v"],
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+    return (
+        pairs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(cn, ["u", "v"], "left")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.coalesce(F.col("cn"), F.lit(0)).cast("long").alias("cn"),
+            F.try_divide(
+                F.coalesce(F.col("cn"), F.lit(0)).cast("double"),
+                (F.col("du") + F.col("dv") - F.coalesce(F.col("cn"), F.lit(0))).cast("double"),
+            ).alias("jaccard"),
+            (F.col("du") * F.col("dv")).cast("long").alias("pa"),
+        )
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over all directed edges of the symmetrized graph.
+
+    Everything up to the final coefficient is INTEGER arithmetic (one
+    degree join + one global aggregate of bigint sums), so the result
+    row is bit-exact and oracle-hashable — no float-sum order noise.
+    One scalar row reaches the driver.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    annotated = (
+        edges.join(deg.withColumnsRenamed({"src": "src", "deg": "dx"}), "src")
+        .join(
+            deg.withColumnsRenamed({"src": "dst", "deg": "dy"}), "dst"
+        )
+        .select(F.col("dx").cast("long"), F.col("dy").cast("long"))
+    )
+    sums = annotated.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    return sums.select(
+        "n",
+        "sx",
+        "sxy",
+        "sxx",
+        F.try_divide(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double"),
+            F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+        ).alias("assortativity"),
+    )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with
+    DETERMINISTIC tie-breaking: each round every vertex adopts the
+    most frequent label among its neighbors, ties broken by the
+    smallest label; labels start as vertex ids.
+
+    The classic cheap community baseline next to the WCC pipeline.
+    Determinism makes the whole iteration exactly replayable — the
+    driver-gate oracle unrolls the same rounds as SQL CTEs and
+    hash-matches the final labeling bit-for-bit (same trick as the
+    PageRank / k-core oracles).
+
+    Each round is one join + one aggregate + one per-vertex argmax
+    (count DESC, label ASC), all on the ``src`` key; round state goes
+    through the parquet ``Materializer`` (bounded lineage — the loop
+    discipline every iterative operator here uses).  Synchronous
+    updates avoid the nondeterministic oscillation of async LPA at the
+    cost of possible 2-cycles — ``rounds`` is a fixed budget, matching
+    how the reference caps its own election loop at 50 rounds
+    (``DistributedWCC.scala:61``).
+    """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    mat = Materializer(spark)
+    labels = mat(
+        edges.select(F.col("src").alias("vId")).distinct().select(
+            "vId", F.col("vId").alias("label")
+        ),
+        "lpa-0",
+    )
+    for r in range(1, rounds + 1):
+        counted = (
+            edges.join(
+                labels.withColumnsRenamed({"vId": "dst"}), "dst"
+            )
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("label").asc())
+        nxt = mat(
+            counted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("vId"), "label"),
+            f"lpa-{r}",
+        )
+        mat.drop(labels)  # checkpoint disk stays O(1), not O(rounds)
+        labels = nxt
+    return labels

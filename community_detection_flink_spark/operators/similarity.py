@@ -660,3 +660,105 @@ def nearest_centroid(
     return best.select(
         id_col, F.col("b.cluster").alias("cluster"), F.col("b.dist2").alias("dist2")
     )
+
+
+def norm_stats(emb: DataFrame, group_col: str = "label") -> DataFrame:
+    """Per-group L2-norm profile of an embedding column: count,
+    min/max norm, exact decimal-summed total and the derived mean.
+
+    The sanity scan every embedding pipeline runs before indexing
+    (catching un-normalized batches, zero vectors, fp16 overflow):
+    one JVM-side fold per row (``norm_col`` — same left-fold order as
+    the DuckDB oracle, so per-row norms are bit-exact) + one hash
+    aggregate.  The sum goes through DECIMAL(28,10) so the aggregate
+    is order-independent and oracle-hashable; mean is one int-count
+    division at the end.
+    """
+    nm = norm_col(F.col("embedding"))
+    return (
+        emb.select(F.col(group_col), nm.alias("nrm"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            F.sum(F.col("nrm").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_norm"),
+        )
+        .withColumn(
+            "mean_norm",
+            F.try_divide(F.col("sum_norm"), F.col("n").cast("double")),
+        )
+    )
+
+
+def covariance_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact sample covariance matrix of an embedding column — the
+    embedding-drift / whitening statistic a training pipeline computes
+    before PCA or index retraining.
+
+    One generator expression builds the upper-triangle (i, j, x_i·x_j)
+    structs JVM-side (no join, no second explode), and the d²/2-key
+    aggregate is map-side combined, so the shuffle carries at most
+    d²/2 rows PER TASK regardless of corpus size.  Cross-products and
+    per-dimension sums go through DECIMAL(28,12), making the aggregate
+    order-independent; the covariance formula is then a scalar
+    expression over exact sums — bit-exact, oracle-hashable.
+
+    Output: ``(i, j, cov)`` for i ≤ j (sample covariance, n−1).
+    """
+    v = F.col(vec_col)
+    pairs = F.flatten(
+        F.transform(
+            v,
+            lambda x, i: F.transform(
+                # slice(j >= i): upper triangle only — halves the work
+                F.slice(v, i + 1, F.size(v) - i),
+                lambda y, j: F.struct(
+                    i.alias("i"),
+                    (i + j).alias("j"),
+                    (x.cast("double") * y.cast("double")).alias("xy"),
+                ),
+            ),
+        )
+    )
+    prods = (
+        emb.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.i").cast("long").alias("i"), F.col("p.j").cast("long").alias("j"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("p.xy").cast("decimal(28,12)")).alias("sxy"),
+        )
+    )
+    dims = (
+        emb.select(F.posexplode(v).alias("i", "x"))
+        .groupBy(F.col("i").cast("long").alias("i"))
+        .agg(F.sum(F.col("x").cast("double").cast("decimal(28,12)")).alias("sx"))
+    )
+    si = dims.select(F.col("i"), F.col("sx").alias("s_i"))
+    sj = dims.select(F.col("i").alias("j"), F.col("sx").alias("s_j"))
+    return (
+        prods.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            # rounded to 9 decimals (modularity precedent): the DECIMAL
+            # cast of an arbitrary double can land on a .5 tie that
+            # Spark (HALF_UP) and DuckDB (half-even) round apart — one
+            # such element showed up in practice; 9 absolute decimals
+            # is far above the ~1e-17 tie noise and far below any
+            # covariance this profile statistic cares about
+            F.round(
+                (
+                    F.col("sxy").cast("double")
+                    - F.col("s_i").cast("double")
+                    * F.col("s_j").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / (F.col("n") - 1).cast("double"),
+                9,
+            ).alias("cov"),
+        )
+    )

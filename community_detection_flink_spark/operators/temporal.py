@@ -37,6 +37,7 @@ __all__ = [
     "retention_cohorts",
     "scd2_history",
     "zscore_anomalies",
+    "transition_counts",
 ]
 
 
@@ -334,4 +335,41 @@ def zscore_anomalies(
         .withColumn("z", F.round(z, 6))
         .where(F.abs(F.col("z")) > threshold)
         .select("event_id", group_col, value_col, "z")
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user event-type transition matrix (Markov-chain estimate):
+    for each ordered pair of consecutive events within a user stream,
+    count the ``from_type → to_type`` transition and its conditional
+    probability among all transitions leaving ``from_type``.
+
+    One keyed window (same shuffle as any per-user sessionization) +
+    one tiny aggregate; the matrix is |types|² rows regardless of
+    input size.  Counts are integers and the probability is a single
+    int/int division, so the result is bit-exact (oracle-hashable).
+    ``id_col`` breaks timestamp ties deterministically.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = events.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    total = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.try_divide(
+            F.col("n").cast("double"), F.sum("n").over(total).cast("double")
+        ).alias("p"),
     )

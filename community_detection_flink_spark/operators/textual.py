@@ -455,3 +455,44 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(scrubbed).alias("scrub_md5"),
         scrubbed.alias("clean_text"),
     )
+
+
+def repeated_passages(
+    docs: DataFrame, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document repeated-passage detection: hash every sliding
+    ``n``-token window of every document and report window hashes that
+    occur in at least ``min_docs`` DISTINCT documents.
+
+    The exact-substring dedup primitive of LLM data pipelines (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — their 50-token exact-match criterion, here parameterized):
+    upstream of MinHash because near-identical boilerplate shows up as
+    *passages* inside otherwise-distinct pages.
+
+    Scale shape: windows explode to ~|tokens| rows per doc (same order
+    as the shingle pass MinHash already pays), hashed JVM-side before
+    the shuffle so only ``(hash60, doc_id)`` longs move; one hash
+    aggregate.  No suffix array, no driver state.  Output:
+    ``(chunk_hash, n_docs, n_occ)`` — join back on the hash to locate
+    the offending spans.
+    """
+    toks = tokens_col(F.col("text"))
+    windows = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = docs.select(
+        "doc_id", F.explode(windows).alias("chunk")
+    ).select("doc_id", _hash60(F.col("chunk")).alias("chunk_hash"))
+    return (
+        hashed.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

@@ -1,0 +1,151 @@
+"""Round-4 second-batch operators against hand models on tiny fixtures:
+link-prediction scores, degree assortativity, the event-transition
+matrix, cross-document repeated passages, and embedding norm stats."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from community_detection_flink_spark.operators.graph_metrics import (
+    degree_assortativity,
+    link_scores,
+)
+from community_detection_flink_spark.operators.similarity import norm_stats
+from community_detection_flink_spark.operators.temporal import transition_counts
+from community_detection_flink_spark.operators.textual import repeated_passages
+from community_detection_flink_spark.sources.edges import symmetrize_edges
+
+
+def test_link_scores_triangle_plus_pendant(spark):
+    # triangle 1-2-3 plus pendant edge 3-4
+    e = symmetrize_edges(
+        spark.createDataFrame([(1, 2), (1, 3), (2, 3), (3, 4)], "src LONG, dst LONG")
+    )
+    rows = {(r.src, r.dst): r for r in link_scores(e).collect()}
+    assert set(rows) == {(1, 2), (1, 3), (2, 3), (3, 4)}
+    r12 = rows[(1, 2)]
+    # N(1)={2,3}, N(2)={1,3}: one common neighbor, union of size 3
+    assert r12.cn == 1 and r12.pa == 4
+    assert abs(r12.jaccard - 1 / 3) < 1e-12
+    r34 = rows[(3, 4)]
+    assert r34.cn == 0 and r34.jaccard == 0.0 and r34.pa == 3
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    # star graphs are perfectly disassortative (Newman 2002): r = -1
+    e = symmetrize_edges(
+        spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src LONG, dst LONG")
+    )
+    row = degree_assortativity(e).first()
+    assert row.n == 6 and row.sx == 12 and row.sxy == 18 and row.sxx == 30
+    assert abs(row.assortativity - (-1.0)) < 1e-12
+
+
+def test_transition_counts_probabilities(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: A -> B -> A -> C
+        (1, 1, "A", t0),
+        (2, 1, "B", t0 + dt.timedelta(minutes=1)),
+        (3, 1, "A", t0 + dt.timedelta(minutes=2)),
+        (4, 1, "C", t0 + dt.timedelta(minutes=3)),
+        # user 2: A -> B
+        (5, 2, "A", t0),
+        (6, 2, "B", t0 + dt.timedelta(minutes=1)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP"
+    )
+    got = {(r.from_type, r.to_type): r for r in transition_counts(ev).collect()}
+    assert got[("A", "B")].n == 2 and abs(got[("A", "B")].p - 2 / 3) < 1e-12
+    assert got[("A", "C")].n == 1 and abs(got[("A", "C")].p - 1 / 3) < 1e-12
+    assert got[("B", "A")].n == 1 and got[("B", "A")].p == 1.0
+    assert ("C", "A") not in got  # no transition leaves the final event
+
+
+def test_repeated_passages_cross_doc_only(spark):
+    shared = "a b c d e f g h"  # exactly one 8-token window
+    docs = spark.createDataFrame(
+        [
+            (1, "x " + shared),
+            (2, shared + " y"),
+            (3, "p q r s t u v w"),
+            (4, "too short"),  # < 8 tokens: contributes no windows
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = repeated_passages(docs, n=8, min_docs=2).collect()
+    # only the shared window crosses documents; every other window is
+    # unique (doc 3's window and the off-by-one windows of docs 1/2)
+    assert len(out) == 1
+    assert out[0].n_docs == 2 and out[0].n_occ == 2
+
+
+def test_norm_stats_exact_small(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0], 0),
+            (2, [0.0, 0.0], 0),
+            (3, [1.0, 0.0], 1),
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label LONG",
+    )
+    got = {r.label: r for r in norm_stats(emb).collect()}
+    assert got[0].n == 2 and got[0].min_norm == 0.0 and got[0].max_norm == 5.0
+    assert abs(got[0].sum_norm - 5.0) < 1e-9 and abs(got[0].mean_norm - 2.5) < 1e-9
+    assert got[1].n == 1 and got[1].min_norm == 1.0 and got[1].max_norm == 1.0
+
+
+def _lpa_model(pairs, rounds=4):
+    """Plain-Python synchronous LPA with (count DESC, label ASC) ties."""
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v in adj:
+            counts: dict[int, int] = {}
+            for u in adj[v]:
+                counts[lab[u]] = counts.get(lab[u], 0) + 1
+            nxt[v] = min(counts, key=lambda l: (-counts[l], l))
+        lab = nxt
+    return lab
+
+
+def test_label_propagation_matches_model(spark):
+    from community_detection_flink_spark.operators.graph_metrics import (
+        label_propagation,
+    )
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)]
+    e = symmetrize_edges(spark.createDataFrame(pairs, "src LONG, dst LONG"))
+    got = {r.vId: r.label for r in label_propagation(e, rounds=4).collect()}
+    assert got == _lpa_model(pairs, rounds=4)
+    # the two triangles resolve to separate communities
+    assert len({got[1], got[4]}) == 2
+    assert got[1] == got[2] == got[3] and got[4] == got[5] == got[6]
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from community_detection_flink_spark.operators.similarity import (
+        covariance_matrix,
+    )
+
+    data = [
+        (1, [1.0, 2.0, 0.5], 0),
+        (2, [2.0, 1.0, -0.5], 0),
+        (3, [0.0, 3.0, 1.5], 1),
+        (4, [4.0, -1.0, 2.5], 1),
+    ]
+    emb = spark.createDataFrame(
+        data, "vec_id LONG, embedding ARRAY<DOUBLE>, label LONG"
+    )
+    got = {(r.i, r.j): r.cov for r in covariance_matrix(emb).collect()}
+    want = np.cov(np.array([d[1] for d in data]).T, ddof=1)
+    assert set(got) == {(i, j) for i in range(3) for j in range(3) if j >= i}
+    for (i, j), c in got.items():
+        assert abs(c - want[i][j]) < 1e-9, (i, j, c, want[i][j])
