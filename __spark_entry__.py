@@ -1580,6 +1580,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         products, map-side combined to ≤ d²/2 rows per task."""
         return S.covariance_matrix(load_table(spark, sf, "embeddings"))
 
+    def ev_interval_join(spark, sf):
+        """Keyed interval join (streaming/windows.py::interval_join):
+        each purchase paired with the same user's clicks in the next
+        30 minutes — the attribution correlation shape.  Equi-key +
+        explicit time bounds = the exact condition Structured
+        Streaming needs for bounded join state; stream/batch parity
+        pinned in tests/test_streaming.py."""
+        from community_detection_flink_spark.streaming.windows import interval_join
+
+        ev = load_table(spark, sf, "events")
+        return interval_join(
+            ev.where(F.col("event_type") == "purchase"),
+            ev.where(F.col("event_type") == "click"),
+            upper_minutes=30,
+        )
+
     # ------------------------------------------------------------------
     # ORDER MATTERS: the driver's correctness gate records exactly the
     # FIRST 50 dict entries (measured — CORRECTNESS_r02/r03 are both
@@ -1707,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q7_volume_shipping": rel_q7_volume_shipping,
         "g_label_propagation": g_label_propagation,
         "emb_covariance": emb_covariance,
+        "ev_interval_join": ev_interval_join,
     }
 
 
@@ -2896,4 +2913,15 @@ SELECT a.i, a.j,
      - CAST(si.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE) / CAST(n AS DOUBLE))
     / CAST(n - 1 AS DOUBLE), 9) AS cov
 FROM ag a JOIN dm si ON si.i = a.i JOIN dm sj ON sj.i = a.j""",
+        "ev_interval_join": """
+SELECT CAST(l.user_id AS BIGINT) AS user_id,
+  CAST(l.event_id AS BIGINT) AS left_id,
+  CAST(r.event_id AS BIGINT) AS right_id,
+  epoch_us(r.ts) - epoch_us(l.ts) AS lag_us
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts
+ AND r.ts <= l.ts + INTERVAL 30 MINUTE
+WHERE l.event_type = 'purchase' AND r.event_type = 'click'""",
     }

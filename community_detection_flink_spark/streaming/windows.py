@@ -97,3 +97,56 @@ def streaming_session(spark, source_dir: str, gap_minutes: int = 30, watermark: 
         .withWatermark("ts", watermark)
     )
     return session_agg(stream, gap_minutes)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    lower_minutes: int = 0,
+    upper_minutes: int = 30,
+) -> DataFrame:
+    """Keyed interval join: each left event pairs with the right events
+    of the same key whose timestamp falls in
+    ``[l.ts + lower, l.ts + upper]`` — attribution-style correlation
+    (purchase → follow-up clicks, impression → conversion).
+
+    Works identically on batch frames and on two watermarked streams:
+    the join condition is an equi-key PLUS explicit event-time bounds,
+    which is exactly the shape Structured Streaming requires to compute
+    state watermarks and evict old rows (stream-stream joins without
+    time bounds keep unbounded state).  In batch, the equi-key keeps it
+    on the hash-join path with the band as a cheap post-filter — never
+    a cartesian.  Parity between the two modes is pinned in
+    ``tests/test_streaming.py``.
+    """
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_ts"),
+    ).alias("l")
+    r = right.select(
+        F.col(key).alias("rk"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    ).alias("r")
+    joined = l.join(
+        r,
+        (F.col("l.k") == F.col("r.rk"))
+        & (
+            F.col("r.r_ts")
+            >= F.col("l.l_ts") + F.expr(f"INTERVAL {lower_minutes} MINUTES")
+        )
+        & (
+            F.col("r.r_ts")
+            <= F.col("l.l_ts") + F.expr(f"INTERVAL {upper_minutes} MINUTES")
+        ),
+    )
+    return joined.select(
+        F.col("l.k").cast("long").alias("user_id"),
+        F.col("l.l_id").cast("long").alias("left_id"),
+        F.col("r.r_id").cast("long").alias("right_id"),
+        (F.unix_micros(F.col("r.r_ts")) - F.unix_micros(F.col("l.l_ts")))
+        .cast("long")
+        .alias("lag_us"),
+    )

@@ -75,3 +75,53 @@ def test_streaming_window_agg_matches_batch(spark):
     # session windows also compile & run on the batch frame
     sess = session_agg(events, 30).collect()
     assert len(sess) > 0
+
+
+def test_interval_join_stream_matches_batch(spark):
+    """interval_join run as a real stream-stream join (two watermarked
+    file streams, append mode) must emit exactly the batch answer."""
+    import datetime
+
+    from community_detection_flink_spark.streaming.windows import interval_join
+
+    base = datetime.datetime(2024, 1, 1)
+    lrows = [
+        (i, base + datetime.timedelta(minutes=10 * i), i % 2) for i in range(6)
+    ]
+    rrows = [
+        (100 + i, base + datetime.timedelta(minutes=3 + 5 * i), i % 2)
+        for i in range(10)
+    ]
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG"
+    ldf = spark.createDataFrame(lrows, schema)
+    rdf = spark.createDataFrame(rrows, schema)
+    want = {
+        (r.user_id, r.left_id, r.right_id, r.lag_us)
+        for r in interval_join(ldf, rdf).collect()
+    }
+    assert want  # non-vacuous fixture
+
+    ldir = tempfile.mkdtemp(prefix="cdfs-ivj-l-")
+    rdir = tempfile.mkdtemp(prefix="cdfs-ivj-r-")
+    ckpt = tempfile.mkdtemp(prefix="cdfs-ivj-ckpt-")
+    ldf.write.mode("overwrite").parquet(ldir)
+    rdf.write.mode("overwrite").parquet(rdir)
+    ls = spark.readStream.schema(schema).parquet(ldir).withWatermark("ts", "1 hour")
+    rs = spark.readStream.schema(schema).parquet(rdir).withWatermark("ts", "1 hour")
+    q = (
+        interval_join(ls, rs)
+        .writeStream.format("memory")
+        .queryName("ivj_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.left_id, r.right_id, r.lag_us)
+            for r in spark.table("ivj_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
