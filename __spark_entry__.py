@@ -1596,6 +1596,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             upper_minutes=30,
         )
 
+    def doc_unigram_nll(spark, sf):
+        """Per-document unigram negative log-likelihood
+        (search.py::unigram_nll) — the CCNet-style perplexity quality
+        signal; model + scoring in one pass, vocab broadcast."""
+        from community_detection_flink_spark.operators.search import unigram_nll
+
+        return unigram_nll(load_table(spark, sf, "documents"))
+
     # ------------------------------------------------------------------
     # ORDER MATTERS: the driver's correctness gate records exactly the
     # FIRST 50 dict entries (measured — CORRECTNESS_r02/r03 are both
@@ -1724,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_label_propagation": g_label_propagation,
         "emb_covariance": emb_covariance,
         "ev_interval_join": ev_interval_join,
+        "doc_unigram_nll": doc_unigram_nll,
     }
 
 
@@ -2924,4 +2933,19 @@ JOIN events r
  AND r.ts >= l.ts
  AND r.ts <= l.ts + INTERVAL 30 MINUTE
 WHERE l.event_type = 'purchase' AND r.event_type = 'click'""",
+        "doc_unigram_nll": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks),
+vocab AS (
+  SELECT tok,
+         ROUND(-ln(CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM tot)), 9)
+           AS nlp
+  FROM toks GROUP BY tok
+)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CAST(nlp AS DECIMAL(28,9))) AS DOUBLE) AS nll,
+  CAST(SUM(CAST(nlp AS DECIMAL(28,9))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS mean_nll
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY t.doc_id""",
     }

@@ -46,6 +46,13 @@ HEADLINE = [
     "ev_anomalies",           # per-group z-score outliers
     "ev_partition_pruned",    # directory-pruned lake scan
     "rel_bucketed_join",      # zero-exchange co-bucketed join
+    # round-4 second batch
+    "rel_q5_local_supplier",  # TPC-H Q5: 6-way star, broadcast dims
+    "g_link_scores",          # per-edge CN/Jaccard/PA (wedge-closed join)
+    "g_label_propagation",    # 4 synchronous LPA rounds (Materializer)
+    "doc_repeated_passages",  # sliding-window exact-substring dedup
+    "doc_unigram_nll",        # unigram NLL quality scoring
+    "emb_covariance",         # exact covariance matrix (DECIMAL sums)
 ]
 
 # the round-1 HEADLINE (BENCH_r01.json): its subtotal is the

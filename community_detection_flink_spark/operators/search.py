@@ -138,3 +138,53 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "score")
     )
+
+
+def unigram_nll(docs: DataFrame) -> DataFrame:
+    """Per-document unigram negative log-likelihood — the cheap
+    perplexity-style quality signal (CCNet, Wenzek et al. 2020): docs
+    whose tokens are improbable under the corpus's own unigram model
+    score high and get filtered or down-weighted.
+
+    Model and scoring in one pass over the exploded tokens: the vocab
+    (token → ln p) is a hash aggregate broadcast back onto the token
+    stream, so the corpus text shuffles once as (doc_id, token) pairs
+    and nothing else.  No held-out smoothing is needed — every token
+    is in-vocabulary by construction (self-scoring); swap the vocab
+    DataFrame to score a NEW corpus under an old model, where the
+    standard add-one floor applies.
+
+    Exactness contract: per-token ln p is rounded to 9 decimals (libm
+    ulp differences across engines sit at ~1e-15), then summed through
+    DECIMAL(28,9) — order-independent and oracle-hashable.  Output:
+    ``(doc_id, n_tokens, nll, mean_nll)``.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    # corpus token total as a 1-row broadcast crossJoin (modularity
+    # pattern) — no driver-side action, stays one logical pass
+    tot = toks.agg(F.count("*").cast("double").alias("_total"))
+    vocab = F.broadcast(
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("double").alias("_c"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.round(-F.log(F.col("_c") / F.col("_total")), 9).alias("nlp"),
+        )
+    )
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("nlp").cast("decimal(28,9)"))
+            .cast("double")
+            .alias("nll"),
+        )
+        .withColumn(
+            "mean_nll",
+            F.try_divide(F.col("nll"), F.col("n_tokens").cast("double")),
+        )
+    )

@@ -149,3 +149,21 @@ def test_covariance_matrix_matches_numpy(spark):
     assert set(got) == {(i, j) for i in range(3) for j in range(3) if j >= i}
     for (i, j), c in got.items():
         assert abs(c - want[i][j]) < 1e-9, (i, j, c, want[i][j])
+
+
+def test_unigram_nll_matches_model(spark):
+    import math
+
+    from community_detection_flink_spark.operators.search import unigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id LONG, text STRING"
+    )
+    # corpus: a×2, b×2, c×1, total 5
+    p = {"a": 2 / 5, "b": 2 / 5, "c": 1 / 5}
+    nlp = {t: round(-math.log(v), 9) for t, v in p.items()}
+    got = {r.doc_id: r for r in unigram_nll(docs).collect()}
+    assert got[1].n_tokens == 3 and got[2].n_tokens == 2
+    assert abs(got[1].nll - (2 * nlp["a"] + nlp["b"])) < 1e-9
+    assert abs(got[2].nll - (nlp["b"] + nlp["c"])) < 1e-9
+    assert abs(got[2].mean_nll - got[2].nll / 2) < 1e-12
