@@ -1604,6 +1604,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return unigram_nll(load_table(spark, sf, "documents"))
 
+    def g_sssp_weighted(spark, sf):
+        """Hop-bounded weighted SSSP over the co-occurrence-weighted
+        co-purchase graph (graph_metrics.sssp_weighted, 5 Bellman-Ford
+        relaxation rounds; integer costs → bit-exact).  Oracle: the
+        same 5 relaxations unrolled as CTEs."""
+        from community_detection_flink_spark.operators import graph_metrics as GM
+
+        li = load_table(spark, sf, "lineitem")
+        pairs = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+        ew = (
+            pairs.alias("a")
+            .join(pairs.alias("b"), "ok")
+            .where(F.col("a.pk") != F.col("b.pk"))
+            .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+            .agg(F.count("*").cast("long").alias("w"))
+        )
+        return GM.sssp_weighted(ew, rounds=5)
+
+    def g_random_walks(spark, sf):
+        """Deterministic (md5-seeded) uniform random walks from every
+        vertex — DeepWalk/node2vec positive-pair generation, fully
+        replayable (graph_metrics.random_walks: 2 walks × 4 steps).
+        The oracle replays the identical md5 index arithmetic."""
+        from community_detection_flink_spark.operators import graph_metrics as GM
+
+        edges, _, _ = _graph(spark, sf)
+        return GM.random_walks(edges, walks_per_vertex=2, length=4)
+
     # ------------------------------------------------------------------
     # ORDER MATTERS: the driver's correctness gate records exactly the
     # FIRST 50 dict entries (measured — CORRECTNESS_r02/r03 are both
@@ -1733,6 +1763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_covariance": emb_covariance,
         "ev_interval_join": ev_interval_join,
         "doc_unigram_nll": doc_unigram_nll,
+        "g_sssp_weighted": g_sssp_weighted,
+        "g_random_walks": g_random_walks,
     }
 
 
@@ -1881,6 +1913,54 @@ _DOT = (
     "list_reduce(list_prepend(0.0, list_transform(range(len({a})), "
     "i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE))), (x, y) -> x + y)"
 )
+
+
+def _sssp_sql(rounds: int = 5) -> str:
+    """Unrolled Bellman-Ford relaxations over the weighted ``ew`` CTE
+    — the exact-oracle twin of ``graph_metrics.sssp_weighted``."""
+    parts = [
+        "s0 AS (SELECT MIN(src) AS s FROM ew)",
+        "d0 AS (SELECT s AS vId, CAST(0 AS BIGINT) AS d FROM s0)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT vId, MIN(d) AS d FROM (
+    SELECT vId, d FROM d{r - 1}
+    UNION ALL
+    SELECT e.dst, x.d + e.w FROM d{r - 1} x JOIN ew e ON e.src = x.vId
+  ) GROUP BY vId
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _walks_sql(walks_per_vertex: int = 2, length: int = 4) -> str:
+    """Unrolled md5-indexed random-walk steps — the exact-oracle twin
+    of ``graph_metrics.random_walks`` (same hash arithmetic:
+    ``_H60(concat(start:walk:step:cur)) % deg``)."""
+    parts = [
+        "rw_deg AS (SELECT src AS vId, CAST(COUNT(*) AS BIGINT) AS dg FROM edges GROUP BY src)",
+        "rw_adj AS (SELECT src AS vId, dst AS nb, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS pos FROM edges)",
+        f"""w0 AS (
+  SELECT d.vId AS start, CAST(r.wk AS BIGINT) AS walk_id,
+         CAST(0 AS BIGINT) AS step, d.vId AS vId
+  FROM rw_deg d, UNNEST(range({walks_per_vertex})) r(wk)
+)""",
+    ]
+    for s in range(1, length + 1):
+        h = _H60.format(
+            x=f"concat(w.start, ':', w.walk_id, ':', {s}, ':', w.vId)"
+        )
+        parts.append(
+            f"""w{s} AS MATERIALIZED (
+  SELECT w.start, w.walk_id, CAST({s} AS BIGINT) AS step, a.nb AS vId
+  FROM w{s - 1} w
+  JOIN rw_deg d ON d.vId = w.vId
+  JOIN rw_adj a ON a.vId = w.vId AND a.pos = ({h}) % d.dg
+)"""
+        )
+    return ",\n".join(parts)
 
 
 def _lpa_sql(rounds: int = 4) -> str:
@@ -2948,4 +3028,18 @@ SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
     / CAST(COUNT(*) AS DOUBLE) AS mean_nll
 FROM toks t JOIN vocab v USING (tok)
 GROUP BY t.doc_id""",
+        "g_sssp_weighted": _G + """,
+ew AS (
+  SELECT a.pk AS src, b.pk AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM li a JOIN li b USING (ok) WHERE a.pk <> b.pk GROUP BY 1, 2
+),
+"""
+        + _sssp_sql(5)
+        + "\nSELECT vId, CAST(d AS BIGINT) AS dist FROM d5",
+        "g_random_walks": _G + ",\n" + _walks_sql(2, 4) + """
+SELECT start, walk_id, step, vId FROM w0
+UNION ALL SELECT start, walk_id, step, vId FROM w1
+UNION ALL SELECT start, walk_id, step, vId FROM w2
+UNION ALL SELECT start, walk_id, step, vId FROM w3
+UNION ALL SELECT start, walk_id, step, vId FROM w4""",
     }

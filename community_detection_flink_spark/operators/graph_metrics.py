@@ -434,3 +434,127 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         mat.drop(labels)  # checkpoint disk stays O(1), not O(rounds)
         labels = nxt
     return labels
+
+
+def sssp_weighted(
+    edges_w: DataFrame,
+    source: int | None = None,
+    rounds: int = 5,
+) -> DataFrame:
+    """Hop-bounded single-source cheapest paths (Bellman-Ford) over a
+    weighted edge list ``(src, dst, w)``: after ``rounds`` relaxations
+    the result is the exact min-cost over all paths of ≤ ``rounds``
+    edges — which IS full SSSP whenever ``rounds`` ≥ the weighted-path
+    hop diameter.
+
+    Each round is one join (frontier × edges) + one min-aggregate —
+    the distributed-relaxation step every BSP SSSP (Pregel/Gelly
+    ``SingleSourceShortestPaths``) runs; state goes through the
+    parquet ``Materializer``.  With integer weights the distances are
+    integer arithmetic end-to-end, so the driver-gate oracle unrolls
+    the same rounds as CTEs and hash-matches exactly.
+    """
+    spark = edges_w.sparkSession
+    mat = Materializer(spark)
+    if source is None:
+        source = edges_w.agg(F.min("src")).first()[0]
+        if source is None:
+            return spark.createDataFrame([], "vId LONG, dist LONG")
+    dist = mat(
+        spark.createDataFrame([(int(source), 0)], "vId LONG, d LONG"), "sssp"
+    )
+    for _ in range(int(rounds)):
+        relaxed = (
+            edges_w.join(dist.withColumnsRenamed({"vId": "src"}), "src")
+            .select(
+                F.col("dst").alias("vId"),
+                (F.col("d") + F.col("w")).cast("long").alias("d"),
+            )
+        )
+        nxt = mat(
+            dist.unionByName(relaxed).groupBy("vId").agg(F.min("d").alias("d")),
+            "sssp",
+        )
+        mat.drop(dist)
+        dist = nxt
+    return dist.select("vId", F.col("d").alias("dist"))
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_vertex: int = 2,
+    length: int = 4,
+) -> DataFrame:
+    """Deterministic uniform random walks from every vertex — the
+    positive-pair generator for graph-embedding training (DeepWalk /
+    node2vec p=q=1).  "Random" choices are md5-derived from
+    ``(start, walk_id, step, current)`` (the same replayable-PRNG
+    construction as the MinHash family), so the whole walk corpus is
+    bit-reproducible and oracle-hashable — which is exactly what you
+    want for resumable training-data jobs.
+
+    Plan shape: the position-indexed adjacency ``(vId, pos, neighbor)``
+    is built once (one window over the edge shuffle); each of the
+    ``length`` steps is one equi-join on ``(vId, pos)`` — no Python,
+    no per-row sampling state, cost ∝ walks in flight.  Output:
+    ``(start, walk_id, step, vId)`` including step 0.
+    """
+    from community_detection_flink_spark.operators.dedup import _hash60
+    from pyspark.sql import Window
+
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("dg"))
+    adj = edges.select(
+        F.col("src").alias("avId"),
+        F.col("dst").alias("nb"),
+    ).withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("avId").orderBy("nb")).cast("long")
+        - 1,
+    )
+    cur = deg.select(
+        F.col("src").alias("start"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.lit(int(walks_per_vertex) - 1).cast("long"),
+            )
+        ).alias("walk_id"),
+    ).select(
+        "start",
+        "walk_id",
+        F.lit(0).cast("long").alias("step"),
+        F.col("start").alias("vId"),
+    )
+    frames = [cur]
+    for s in range(1, int(length) + 1):
+        idx = (
+            _hash60(
+                F.concat_ws(
+                    ":",
+                    F.col("start"),
+                    F.col("walk_id"),
+                    F.lit(s),
+                    F.col("vId"),
+                )
+            )
+            % F.col("dg")
+        )
+        cur = (
+            cur.join(deg.withColumnsRenamed({"src": "vId"}), "vId")
+            .withColumn("idx", idx)
+            .join(
+                adj,
+                (F.col("vId") == F.col("avId")) & (F.col("idx") == F.col("pos")),
+            )
+            .select(
+                "start",
+                "walk_id",
+                F.lit(s).cast("long").alias("step"),
+                F.col("nb").alias("vId"),
+            )
+        )
+        frames.append(cur)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -167,3 +167,44 @@ def test_unigram_nll_matches_model(spark):
     assert abs(got[1].nll - (2 * nlp["a"] + nlp["b"])) < 1e-9
     assert abs(got[2].nll - (nlp["b"] + nlp["c"])) < 1e-9
     assert abs(got[2].mean_nll - got[2].nll / 2) < 1e-12
+
+
+def test_sssp_weighted_prefers_cheap_path(spark):
+    from community_detection_flink_spark.operators.graph_metrics import (
+        sssp_weighted,
+    )
+
+    # 1-2-3 costs 5+5=10, direct 1-3 costs 20; 4 unreachable in graph
+    ew = spark.createDataFrame(
+        [(1, 2, 5), (2, 1, 5), (2, 3, 5), (3, 2, 5), (1, 3, 20), (3, 1, 20)],
+        "src LONG, dst LONG, w LONG",
+    )
+    got = {r.vId: r.dist for r in sssp_weighted(ew, source=1, rounds=5).collect()}
+    assert got == {1: 0, 2: 5, 3: 10}
+    # a 1-round budget can only take the direct (expensive) edge
+    got1 = {r.vId: r.dist for r in sssp_weighted(ew, source=1, rounds=1).collect()}
+    assert got1[3] == 20
+
+
+def test_random_walks_valid_and_deterministic(spark, golden_edges):
+    from community_detection_flink_spark.operators.graph_metrics import (
+        random_walks,
+    )
+
+    e = symmetrize_edges(golden_edges)
+    adj: dict[int, set[int]] = {}
+    for r in e.collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+    out = random_walks(e, walks_per_vertex=2, length=3).collect()
+    n_v = len(adj)
+    assert len(out) == n_v * 2 * 4  # steps 0..3 inclusive
+    walks: dict[tuple, dict[int, int]] = {}
+    for r in out:
+        walks.setdefault((r.start, r.walk_id), {})[r.step] = r.vId
+    for (start, _), steps in walks.items():
+        assert steps[0] == start
+        for s in range(1, 4):
+            assert steps[s] in adj[steps[s - 1]]  # every hop is an edge
+    # bit-reproducible: a second invocation yields the identical corpus
+    again = random_walks(e, walks_per_vertex=2, length=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
