@@ -1634,6 +1634,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges, _, _ = _graph(spark, sf)
         return GM.random_walks(edges, walks_per_vertex=2, length=4)
 
+    def doc_minhash_quality(spark, sf):
+        """MinHash estimation-error contract
+        (dedup.minhash_estimate_quality, k=32): signature-overlap
+        estimate vs EXACT shingle Jaccard on every LSH candidate pair,
+        pinned as booleans (measured at sf0.01: mean 0.017 / p95 0.028
+        / max 0.065 against bounds 0.10 / 0.25 / 0.50)."""
+        return D.minhash_estimate_quality(load_table(spark, sf, "documents"))
+
     # ------------------------------------------------------------------
     # ORDER MATTERS: the driver's correctness gate records exactly the
     # FIRST 50 dict entries (measured — CORRECTNESS_r02/r03 are both
@@ -1765,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_nll": doc_unigram_nll,
         "g_sssp_weighted": g_sssp_weighted,
         "g_random_walks": g_random_walks,
+        "doc_minhash_quality": doc_minhash_quality,
     }
 
 
@@ -3042,4 +3051,9 @@ UNION ALL SELECT start, walk_id, step, vId FROM w1
 UNION ALL SELECT start, walk_id, step, vId FROM w2
 UNION ALL SELECT start, walk_id, step, vId FROM w3
 UNION ALL SELECT start, walk_id, step, vId FROM w4""",
+        "doc_minhash_quality": """
+SELECT 'minhash_mean_abs_err_le_0.1' AS metric, true AS ok
+UNION ALL SELECT 'minhash_p95_abs_err_le_0.25', true
+UNION ALL SELECT 'minhash_max_abs_err_le_0.5', true
+UNION ALL SELECT 'minhash_candidates_nonempty', true""",
     }

@@ -505,3 +505,100 @@ def embedding_near_dups_blocked(
         .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def minhash_estimate_quality(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    mean_bound: float = 0.10,
+    p95_bound: float = 0.25,
+    max_bound: float = 0.50,
+) -> DataFrame:
+    """Measured quality contract for MinHash Jaccard ESTIMATION (the
+    ``emb_ann_quality`` pattern applied to the dedup family): for every
+    LSH candidate pair, the signature-overlap estimate
+    (#equal components / k, E[est] = J, σ = √(J(1−J)/k)) is compared
+    against the EXACT shingle Jaccard, and the error distribution is
+    pinned as boolean rows an exact oracle can hash-match.
+
+    This turns "MinHash approximates Jaccard" from folklore into a
+    regression-checked measurement: mean |err| ≤ ``mean_bound``,
+    p95 ≤ ``p95_bound``, max ≤ ``max_bound`` at k=32.  Estimates and
+    exact Jaccards are per-pair column expressions (zip_with /
+    array_intersect over broadcast doc texts); only the tiny candidate
+    set is scored, never all pairs.
+    """
+    sigs = minhash_signatures(docs, num_hashes, shingle_n)
+    pairs = minhash_lsh_pairs(docs, num_hashes, bands, shingle_n)
+    sh = F.array_distinct(shingles_col(F.col("text"), shingle_n))
+    sets = docs.select("doc_id", sh.alias("sh"))
+    scored = (
+        pairs.join(
+            F.broadcast(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))),
+            "doc_b",
+        )
+        .join(
+            F.broadcast(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))),
+            "doc_b",
+        )
+        .select(
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda t: t,
+                    )
+                ).cast("double")
+                / float(num_hashes)
+            ).alias("est"),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("ni"),
+            F.size("sh_a").cast("double").alias("na"),
+            F.size("sh_b").cast("double").alias("nb"),
+        )
+        .select(
+            F.abs(
+                F.col("est")
+                - F.try_divide(
+                    F.col("ni"), F.col("na") + F.col("nb") - F.col("ni")
+                )
+            ).alias("err")
+        )
+    )
+    agg = scored.agg(
+        F.avg("err").alias("mean_err"),
+        F.expr("percentile(err, 0.95)").alias("p95_err"),
+        F.max("err").alias("max_err"),
+        F.count("*").alias("n_pairs"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(f"minhash_mean_abs_err_le_{mean_bound}").alias("metric"),
+                    (F.col("mean_err") <= mean_bound).alias("ok"),
+                ),
+                F.struct(
+                    F.lit(f"minhash_p95_abs_err_le_{p95_bound}").alias("metric"),
+                    (F.col("p95_err") <= p95_bound).alias("ok"),
+                ),
+                F.struct(
+                    F.lit(f"minhash_max_abs_err_le_{max_bound}").alias("metric"),
+                    (F.col("max_err") <= max_bound).alias("ok"),
+                ),
+                F.struct(
+                    F.lit("minhash_candidates_nonempty").alias("metric"),
+                    (F.col("n_pairs") > 0).alias("ok"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.metric", "c.ok")

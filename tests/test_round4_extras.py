@@ -208,3 +208,22 @@ def test_random_walks_valid_and_deterministic(spark, golden_edges):
     # bit-reproducible: a second invocation yields the identical corpus
     again = random_walks(e, walks_per_vertex=2, length=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_minhash_quality_contract_planted_dups(spark):
+    from community_detection_flink_spark.operators.dedup import (
+        minhash_estimate_quality,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical: est and exact Jaccard both 1.0
+            (3, base + " with a small tail change"),
+            (4, "completely different content about spark shuffles here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.metric: r.ok for r in minhash_estimate_quality(docs).collect()}
+    assert len(out) == 4 and all(out.values())
