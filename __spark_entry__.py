@@ -1642,6 +1642,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         / max 0.065 against bounds 0.10 / 0.25 / 0.50)."""
         return D.minhash_estimate_quality(load_table(spark, sf, "documents"))
 
+    def rel_q4_order_priority(spark, sf):
+        """TPC-H Q4 analog (order-priority checking): 1996-Q1 orders
+        with at least one lineitem shipped >30 days after the order
+        date, counted per priority.  The EXISTS is a distributed
+        left-semi join on the orderkey — lineitem is never aggregated,
+        orders never re-scanned."""
+        o = load_table(spark, sf, "orders").where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        li = load_table(spark, sf, "lineitem")
+        late = (
+            li.join(
+                o.select("o_orderkey", "o_orderdate"),
+                li["l_orderkey"] == o["o_orderkey"],
+            )
+            .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+            .select("o_orderkey")
+        )
+        return (
+            o.join(late, "o_orderkey", "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("order_count"))
+        )
+
+    def ev_rolling_features(spark, sf):
+        """Trailing 7-day per-user rolling features (count + exact
+        DECIMAL sum of value) for every event — the feature-store
+        point-in-time aggregate shape.  One RANGE window over epoch
+        seconds: a single user-keyed shuffle + in-partition sort, no
+        self-join range explosion."""
+        from pyspark.sql import Window
+
+        ev = load_table(spark, sf, "events")
+        sec = F.unix_timestamp("ts").cast("long")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(sec)
+            .rangeBetween(-7 * 86400, 0)
+        )
+        return ev.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.count("*").over(w).cast("long").alias("n_7d"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_value_7d"),
+        )
+
     # ------------------------------------------------------------------
     # ORDER MATTERS: the driver's correctness gate records exactly the
     # FIRST 50 dict entries (measured — CORRECTNESS_r02/r03 are both
@@ -1774,6 +1824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_sssp_weighted": g_sssp_weighted,
         "g_random_walks": g_random_walks,
         "doc_minhash_quality": doc_minhash_quality,
+        "rel_q4_order_priority": rel_q4_order_priority,
+        "ev_rolling_features": ev_rolling_features,
     }
 
 
@@ -3056,4 +3108,26 @@ SELECT 'minhash_mean_abs_err_le_0.1' AS metric, true AS ok
 UNION ALL SELECT 'minhash_p95_abs_err_le_0.25', true
 UNION ALL SELECT 'minhash_max_abs_err_le_0.5', true
 UNION ALL SELECT 'minhash_candidates_nonempty', true""",
+        "rel_q4_order_priority": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority""",
+        "ev_rolling_features": """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+  CAST(user_id AS BIGINT) AS user_id,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_value_7d
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+)""",
     }
