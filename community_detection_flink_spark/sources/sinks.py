@@ -41,3 +41,60 @@ class PhaseTap:
         if self.base:
             write_csv(df, os.path.join(self.base, name))
         return df
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Small-file compaction for a parquet directory — the lake
+    maintenance pass (Delta OPTIMIZE / Iceberg rewrite_data_files
+    shape) that keeps scan task counts sane after many incremental
+    appends: thousands of KB-sized files turn a 100 TB scan into a
+    scheduler stress test.
+
+    Reads the directory, computes the output file count from the
+    ACTUAL on-disk byte size (ceil(bytes / target)), rewrites with
+    ``coalesce`` (no shuffle — compaction is a repacking, not a
+    repartitioning) through a temp directory, then atomically swaps.
+    Returns ``{"files_before", "files_after", "bytes"}``.  No-op (and
+    no rewrite) when the directory already has < ``min_files_to_compact``
+    data files.  Row-level equality under compaction is pinned in
+    ``tests/test_sinks_and_misc.py``.
+    """
+    import math
+    import shutil
+
+    def _data_files(p):
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out += [
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+        return out
+
+    before = _data_files(path)
+    if len(before) < min_files_to_compact:
+        return {
+            "files_before": len(before),
+            "files_after": len(before),
+            "bytes": sum(os.path.getsize(f) for f in before),
+        }
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".compact-tmp"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact-old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    after = _data_files(path)
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes": total_bytes,
+    }

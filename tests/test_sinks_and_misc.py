@@ -40,3 +40,20 @@ def test_approx_count_distinct_tolerance(spark):
         F.countDistinct("l_partkey").alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
+
+
+def test_compact_parquet_preserves_rows_and_shrinks_files(spark, tmp_path):
+    from community_detection_flink_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    # fragment: 16 small files
+    df.repartition(16).write.mode("overwrite").parquet(path)
+    before = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    stats = compact_parquet(spark, path, target_file_mb=128)
+    assert stats["files_before"] == 16 and stats["files_after"] == 1
+    after = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert after == before
+    # idempotent: a second pass is a no-op
+    stats2 = compact_parquet(spark, path, target_file_mb=128)
+    assert stats2["files_before"] == stats2["files_after"] == 1
