@@ -1667,6 +1667,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").cast("long").alias("order_count"))
         )
 
+    def rel_q6_forecast_revenue(spark, sf):
+        """TPC-H Q6 analog (forecasting revenue change): revenue delta
+        from lineitems in 1996 with discount 0.05-0.07 and quantity
+        < 24 — the pure scan+filter+aggregate query; every predicate
+        must reach the parquet scan (PushedFilters)."""
+        li = load_table(spark, sf, "lineitem")
+        return (
+            li.where(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1997-01-01")
+                & (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,6)"
+                    )
+                )
+                .cast("double")
+                .alias("revenue"),
+                F.count("*").cast("long").alias("n_items"),
+            )
+        )
+
     def ev_rolling_features(spark, sf):
         """Trailing 7-day per-user rolling features (count + exact
         DECIMAL sum of value) for every event — the feature-store
@@ -1825,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_random_walks": g_random_walks,
         "doc_minhash_quality": doc_minhash_quality,
         "rel_q4_order_priority": rel_q4_order_priority,
+        "rel_q6_forecast_revenue": rel_q6_forecast_revenue,
         "ev_rolling_features": ev_rolling_features,
     }
 
@@ -3130,4 +3157,14 @@ WINDOW w AS (
   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
 )""",
+        "rel_q6_forecast_revenue": """
+SELECT
+  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+    AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
     }
