@@ -186,3 +186,82 @@ def test_salted_agg_matches_model(spark, rows, n_salt):
         wn, ws, wmn, wmx = want[k]
         assert (n, mn, mx) == (wn, wmn, wmx)
         assert abs(s - ws) < 1e-9
+
+
+@given(EDGE_LISTS)
+@FEW
+def test_link_scores_vs_bruteforce(spark, pairs):
+    """cn/jaccard/pa per existing edge match the set-algebra model."""
+    from community_detection_flink_spark.operators.graph_metrics import link_scores
+
+    und = _undirected(pairs)
+    if not und:
+        return
+    adj: dict[int, set[int]] = {}
+    for e in und:
+        a, b = tuple(e)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    df = spark.createDataFrame(sorted((min(e), max(e)) for e in und), "src LONG, dst LONG")
+    got = {(r.src, r.dst): r for r in link_scores(symmetrize_edges(df)).collect()}
+    assert set(got) == {(min(e), max(e)) for e in und}
+    for (u, v), r in got.items():
+        cn = len(adj[u] & adj[v])
+        union = len(adj[u] | adj[v])
+        assert r.cn == cn
+        assert r.pa == len(adj[u]) * len(adj[v])
+        assert abs(r.jaccard - cn / union) < 1e-12
+
+
+@given(EDGE_LISTS)
+@FEW
+def test_label_propagation_property(spark, pairs):
+    """Synchronous LPA with deterministic ties matches the model on
+    arbitrary random graphs (not just the hand fixture)."""
+    from community_detection_flink_spark.operators.graph_metrics import (
+        label_propagation,
+    )
+    from tests.test_round4_extras import _lpa_model
+
+    und = _undirected(pairs)
+    if not und:
+        return
+    plist = sorted((min(e), max(e)) for e in und)
+    df = spark.createDataFrame(plist, "src LONG, dst LONG")
+    got = {
+        r.vId: r.label
+        for r in label_propagation(symmetrize_edges(df), rounds=3).collect()
+    }
+    assert got == _lpa_model(plist, rounds=3)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=20,
+    )
+)
+@FEW
+def test_transition_probabilities_sum_to_one(spark, evts):
+    """Per-from_type conditional probabilities always sum to 1."""
+    import datetime
+
+    from community_detection_flink_spark.operators.temporal import (
+        transition_counts,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, u, t, t0 + datetime.timedelta(minutes=i))
+        for i, (u, t) in enumerate(evts)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP"
+    )
+    out = transition_counts(df).collect()
+    sums: dict[str, float] = {}
+    for r in out:
+        sums[r.from_type] = sums.get(r.from_type, 0.0) + r.p
+    for s in sums.values():
+        assert abs(s - 1.0) < 1e-9
