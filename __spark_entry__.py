@@ -1642,6 +1642,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         / max 0.065 against bounds 0.10 / 0.25 / 0.50)."""
         return D.minhash_estimate_quality(load_table(spark, sf, "documents"))
 
+    def g_landmark_distances(spark, sf):
+        """Exact BFS distances from 4 landmark vertices in ONE
+        multi-source frontier loop (graph_metrics.landmark_distances)
+        — the distance-oracle / structural-embedding table (Potamias
+        et al. CIKM'09).  Oracle: multi-source recursive CTE with
+        MIN(d) per (landmark, vertex)."""
+        from community_detection_flink_spark.operators import graph_metrics as GM
+
+        edges, _, _ = _graph(spark, sf)
+        return GM.landmark_distances(edges, n_landmarks=4, max_depth=20)
+
     def rel_q4_order_priority(spark, sf):
         """TPC-H Q4 analog (order-priority checking): 1996-Q1 orders
         with at least one lineitem shipped >30 days after the order
@@ -1853,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q4_order_priority": rel_q4_order_priority,
         "rel_q6_forecast_revenue": rel_q6_forecast_revenue,
         "ev_rolling_features": ev_rolling_features,
+        "g_landmark_distances": g_landmark_distances,
     }
 
 
@@ -3167,4 +3179,13 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24""",
+        "g_landmark_distances": _G.replace("WITH li", "WITH RECURSIVE li") + """,
+lms AS (SELECT src AS lm FROM (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 4)),
+mwalk(lm, vId, d) AS (
+  SELECT lm, lm, 0 FROM lms
+  UNION
+  SELECT w.lm, e.dst, w.d + 1 FROM mwalk w JOIN edges e ON e.src = w.vId
+  WHERE w.d < 20
+)
+SELECT lm, vId, CAST(MIN(d) AS BIGINT) AS dist FROM mwalk GROUP BY lm, vId""",
     }

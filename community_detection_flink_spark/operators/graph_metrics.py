@@ -558,3 +558,64 @@ def random_walks(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def landmark_distances(
+    edges: DataFrame,
+    n_landmarks: int = 4,
+    max_depth: int = 20,
+) -> DataFrame:
+    """Exact BFS distances from ``n_landmarks`` landmark vertices (the
+    smallest ids — deterministic) to every reachable vertex, computed
+    in ONE multi-source frontier loop.
+
+    The landmark/distance-oracle table behind scalable shortest-path
+    estimation (Potamias et al. CIKM'09): d(u,v) is approximated by
+    min over landmarks of d(u,ℓ)+d(ℓ,v), and the table doubles as a
+    k-dimensional structural embedding per vertex.  State is
+    ``(lm, vId, dist)``; each round expands all landmarks' frontiers
+    through one src-keyed join + one anti-join — k landmarks cost ~1
+    BFS, not k, because rounds share the same joins and shuffle.
+    Landmark selection collects exactly ``n_landmarks`` ids (O(k),
+    not O(V)).  Rounds land through the Materializer (bounded
+    lineage); superseded states are dropped.
+    """
+    spark = edges.sparkSession
+    mat = Materializer(spark)
+    lms = [
+        r[0]
+        for r in edges.select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(int(n_landmarks))
+        .collect()
+    ]
+    if not lms:
+        return spark.createDataFrame([], "lm LONG, vId LONG, dist LONG")
+    visited = mat(
+        spark.createDataFrame(
+            [(int(l), int(l), 0) for l in lms], "lm LONG, vId LONG, dist LONG"
+        ),
+        "lmbfs",
+    )
+    frontier = visited
+    for d in range(1, int(max_depth) + 1):
+        nxt = mat(
+            edges.join(
+                frontier.select(F.col("lm"), F.col("vId").alias("src")), "src"
+            )
+            .select("lm", F.col("dst").alias("vId"))
+            .distinct()
+            .join(visited.select("lm", "vId"), ["lm", "vId"], "left_anti")
+            .select("lm", "vId", F.lit(d).cast("long").alias("dist")),
+            "lmbfs",
+        )
+        if nxt.count() == 0:
+            mat.drop(nxt)
+            break
+        new_visited = mat(visited.unionByName(nxt), "lmbfs-vis")
+        mat.drop(visited)
+        mat.drop(nxt)
+        visited = new_visited
+        frontier = visited.where(F.col("dist") == d)
+    return visited

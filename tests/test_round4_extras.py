@@ -227,3 +227,19 @@ def test_minhash_quality_contract_planted_dups(spark):
     )
     out = {r.metric: r.ok for r in minhash_estimate_quality(docs).collect()}
     assert len(out) == 4 and all(out.values())
+
+
+def test_landmark_distances_match_per_source_bfs(spark, golden_edges):
+    from community_detection_flink_spark.operators.graph_metrics import (
+        bfs_distances,
+        landmark_distances,
+    )
+
+    e = symmetrize_edges(golden_edges)
+    got = {(r.lm, r.vId): r.dist for r in landmark_distances(e, 3).collect()}
+    lms = sorted({lm for lm, _ in got})
+    assert len(lms) == 3
+    for lm in lms:
+        single = {r.vId: r.dist for r in bfs_distances(e, source=lm).collect()}
+        mine = {v: d for (l, v), d in got.items() if l == lm}
+        assert mine == single  # multi-source loop ≡ k independent BFS runs
