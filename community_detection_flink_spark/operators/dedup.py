@@ -527,28 +527,34 @@ def minhash_estimate_quality(
     regression-checked measurement: mean |err| ≤ ``mean_bound``,
     p95 ≤ ``p95_bound``, max ≤ ``max_bound`` at k=32.  Estimates and
     exact Jaccards are per-pair column expressions (zip_with /
-    array_intersect over broadcast doc texts); only the tiny candidate
-    set is scored, never all pairs.
+    array_intersect); only the tiny candidate set is scored, never all
+    pairs, and the signature/shingle lookups are plain doc-id
+    equi-joins (AQE broadcasts them when actually small — no forced
+    broadcast of corpus-sized sides).
     """
     sigs = minhash_signatures(docs, num_hashes, shingle_n)
     pairs = minhash_lsh_pairs(docs, num_hashes, bands, shingle_n)
     sh = F.array_distinct(shingles_col(F.col("text"), shingle_n))
     sets = docs.select("doc_id", sh.alias("sh"))
+    # no broadcast hints: sigs/sets are CORPUS-sized (only the
+    # candidate pair set is small) — unhinted equi-joins let AQE
+    # broadcast when a side is actually small, and at 100 TB these
+    # plan as shuffle joins keyed on doc id, which is correct
     scored = (
         pairs.join(
-            F.broadcast(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))),
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
             "doc_a",
         )
         .join(
-            F.broadcast(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))),
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
             "doc_b",
         )
         .join(
-            F.broadcast(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))),
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
             "doc_a",
         )
         .join(
-            F.broadcast(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))),
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
             "doc_b",
         )
         .select(
