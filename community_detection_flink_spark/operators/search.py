@@ -147,9 +147,9 @@ def unigram_nll(docs: DataFrame) -> DataFrame:
     score high and get filtered or down-weighted.
 
     Model and scoring in one pass over the exploded tokens: the vocab
-    (token → ln p) is a hash aggregate broadcast back onto the token
-    stream, so the corpus text shuffles once as (doc_id, token) pairs
-    and nothing else.  No held-out smoothing is needed — every token
+    (token → ln p) is a hash aggregate joined back onto the token
+    stream on the token key, so the corpus text shuffles once as
+    (doc_id, token) pairs and nothing else.  No held-out smoothing is needed — every token
     is in-vocabulary by construction (self-scoring); swap the vocab
     DataFrame to score a NEW corpus under an old model, where the
     standard add-one floor applies.
@@ -163,9 +163,12 @@ def unigram_nll(docs: DataFrame) -> DataFrame:
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
     )
     # corpus token total as a 1-row broadcast crossJoin (modularity
-    # pattern) — no driver-side action, stays one logical pass
+    # pattern) — no driver-side action, stays one logical pass.  The
+    # vocab itself is NOT broadcast-hinted: on web-scale corpora the
+    # distinct-token set is huge (URLs, typos), so the token-keyed
+    # equi-join must be free to shuffle; AQE broadcasts it when small.
     tot = toks.agg(F.count("*").cast("double").alias("_total"))
-    vocab = F.broadcast(
+    vocab = (
         toks.groupBy("tok")
         .agg(F.count("*").cast("double").alias("_c"))
         .crossJoin(F.broadcast(tot))
