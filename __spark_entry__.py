@@ -1642,6 +1642,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         / max 0.065 against bounds 0.10 / 0.25 / 0.50)."""
         return D.minhash_estimate_quality(load_table(spark, sf, "documents"))
 
+    def emb_product_quantization(spark, sf):
+        """Product quantization (similarity.product_quantize, m=4
+        subspaces × 8 codewords from the first 8 vectors): d floats →
+        m codes + reconstruction error.  Distances and the error fold
+        in fixed index order — hash-matched with NO rounding (the
+        nearest_centroid convention)."""
+        return S.product_quantize(load_table(spark, sf, "embeddings"))
+
+    def g_graph_summary(spark, sf):
+        """One-row profile of the co-purchase graph: |V|, directed
+        |E|, max/avg degree, triangle count, and global transitivity
+        (6·tri / Σ d(d−1) — closed-triplet fraction, exact from
+        integer sums).  The graph twin of rel_profile_orders."""
+        edges, _, _ = _graph(spark, sf)
+        tri = _TRI_CACHE[sf]
+        deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("dg"))
+        dstats = deg.agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.sum("dg").cast("long").alias("n_directed_edges"),
+            F.max("dg").cast("long").alias("max_degree"),
+            F.sum(F.col("dg") * (F.col("dg") - 1)).cast("long").alias("sum_dd"),
+        )
+        tstats = tri.agg(F.count("*").cast("long").alias("n_triangles"))
+        return dstats.crossJoin(F.broadcast(tstats)).select(
+            "n_vertices",
+            "n_directed_edges",
+            "max_degree",
+            (
+                F.col("n_directed_edges").cast("double")
+                / F.col("n_vertices").cast("double")
+            ).alias("avg_degree"),
+            "n_triangles",
+            (
+                6.0
+                * F.col("n_triangles").cast("double")
+                / F.col("sum_dd").cast("double")
+            ).alias("transitivity"),
+        )
+
+    def rel_q14_promo_revenue(spark, sf):
+        """TPC-H Q14 analog (promotion effect): PROMO parts' share of
+        1996 revenue.  One lineitem⋈part join (part is the small side
+        — broadcast), two decimal-exact sums, one ratio."""
+        li = load_table(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        p = load_table(spark, sf, "part")
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,6)"
+        )
+        return (
+            li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .agg(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("_promo"),
+                F.sum(rev).alias("_total"),
+            )
+            .select(
+                (
+                    100.0
+                    * F.col("_promo").cast("double")
+                    / F.col("_total").cast("double")
+                ).alias("promo_revenue_pct"),
+                F.col("_promo").cast("double").alias("promo_revenue"),
+                F.col("_total").cast("double").alias("total_revenue"),
+            )
+        )
+
+    def rel_q17_small_qty_revenue(spark, sf):
+        """TPC-H Q17 analog (small-quantity-order revenue): yearly
+        revenue lost if orders below 20% of a part's average quantity
+        were not filled.  The per-part average is exact (quantities
+        are integral doubles), computed once and joined back — the
+        correlated subquery as an aggregate-then-join."""
+        li = load_table(spark, sf, "lineitem")
+        pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("_aq"))
+        return (
+            li.join(pa, "l_partkey")
+            .where(F.col("l_quantity") < 0.2 * F.col("_aq"))
+            .agg(
+                (
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                    .cast("double")
+                    / 7.0
+                ).alias("avg_yearly"),
+                F.count("*").cast("long").alias("n_small"),
+            )
+        )
+
     def g_landmark_distances(spark, sf):
         """Exact BFS distances from 4 landmark vertices in ONE
         multi-source frontier loop (graph_metrics.landmark_distances)
@@ -1865,6 +1954,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q6_forecast_revenue": rel_q6_forecast_revenue,
         "ev_rolling_features": ev_rolling_features,
         "g_landmark_distances": g_landmark_distances,
+        "emb_product_quantization": emb_product_quantization,
+        "g_graph_summary": g_graph_summary,
+        "rel_q14_promo_revenue": rel_q14_promo_revenue,
+        "rel_q17_small_qty_revenue": rel_q17_small_qty_revenue,
     }
 
 
@@ -3188,4 +3281,73 @@ mwalk(lm, vId, d) AS (
   WHERE w.d < 20
 )
 SELECT lm, vId, CAST(MIN(d) AS BIGINT) AS dist FROM mwalk GROUP BY lm, vId""",
+        "emb_product_quantization": """
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(r.j AS BIGINT) AS j,
+         embedding[CAST(r.j AS INTEGER) * 16 + 1 : CAST(r.j AS INTEGER) * 16 + 16] AS cvec
+  FROM embeddings, UNNEST(range(4)) r(j) WHERE vec_id < 8
+),
+rws AS (
+  SELECT vec_id, CAST(r.j AS BIGINT) AS j,
+         embedding[CAST(r.j AS INTEGER) * 16 + 1 : CAST(r.j AS INTEGER) * 16 + 16] AS sv
+  FROM embeddings, UNNEST(range(4)) r(j)
+),
+scored AS (
+  SELECT vec_id, j, cid,
+    list_reduce(list_prepend(0.0, list_transform(range(16),
+      i -> (CAST(sv[i + 1] AS DOUBLE) - CAST(cvec[i + 1] AS DOUBLE))
+           * (CAST(sv[i + 1] AS DOUBLE) - CAST(cvec[i + 1] AS DOUBLE)))),
+      (x, y) -> x + y) AS d2
+  FROM rws JOIN cent USING (j)
+),
+best AS (
+  SELECT vec_id, j, cid AS code, d2,
+    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+  FROM scored
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+  list(code ORDER BY j) AS codes,
+  list_reduce(list_prepend(0.0, list(d2 ORDER BY j)), (x, y) -> x + y) AS err2
+FROM best WHERE rn = 1 GROUP BY vec_id""",
+        "g_graph_summary": _G + """,
+gdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM edges GROUP BY src),
+gds AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         CAST(SUM(dg) AS BIGINT) AS n_directed_edges,
+         CAST(MAX(dg) AS BIGINT) AS max_degree,
+         CAST(SUM(dg * (dg - 1)) AS BIGINT) AS sum_dd
+  FROM gdeg
+),
+gts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri)
+SELECT n_vertices, n_directed_edges, max_degree,
+  CAST(n_directed_edges AS DOUBLE) / CAST(n_vertices AS DOUBLE) AS avg_degree,
+  n_triangles,
+  6.0 * CAST(n_triangles AS DOUBLE) / CAST(sum_dd AS DOUBLE) AS transitivity
+FROM gds, gts""",
+        "rel_q14_promo_revenue": """
+SELECT
+  100.0
+    * CAST(SUM(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+               END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS DOUBLE) AS promo_revenue_pct,
+  CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+            END) AS DOUBLE) AS promo_revenue,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+       AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'""",
+        "rel_q17_small_qty_revenue": """
+WITH pa AS (
+  SELECT l_partkey, AVG(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
+)
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+    AS avg_yearly,
+  CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem l JOIN pa USING (l_partkey)
+WHERE l.l_quantity < 0.2 * aq""",
     }

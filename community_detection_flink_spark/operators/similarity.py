@@ -762,3 +762,85 @@ def covariance_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+def product_quantize(
+    emb: DataFrame, m: int = 4, n_codes: int = 8, id_col: str = "vec_id"
+) -> DataFrame:
+    """Product quantization (Jégou et al. TPAMI'11) — the vector
+    compression behind billion-scale ANN indexes: each embedding is
+    split into ``m`` contiguous subvectors and every subvector is
+    replaced by the id of its nearest sub-codeword, shrinking d floats
+    to ``m`` small codes (+ the reconstruction error for quality
+    monitoring).
+
+    Codewords are taken deterministically from the first ``n_codes``
+    vectors' subvectors (the ``nearest_centroid`` fixed-centroid
+    convention — swap in k-means codebooks for production training).
+    Everything is JVM column expressions: the subvector explode is
+    m rows per vector, the codebook join is a broadcast of m·k tiny
+    rows, the argmin is a struct-min (distance, code) with
+    deterministic code tie-breaks, and both the per-subspace distance
+    and the error fold in fixed index order — bit-exact, so the DuckDB
+    oracle hash-matches with NO rounding.
+
+    Output: ``(vec_id, codes array<long>[m], err2 double)``.
+    """
+    d = _dim_of(emb)
+    sub = d // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                F.slice("embedding", j * sub + 1, sub).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    cents = (
+        emb.where(F.col(id_col) < n_codes)
+        .select(F.col(id_col).cast("long").alias("cid"), F.explode(subs).alias("s"))
+        .select("cid", F.col("s.j").alias("j"), F.col("s.sv").alias("cvec"))
+    )
+    rows = emb.select(
+        F.col(id_col).cast("long").alias(id_col), F.explode(subs).alias("s")
+    ).select(id_col, F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    d2 = F.aggregate(
+        F.zip_with(
+            "sv",
+            "cvec",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        rows.join(F.broadcast(cents), "j")
+        .select(id_col, "j", F.col("cid"), d2.alias("d2"))
+        .groupBy(id_col, "j")
+        .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("b"))
+    )
+    return (
+        assigned.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("j"),
+                        F.col("b.cid").alias("code"),
+                        F.col("b.d2").alias("d2"),
+                    )
+                )
+            ).alias("a")
+        )
+        .select(
+            id_col,
+            F.transform("a", lambda x: x["code"]).alias("codes"),
+            F.aggregate(
+                F.transform("a", lambda x: x["d2"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("err2"),
+        )
+    )

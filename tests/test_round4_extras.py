@@ -243,3 +243,30 @@ def test_landmark_distances_match_per_source_bfs(spark, golden_edges):
         single = {r.vId: r.dist for r in bfs_distances(e, source=lm).collect()}
         mine = {v: d for (l, v), d in got.items() if l == lm}
         assert mine == single  # multi-source loop ≡ k independent BFS runs
+
+
+def test_product_quantize_self_codes_and_error(spark):
+    from community_detection_flink_spark.operators.similarity import (
+        product_quantize,
+    )
+
+    # 8 distinct codeword vectors + 2 extra rows: one equal to vector 3
+    # (must pick code 3 everywhere with zero error), one distinct
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], 0) for i in range(8)]
+    rows.append((8, list(rows[3][1]), 0))
+    rows.append((9, [0.5] * 8, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label LONG"
+    )
+    got = {r.vec_id: r for r in product_quantize(emb, m=4, n_codes=8).collect()}
+    assert len(got) == 10
+    for vid, r in got.items():
+        assert len(r.codes) == 4 and all(0 <= c < 8 for c in r.codes)
+        assert r.err2 >= 0.0
+    # a codeword vector quantizes to itself exactly
+    assert got[3].codes == [3, 3, 3, 3] and got[3].err2 == 0.0
+    # and so does its duplicate
+    assert got[8].codes == [3, 3, 3, 3] and got[8].err2 == 0.0
