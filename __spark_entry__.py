@@ -1650,6 +1650,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nearest_centroid convention)."""
         return S.product_quantize(load_table(spark, sf, "embeddings"))
 
+    def emb_pq_ann(spark, sf):
+        """PQ asymmetric-distance top-10 search
+        (similarity.pq_ann_topk): full-precision queries scored
+        against the COMPRESSED corpus via a broadcast m·k distance
+        table — m code lookups per corpus vector, the embedding
+        column read only at encode time.  Hash-matched exactly (no
+        rounding)."""
+        return S.pq_ann_topk(load_table(spark, sf, "embeddings"))
+
     def g_graph_summary(spark, sf):
         """One-row profile of the co-purchase graph: |V|, directed
         |E|, max/avg degree, triangle count, and global transitivity
@@ -1955,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rolling_features": ev_rolling_features,
         "g_landmark_distances": g_landmark_distances,
         "emb_product_quantization": emb_product_quantization,
+        "emb_pq_ann": emb_pq_ann,
         "g_graph_summary": g_graph_summary,
         "rel_q14_promo_revenue": rel_q14_promo_revenue,
         "rel_q17_small_qty_revenue": rel_q17_small_qty_revenue,
@@ -2106,6 +2116,37 @@ _DOT = (
     "list_reduce(list_prepend(0.0, list_transform(range(len({a})), "
     "i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE))), (x, y) -> x + y)"
 )
+
+
+# shared PQ oracle prefix (m=4 subspaces of 16 dims, 8 codewords from
+# the first 8 vectors — the constants the emb_product_quantization /
+# emb_pq_ann queries fix for the 64-dim test corpus): cent = codebook,
+# rws = corpus subvectors, scored = subspace distances (same left-fold
+# as the Spark zip_with), best rn=1 = the assigned code per subspace
+_PQ_SQL = """
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(r.j AS BIGINT) AS j,
+         embedding[CAST(r.j AS INTEGER) * 16 + 1 : CAST(r.j AS INTEGER) * 16 + 16] AS cvec
+  FROM embeddings, UNNEST(range(4)) r(j) WHERE vec_id < 8
+),
+rws AS (
+  SELECT vec_id, CAST(r.j AS BIGINT) AS j,
+         embedding[CAST(r.j AS INTEGER) * 16 + 1 : CAST(r.j AS INTEGER) * 16 + 16] AS sv
+  FROM embeddings, UNNEST(range(4)) r(j)
+),
+scored AS (
+  SELECT vec_id, j, cid,
+    list_reduce(list_prepend(0.0, list_transform(range(16),
+      i -> (CAST(sv[i + 1] AS DOUBLE) - CAST(cvec[i + 1] AS DOUBLE))
+           * (CAST(sv[i + 1] AS DOUBLE) - CAST(cvec[i + 1] AS DOUBLE)))),
+      (x, y) -> x + y) AS d2
+  FROM rws JOIN cent USING (j)
+),
+best AS (
+  SELECT vec_id, j, cid AS code, d2,
+    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+  FROM scored
+)"""
 
 
 def _sssp_sql(rounds: int = 5) -> str:
@@ -3281,34 +3322,39 @@ mwalk(lm, vId, d) AS (
   WHERE w.d < 20
 )
 SELECT lm, vId, CAST(MIN(d) AS BIGINT) AS dist FROM mwalk GROUP BY lm, vId""",
-        "emb_product_quantization": """
-WITH cent AS (
-  SELECT vec_id AS cid, CAST(r.j AS BIGINT) AS j,
-         embedding[CAST(r.j AS INTEGER) * 16 + 1 : CAST(r.j AS INTEGER) * 16 + 16] AS cvec
-  FROM embeddings, UNNEST(range(4)) r(j) WHERE vec_id < 8
-),
-rws AS (
-  SELECT vec_id, CAST(r.j AS BIGINT) AS j,
-         embedding[CAST(r.j AS INTEGER) * 16 + 1 : CAST(r.j AS INTEGER) * 16 + 16] AS sv
-  FROM embeddings, UNNEST(range(4)) r(j)
-),
-scored AS (
-  SELECT vec_id, j, cid,
-    list_reduce(list_prepend(0.0, list_transform(range(16),
-      i -> (CAST(sv[i + 1] AS DOUBLE) - CAST(cvec[i + 1] AS DOUBLE))
-           * (CAST(sv[i + 1] AS DOUBLE) - CAST(cvec[i + 1] AS DOUBLE)))),
-      (x, y) -> x + y) AS d2
-  FROM rws JOIN cent USING (j)
-),
-best AS (
-  SELECT vec_id, j, cid AS code, d2,
-    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
-  FROM scored
-)
+        "emb_product_quantization": _PQ_SQL + """
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
   list(code ORDER BY j) AS codes,
   list_reduce(list_prepend(0.0, list(d2 ORDER BY j)), (x, y) -> x + y) AS err2
 FROM best WHERE rn = 1 GROUP BY vec_id""",
+        "emb_pq_ann": _PQ_SQL + """,
+codes AS (SELECT vec_id, j, code FROM best WHERE rn = 1),
+qs AS (
+  SELECT vec_id AS qid, CAST(r.j AS BIGINT) AS j,
+         embedding[CAST(r.j AS INTEGER) * 16 + 1 : CAST(r.j AS INTEGER) * 16 + 16] AS qv
+  FROM embeddings, UNNEST(range(4)) r(j) WHERE vec_id < 3
+),
+dtable AS (
+  SELECT qid, q.j, c.cid AS code,
+    list_reduce(list_prepend(0.0, list_transform(range(16),
+      i -> (CAST(qv[i + 1] AS DOUBLE) - CAST(cvec[i + 1] AS DOUBLE))
+           * (CAST(qv[i + 1] AS DOUBLE) - CAST(cvec[i + 1] AS DOUBLE)))),
+      (x, y) -> x + y) AS dj
+  FROM qs q JOIN cent c ON c.j = q.j
+),
+adc AS (
+  SELECT d.qid, co.vec_id,
+    list_reduce(list_prepend(0.0, list(dj ORDER BY d.j)), (x, y) -> x + y)
+      AS adc_dist
+  FROM codes co JOIN dtable d ON d.j = co.j AND d.code = co.code
+  GROUP BY d.qid, co.vec_id
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, adc_dist
+FROM (
+  SELECT qid, vec_id, adc_dist,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rn
+  FROM adc
+) WHERE rn <= 10""",
         "g_graph_summary": _G + """,
 gdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM edges GROUP BY src),
 gds AS (

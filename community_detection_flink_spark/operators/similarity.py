@@ -844,3 +844,89 @@ def product_quantize(
             ).alias("err2"),
         )
     )
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    n_queries: int = 3,
+    m: int = 4,
+    n_codes: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the query path that
+    makes product quantization an ANN index: the query stays
+    full-precision, each corpus vector is scored from its m codes via
+    a per-query distance TABLE (m·k entries), so scoring the whole
+    corpus costs m lookups + adds per vector instead of d multiplies.
+
+    The distance table is a broadcast of |Q|·m·k tiny rows; corpus
+    codes join it on (subspace, code) — the corpus embedding column is
+    never read again after encoding.  Subspace distances and the ADC
+    sum fold in fixed index order, so the result (top-``k`` per query
+    by (adc_dist, vec_id)) hash-matches the DuckDB oracle exactly.
+
+    Queries are the first ``n_queries`` vectors (the fixed-query
+    convention of ``cosine_topk``'s gate query).  Output:
+    ``(qid, vec_id, adc_dist)``.
+    """
+    from pyspark.sql import Window
+
+    d = _dim_of(emb)
+    sub = d // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                F.slice("embedding", j * sub + 1, sub).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    codes = product_quantize(emb, m, n_codes, id_col)
+    code_rows = codes.select(
+        id_col, F.posexplode("codes").alias("j", "code")
+    ).select(id_col, F.col("j").cast("long").alias("j"), "code")
+    cents = (
+        emb.where(F.col(id_col) < n_codes)
+        .select(F.col(id_col).cast("long").alias("code"), F.explode(subs).alias("s"))
+        .select("code", F.col("s.j").alias("j"), F.col("s.sv").alias("cvec"))
+    )
+    qs = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).cast("long").alias("qid"), F.explode(subs).alias("s")
+    ).select("qid", F.col("s.j").alias("j"), F.col("s.sv").alias("qv"))
+    dj = F.aggregate(
+        F.zip_with(
+            "qv",
+            "cvec",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dtable = qs.join(cents, "j").select("qid", "j", "code", dj.alias("dj"))
+    adc = (
+        code_rows.join(F.broadcast(dtable), ["j", "code"])
+        .groupBy("qid", id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("j"), F.col("dj")))
+            ).alias("a")
+        )
+        .select(
+            "qid",
+            id_col,
+            F.aggregate(
+                F.transform("a", lambda x: x["dj"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", id_col, "adc_dist")
+    )

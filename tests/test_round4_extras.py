@@ -270,3 +270,27 @@ def test_product_quantize_self_codes_and_error(spark):
     assert got[3].codes == [3, 3, 3, 3] and got[3].err2 == 0.0
     # and so does its duplicate
     assert got[8].codes == [3, 3, 3, 3] and got[8].err2 == 0.0
+
+
+def test_pq_ann_self_retrieval(spark):
+    from community_detection_flink_spark.operators.similarity import pq_ann_topk
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], 0) for i in range(30)]
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label LONG"
+    )
+    out = pq_ann_topk(emb, n_queries=2, m=4, n_codes=8, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.qid, r.adc_dist, r.vec_id)):
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == {0, 1} and all(len(v) == 5 for v in by_q.values())
+    for qid, rs in by_q.items():
+        # a query that is itself a codeword vector reconstructs exactly:
+        # its ADC distance to itself is 0 and it ranks first
+        assert rs[0].vec_id == qid and rs[0].adc_dist == 0.0
+        assert all(
+            rs[i].adc_dist <= rs[i + 1].adc_dist for i in range(len(rs) - 1)
+        )
