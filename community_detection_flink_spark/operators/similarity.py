@@ -765,7 +765,11 @@ def covariance_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def product_quantize(
-    emb: DataFrame, m: int = 4, n_codes: int = 8, id_col: str = "vec_id"
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product quantization (Jégou et al. TPAMI'11) — the vector
     compression behind billion-scale ANN indexes: each embedding is
@@ -797,11 +801,15 @@ def product_quantize(
             for j in range(m)
         ]
     )
-    cents = (
-        emb.where(F.col(id_col) < n_codes)
-        .select(F.col(id_col).cast("long").alias("cid"), F.explode(subs).alias("s"))
-        .select("cid", F.col("s.j").alias("j"), F.col("s.sv").alias("cvec"))
-    )
+    if codebook is not None:
+        # trained codebook (train_pq_codebook): (j, cid, cvec)
+        cents = codebook.select("cid", "j", "cvec")
+    else:
+        cents = (
+            emb.where(F.col(id_col) < n_codes)
+            .select(F.col(id_col).cast("long").alias("cid"), F.explode(subs).alias("s"))
+            .select("cid", F.col("s.j").alias("j"), F.col("s.sv").alias("cvec"))
+        )
     rows = emb.select(
         F.col(id_col).cast("long").alias(id_col), F.explode(subs).alias("s")
     ).select(id_col, F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
@@ -930,3 +938,97 @@ def pq_ann_topk(
         .where(F.col("rn") <= k)
         .select("qid", id_col, "adc_dist")
     )
+
+
+def train_pq_codebook(
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd (k-means) refinement of the PQ codebook, per subspace —
+    the training step that turns the naive first-k codebook into a
+    production one (measured here: 2 iterations cut mean
+    reconstruction error and lift ADC recall on the test corpus;
+    pinned in ``tests/test_round4_extras.py``).
+
+    Each iteration is one assign (broadcast codebook join + struct-min
+    argmin, the ``product_quantize`` step) and one update (per-
+    dimension mean via posexplode + DECIMAL-summed aggregate — the
+    shuffle carries (j, code, dim) keys, never whole vectors twice).
+    Empty clusters keep their previous codeword.  Deterministic
+    end-to-end, so training is replayable.
+
+    Returns the codebook DataFrame ``(j, cid, cvec)`` accepted by
+    ``product_quantize(..., codebook=...)``.
+    """
+    d = _dim_of(emb)
+    sub = d // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                F.slice("embedding", j * sub + 1, sub).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    rows = emb.select(F.explode(subs).alias("s")).select(
+        F.col("s.j").alias("j"), F.col("s.sv").alias("sv")
+    )
+    cents = (
+        emb.where(F.col(id_col) < n_codes)
+        .select(F.col(id_col).cast("long").alias("cid"), F.explode(subs).alias("s"))
+        .select("cid", F.col("s.j").alias("j"), F.col("s.sv").alias("cvec"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "sv",
+            "cvec",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(int(iterations)):
+        assigned = (
+            rows.join(F.broadcast(cents), "j")
+            .select("j", "sv", F.col("cid"), d2.alias("_d2"))
+            .groupBy("j", "sv")
+            .agg(F.min(F.struct(F.col("_d2"), F.col("cid"))).alias("b"))
+            .select("j", "sv", F.col("b.cid").alias("cid"))
+        )
+        means = (
+            assigned.select("j", "cid", F.posexplode("sv").alias("i", "x"))
+            .groupBy("j", "cid", "i")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("double").cast("decimal(28,12)")).cast(
+                        "double"
+                    )
+                    / F.count("*").cast("double")
+                ).alias("mx")
+            )
+            .groupBy("j", "cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), F.col("mx")))
+                ).alias("a")
+            )
+            .select(
+                "j",
+                "cid",
+                F.transform("a", lambda s: s["mx"]).alias("cvec"),
+            )
+        )
+        # empty clusters keep the previous codeword
+        cents = (
+            cents.select("j", "cid", F.col("cvec").alias("_old"))
+            .join(means, ["j", "cid"], "left")
+            .select(
+                "j", "cid", F.coalesce(F.col("cvec"), F.col("_old")).alias("cvec")
+            )
+        )
+    return cents.select("j", "cid", "cvec")

@@ -294,3 +294,35 @@ def test_pq_ann_self_retrieval(spark):
         assert all(
             rs[i].adc_dist <= rs[i + 1].adc_dist for i in range(len(rs) - 1)
         )
+
+
+def test_pq_codebook_training_reduces_error(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from community_detection_flink_spark.operators.similarity import (
+        product_quantize,
+        train_pq_codebook,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], 0) for i in range(120)]
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label LONG"
+    )
+    naive = product_quantize(emb, m=4, n_codes=8).agg(F.avg("err2")).first()[0]
+    cb = train_pq_codebook(emb, m=4, n_codes=8, iterations=2)
+    trained = (
+        product_quantize(emb, m=4, n_codes=8, codebook=cb)
+        .agg(F.avg("err2"))
+        .first()[0]
+    )
+    # Lloyd iterations never increase total quantization error, and on
+    # a random corpus vs a naive first-k codebook they cut it clearly
+    assert trained < naive * 0.95, (naive, trained)
+    # deterministic: retraining reproduces the identical codebook
+    cb2 = train_pq_codebook(emb, m=4, n_codes=8, iterations=2)
+    a = sorted(map(tuple, cb.collect()))
+    b = sorted(map(tuple, cb2.collect()))
+    assert a == b
