@@ -1650,6 +1650,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nearest_centroid convention)."""
         return S.product_quantize(load_table(spark, sf, "embeddings"))
 
+    def emb_ivfpq_ann(spark, sf):
+        """IVF + PQ composition (similarity.ann_topk_ivfpq): IVF cells
+        route, PQ codes score via the broadcast ADC table — the
+        production ANN shape.  Rows-only like the other IVF queries
+        (the numpy cell argmax is not bit-replayable in SQL); plan +
+        candidate-subset + determinism pinned in
+        tests/test_round4_extras.py."""
+        emb = load_table(spark, sf, "embeddings")
+        return S.ann_topk_ivfpq(
+            emb, emb.where("vec_id < 5"), k=5, index=_ivf_index(spark, sf)
+        )
+
+    def ev_debounce(spark, sf):
+        """Batch debounce dedup: keep events whose gap from the
+        previous event of the same (user, type) is ≥ 10 minutes — one
+        keyed window, the SQL-expressible cousin of the stateful
+        TTL dedup (`streaming/stateful.py::streaming_first_seen`,
+        which chains from the last KEPT event instead)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        ev = load_table(spark, sf, "events")
+        gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        return (
+            ev.withColumn("_gap", gap)
+            .where(F.col("_gap").isNull() | (F.col("_gap") >= 600_000_000))
+            .select(
+                F.col("event_id").cast("long").alias("event_id"),
+                F.col("user_id").cast("long").alias("user_id"),
+                "event_type",
+            )
+        )
+
     def emb_pq_ann(spark, sf):
         """PQ asymmetric-distance top-10 search
         (similarity.pq_ann_topk): full-precision queries scored
@@ -1965,6 +1998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_landmark_distances": g_landmark_distances,
         "emb_product_quantization": emb_product_quantization,
         "emb_pq_ann": emb_pq_ann,
+        "emb_ivfpq_ann": emb_ivfpq_ann,
+        "ev_debounce": ev_debounce,
         "g_graph_summary": g_graph_summary,
         "rel_q14_promo_revenue": rel_q14_promo_revenue,
         "rel_q17_small_qty_revenue": rel_q17_small_qty_revenue,
@@ -3396,4 +3431,13 @@ SELECT
   CAST(COUNT(*) AS BIGINT) AS n_small
 FROM lineitem l JOIN pa USING (l_partkey)
 WHERE l.l_quantity < 0.2 * aq""",
+        "ev_debounce": """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+  CAST(user_id AS BIGINT) AS user_id, event_type
+FROM (
+  SELECT event_id, user_id, event_type,
+    epoch_us(ts) - epoch_us(LAG(ts) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap
+  FROM events
+) WHERE gap IS NULL OR gap >= 600000000""",
     }

@@ -1032,3 +1032,110 @@ def train_pq_codebook(
             )
         )
     return cents.select("j", "cid", "cvec")
+
+
+def _pq_subs_expr(d: int, m: int):
+    sub = d // m
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                F.slice("embedding", j * sub + 1, sub).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def ann_topk_ivfpq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 8,
+    index: IVFIndex | None = None,
+    m: int = 4,
+    n_codes: int = 8,
+    codebook: DataFrame | None = None,
+    n_cells: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ — the production ANN composition: IVF cells route each
+    query to its ``n_probe`` nearest clusters (coarse quantizer, the
+    piece PQ lacks), and the candidates inside are scored from their
+    PQ codes via the broadcast ADC distance table (the piece IVF's
+    exact re-rank pays d multiplies for).  Embeddings are read at
+    ENCODE time only; query-time cost is |probed candidates| × m code
+    lookups.
+
+    Quality equals the PQ scorer's (code resolution is the ceiling —
+    COVERAGE.md records the measured ~0.3 recall@5 of m=4 codes on
+    tight clusters; raise m·k or re-rank survivors exactly for more),
+    while the scan fraction is the IVF candidate fraction (measured
+    ≈ n_probe/n_cells on clustered data).  Output:
+    ``(query_id, vec_id, adc_dist)``, top-``k`` per query,
+    deterministic (adc, vec_id) order.
+    """
+    from pyspark.sql import Window
+
+    d = _dim_of(emb)
+    subs = _pq_subs_expr(d, m)
+    cand = ivf_candidates(emb, queries, n_cells, n_probe, seed, index)
+    codes = product_quantize(emb, m, n_codes, id_col, codebook=codebook)
+    code_rows = codes.select(
+        id_col, F.posexplode("codes").alias("j", "code")
+    ).select(id_col, F.col("j").cast("long").alias("j"), "code")
+    cand_codes = cand.join(code_rows, cand["vec_id"] == code_rows[id_col]).select(
+        "query_id", code_rows[id_col].alias("vec_id"), "j", "code"
+    )
+    if codebook is not None:
+        cents = codebook.select(F.col("cid").alias("code"), "j", "cvec")
+    else:
+        cents = (
+            emb.where(F.col(id_col) < n_codes)
+            .select(
+                F.col(id_col).cast("long").alias("code"),
+                F.explode(subs).alias("s"),
+            )
+            .select("code", F.col("s.j").alias("j"), F.col("s.sv").alias("cvec"))
+        )
+    qs = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), F.explode(subs).alias("s")
+    ).select("query_id", F.col("s.j").alias("j"), F.col("s.sv").alias("qv"))
+    dj = F.aggregate(
+        F.zip_with(
+            "qv",
+            "cvec",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dtable = qs.join(cents, "j").select("query_id", "j", "code", dj.alias("dj"))
+    adc = (
+        cand_codes.join(F.broadcast(dtable), ["query_id", "j", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("j"), F.col("dj")))
+            ).alias("a")
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.transform("a", lambda x: x["dj"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id", "adc_dist")
+    )

@@ -326,3 +326,40 @@ def test_pq_codebook_training_reduces_error(spark):
     a = sorted(map(tuple, cb.collect()))
     b = sorted(map(tuple, cb2.collect()))
     assert a == b
+
+
+def test_ivfpq_composition_properties(spark):
+    from pyspark.sql import functions as F
+
+    from community_detection_flink_spark.sources.synthetic import (
+        clustered_embeddings,
+    )
+    from community_detection_flink_spark.operators.similarity import (
+        ann_topk_ivfpq,
+        ivf_candidates,
+        train_pq_codebook,
+    )
+
+    emb = clustered_embeddings(spark, n=400, dim=16, n_clusters=8).cache()
+    emb.count()
+    q = emb.where("vec_id < 4")
+    cb = train_pq_codebook(emb, m=4, n_codes=8, iterations=1)
+    out = ann_topk_ivfpq(emb, q, k=5, n_probe=2, codebook=cb).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    cand = {
+        (r.query_id, r.vec_id)
+        for r in ivf_candidates(emb, q, n_probe=2).collect()
+    }
+    for qid, rs in by_q.items():
+        assert len(rs) == 5
+        # every scored pair came from the probed cells
+        assert all((qid, r.vec_id) in cand for r in rs)
+        ds = sorted(r.adc_dist for r in rs)
+        assert ds == [r.adc_dist for r in sorted(rs, key=lambda x: (x.adc_dist, x.vec_id))]
+    # deterministic end-to-end
+    again = ann_topk_ivfpq(emb, q, k=5, n_probe=2, codebook=cb).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    emb.unpersist()
