@@ -1650,6 +1650,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nearest_centroid convention)."""
         return S.product_quantize(load_table(spark, sf, "embeddings"))
 
+    def g_snapshot_edges(spark, sf):
+        """Temporal graph snapshot: the co-purchase edge set built
+        from 1996-H1 shipments only — the time-windowed graph
+        construction an evolving-graph pipeline re-runs per window
+        (the shipdate filter pushes into the lineitem scan before the
+        pair join)."""
+        li = load_table(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-07-01")
+        )
+        pairs = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+        return (
+            pairs.alias("a")
+            .join(pairs.alias("b"), "ok")
+            .where(F.col("a.pk") != F.col("b.pk"))
+            .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+            .distinct()
+        )
+
     def emb_ivfpq_ann(spark, sf):
         """IVF + PQ composition (similarity.ann_topk_ivfpq): IVF cells
         route, PQ codes score via the broadcast ADC table — the
@@ -2000,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_ann": emb_pq_ann,
         "emb_ivfpq_ann": emb_ivfpq_ann,
         "ev_debounce": ev_debounce,
+        "g_snapshot_edges": g_snapshot_edges,
         "g_graph_summary": g_graph_summary,
         "rel_q14_promo_revenue": rel_q14_promo_revenue,
         "rel_q17_small_qty_revenue": rel_q17_small_qty_revenue,
@@ -3440,4 +3462,12 @@ FROM (
       PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap
   FROM events
 ) WHERE gap IS NULL OR gap >= 600000000""",
+        "g_snapshot_edges": """
+WITH sli AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-07-01'
+)
+SELECT DISTINCT a.pk AS src, b.pk AS dst
+FROM sli a JOIN sli b USING (ok) WHERE a.pk <> b.pk""",
     }

@@ -57,3 +57,31 @@ def test_compact_parquet_preserves_rows_and_shrinks_files(spark, tmp_path):
     # idempotent: a second pass is a no-op
     stats2 = compact_parquet(spark, path, target_file_mb=128)
     assert stats2["files_before"] == stats2["files_after"] == 1
+
+
+def test_edge_csv_malformed_rows(spark, tmp_path):
+    """Source robustness: the schema'd CSV scan NULLs unparseable
+    columns (Spark PERMISSIVE default) instead of failing the job, and
+    the pipeline's own symmetrize step drops them — a malformed line
+    in a 100 TB edge dump must not kill the run."""
+    from community_detection_flink_spark.sources.edges import (
+        load_edges_csv,
+        symmetrize_edges,
+    )
+
+    p = tmp_path / "edges.csv"
+    p.write_text("1 2\n2 3\nnot a row\n3\n4 x\n3 1\n")
+    raw = load_edges_csv(spark, str(p))
+    assert raw.count() == 6  # every line yields a row in PERMISSIVE mode
+    good = raw.na.drop()
+    assert good.count() == 3
+    sym = symmetrize_edges(good)
+    assert sym.count() == 6  # 3 undirected edges doubled
+    # DROPMALFORMED variant reads clean directly
+    dropped = (
+        spark.read.schema("src LONG, dst LONG")
+        .option("delimiter", " ")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert dropped.na.drop().count() == 3
