@@ -1650,6 +1650,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nearest_centroid convention)."""
         return S.product_quantize(load_table(spark, sf, "embeddings"))
 
+    def g_ktruss(spark, sf):
+        """4-truss of the co-purchase graph (graph_metrics.k_truss):
+        the edge-cohesion peel complementing g_kcore.  Converges in 3
+        rounds at this k; the oracle over-unrolls 5 idempotent rounds
+        (the k-core oracle trick).  The deeper k=8 peel (25 rounds) is
+        pinned semantically on the clique fixture in pytest."""
+        from community_detection_flink_spark.operators import graph_metrics as GM
+
+        edges, _, _ = _graph(spark, sf)
+        return GM.k_truss(edges, k=4)
+
     def g_snapshot_edges(spark, sf):
         """Temporal graph snapshot: the co-purchase edge set built
         from 1996-H1 shipments only — the time-windowed graph
@@ -2025,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_graph_summary": g_graph_summary,
         "rel_q14_promo_revenue": rel_q14_promo_revenue,
         "rel_q17_small_qty_revenue": rel_q17_small_qty_revenue,
+        "g_ktruss": g_ktruss,
     }
 
 
@@ -2249,6 +2261,30 @@ def _walks_sql(walks_per_vertex: int = 2, length: int = 4) -> str:
   FROM w{s - 1} w
   JOIN rw_deg d ON d.vId = w.vId
   JOIN rw_adj a ON a.vId = w.vId AND a.pos = ({h}) % d.dg
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 5) -> str:
+    """Over-unrolled k-truss peel rounds (idempotent at the fixed
+    point — the k-core oracle trick): each round recomputes per-edge
+    triangle support over the surviving set and keeps support ≥ k−2."""
+    parts = ["kt0 AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst)"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""ks{r} AS MATERIALIZED (
+  SELECT src, dst FROM kt{r - 1}
+  UNION ALL SELECT dst, src FROM kt{r - 1}
+),
+kt{r} AS MATERIALIZED (
+  SELECT p.src, p.dst
+  FROM kt{r - 1} p
+  JOIN (
+    SELECT a.src AS u, b.src AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ks{r} a JOIN ks{r} b ON a.dst = b.dst
+    WHERE a.src < b.src GROUP BY 1, 2
+  ) w ON w.u = p.src AND w.v = p.dst AND w.c >= {k - 2}
 )"""
         )
     return ",\n".join(parts)
@@ -3470,4 +3506,5 @@ WITH sli AS (
 )
 SELECT DISTINCT a.pk AS src, b.pk AS dst
 FROM sli a JOIN sli b USING (ok) WHERE a.pk <> b.pk""",
+        "g_ktruss": _G + ",\n" + _ktruss_sql(4, 5) + "\nSELECT src, dst FROM kt5",
     }

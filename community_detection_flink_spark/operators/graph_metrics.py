@@ -619,3 +619,54 @@ def landmark_distances(
         visited = new_visited
         frontier = visited.where(F.col("dist") == d)
     return visited
+
+
+def k_truss(edges: DataFrame, k: int = 4, max_rounds: int = 50) -> DataFrame:
+    """Edges of the ``k``-truss (Cohen 2008): the maximal subgraph in
+    which every edge participates in at least ``k−2`` triangles — the
+    edge-level cohesion peel that complements the vertex-level
+    ``k_core`` (trusses are the standard "community core" extractor).
+
+    Iterative peel: each round computes per-edge triangle support as a
+    wedge join CLOSED against the surviving edge list before the
+    aggregate (the ``link_scores`` Σ deg² bound), drops edges below
+    support, and parquet-lands the survivors (Materializer; superseded
+    rounds dropped, convergence read from landed row counts).  The
+    k-truss is unique, so the result is deterministic regardless of
+    peel order — which is what lets the driver-gate oracle over-unroll
+    the same rounds as idempotent CTEs (the ``k_core`` oracle trick).
+
+    Input: symmetrized doubled edges.  Output: ``(src, dst)`` with
+    ``src < dst``, one row per truss edge.
+    """
+    spark = edges.sparkSession
+    mat = Materializer(spark)
+    cur = mat(edges.where(F.col("src") < F.col("dst")), "ktruss")
+    n = cur.count()
+    for _ in range(int(max_rounds)):
+        if n == 0:
+            break
+        sym = cur.unionByName(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        wedges = sym.select(F.col("src").alias("u"), F.col("dst").alias("w")).join(
+            sym.select(F.col("src").alias("v"), F.col("dst").alias("w")), "w"
+        ).where(F.col("u") < F.col("v"))
+        support = (
+            wedges.join(
+                cur.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+                ["u", "v"],
+            )
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") >= k - 2)
+            .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        )
+        nxt = mat(support, "ktruss")
+        n_next = nxt.count()
+        mat.drop(cur)
+        cur = nxt
+        if n_next == n:
+            break
+        n = n_next
+    return cur

@@ -363,3 +363,20 @@ def test_ivfpq_composition_properties(spark):
     again = ann_topk_ivfpq(emb, q, k=5, n_probe=2, codebook=cb).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     emb.unpersist()
+
+
+def test_k_truss_cliques_and_bridge(spark, golden_edges):
+    from community_detection_flink_spark.operators.graph_metrics import k_truss
+
+    e = symmetrize_edges(golden_edges)
+    # two 4-cliques bridged by 3-4: every clique edge sits in 2
+    # triangles (4-truss); the bridge has support 0 and is peeled
+    t4 = {(r.src, r.dst) for r in k_truss(e, k=4).collect()}
+    cliques = {(a, b) for grp in ([0, 1, 2, 3], [4, 5, 6, 7])
+               for a in grp for b in grp if a < b}
+    assert t4 == cliques
+    # 5-truss needs 3 triangles per edge — a 4-clique can't provide it
+    assert k_truss(e, k=5).count() == 0
+    # k=3 keeps every triangle edge (same set here)
+    t3 = {(r.src, r.dst) for r in k_truss(e, k=3).collect()}
+    assert t3 == cliques
