@@ -1650,6 +1650,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nearest_centroid convention)."""
         return S.product_quantize(load_table(spark, sf, "embeddings"))
 
+    def rel_q15_top_supplier(spark, sf):
+        """TPC-H Q15 analog (top supplier): suppliers whose 1996-Q1
+        revenue EQUALS the maximum — the all-ties-at-max semantics
+        (not top-k), expressed as one aggregate + a rank window so
+        the revenue view is computed once."""
+        from pyspark.sql import Window
+
+        li = load_table(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        s = load_table(spark, sf, "supplier")
+        rev = (
+            li.groupBy("l_suppkey")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                )
+                .cast("double")
+                .alias("total_revenue")
+            )
+        )
+        w = Window.orderBy(F.col("total_revenue").desc())
+        top = rev.withColumn("_rk", F.rank().over(w)).where(F.col("_rk") == 1)
+        return (
+            top.join(F.broadcast(s), top["l_suppkey"] == s["s_suppkey"])
+            .select(
+                F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                "s_name",
+                "total_revenue",
+            )
+        )
+
+    def doc_passage_locations(spark, sf):
+        """Span locations for the cross-document repeated passages:
+        (chunk_hash, doc_id, pos) for every occurrence of a window
+        that appears in ≥2 docs — the join-back step that turns
+        doc_repeated_passages' hashes into removable spans."""
+        docs = load_table(spark, sf, "documents")
+        toks = T.tokens_col(F.col("text"))
+        n = 8
+        windows = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        occ = docs.select(
+            "doc_id", F.posexplode(windows).alias("pos", "chunk")
+        ).select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("pos"),
+            D._hash60(F.col("chunk")).alias("chunk_hash"),
+        )
+        dup = (
+            occ.groupBy("chunk_hash")
+            .agg(F.countDistinct("doc_id").alias("_nd"))
+            .where(F.col("_nd") >= 2)
+            .select("chunk_hash")
+        )
+        return occ.join(dup, "chunk_hash", "left_semi").select(
+            "chunk_hash", "doc_id", "pos"
+        )
+
     def g_ktruss(spark, sf):
         """4-truss of the co-purchase graph (graph_metrics.k_truss):
         the edge-cohesion peel complementing g_kcore.  Converges in 3
@@ -2037,6 +2104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q14_promo_revenue": rel_q14_promo_revenue,
         "rel_q17_small_qty_revenue": rel_q17_small_qty_revenue,
         "g_ktruss": g_ktruss,
+        "rel_q15_top_supplier": rel_q15_top_supplier,
+        "doc_passage_locations": doc_passage_locations,
     }
 
 
@@ -3507,4 +3576,31 @@ WITH sli AS (
 SELECT DISTINCT a.pk AS src, b.pk AS dst
 FROM sli a JOIN sli b USING (ok) WHERE a.pk <> b.pk""",
         "g_ktruss": _G + ",\n" + _ktruss_sql(4, 5) + "\nSELECT src, dst FROM kt5",
+        "rel_q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+         AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
+        "doc_passage_locations": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+    {_H60.format(x="array_to_string(tk[CAST(i AS INTEGER):CAST(i AS INTEGER) + 7], ' ')")}
+      AS chunk_hash
+  FROM toks, UNNEST(range(1, len(tk) - 8 + 2)) AS r(i)
+  WHERE len(tk) >= 8
+),
+dup AS (
+  SELECT chunk_hash FROM occ
+  GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT o.chunk_hash, o.doc_id, o.pos FROM occ o JOIN dup USING (chunk_hash)""",
     }
