@@ -1650,6 +1650,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nearest_centroid convention)."""
         return S.product_quantize(load_table(spark, sf, "embeddings"))
 
+    def ev_trigrams(spark, sf):
+        """Top event-type trigrams per user stream (two LAG windows +
+        one count) — the path-analysis n-gram a product-analytics
+        pipeline mines for common journeys; ordered deterministically
+        by (n DESC, trigram)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev = load_table(spark, sf, "events")
+        t = ev.select(
+            F.lag("event_type", 2).over(w).alias("a"),
+            F.lag("event_type", 1).over(w).alias("b"),
+            F.col("event_type").alias("c"),
+        ).where(F.col("a").isNotNull())
+        return (
+            t.groupBy("a", "b", "c")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b", "c")
+            .limit(25)
+        )
+
+    def emb_code_dedup(spark, sf):
+        """Embedding near-dup blocking by PQ code collision: vectors
+        sharing ALL m codes land in one block (code-grid resolution —
+        the quantization-based blocking key large-scale embedding
+        dedup uses before exact verification).  Groups of ≥2 with
+        deterministic representative (min vec_id)."""
+        codes = S.product_quantize(load_table(spark, sf, "embeddings"))
+        return (
+            codes.groupBy("codes")
+            .agg(
+                F.min("vec_id").cast("long").alias("rep"),
+                F.count("*").cast("long").alias("n_members"),
+            )
+            .where(F.col("n_members") >= 2)
+            .select("rep", "n_members", "codes")
+        )
+
+    def rel_monthly_growth(spark, sf):
+        """Month-over-month revenue with growth percent (one LAG over
+        the monthly aggregate) — the reporting staple; decimal-exact
+        monthly sums, int-free growth ratio rounded to 6."""
+        from pyspark.sql import Window
+
+        o = load_table(spark, sf, "orders")
+        monthly = o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("_m")
+        ).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        w = Window.orderBy("_m")
+        return monthly.select(
+            F.unix_micros(F.col("_m").cast("timestamp")).alias("month_us"),
+            "revenue",
+            F.round(
+                100.0
+                * F.try_divide(
+                    F.col("revenue") - F.lag("revenue").over(w),
+                    F.lag("revenue").over(w),
+                ),
+                6,
+            ).alias("growth_pct"),
+        )
+
     def rel_q15_top_supplier(spark, sf):
         """TPC-H Q15 analog (top supplier): suppliers whose 1996-Q1
         revenue EQUALS the maximum — the all-ties-at-max semantics
@@ -2106,6 +2172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_ktruss": g_ktruss,
         "rel_q15_top_supplier": rel_q15_top_supplier,
         "doc_passage_locations": doc_passage_locations,
+        "ev_trigrams": ev_trigrams,
+        "emb_code_dedup": emb_code_dedup,
+        "rel_monthly_growth": rel_monthly_growth,
     }
 
 
@@ -3603,4 +3672,35 @@ dup AS (
   GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
 )
 SELECT o.chunk_hash, o.doc_id, o.pos FROM occ o JOIN dup USING (chunk_hash)""",
+        "ev_trigrams": """
+WITH t AS (
+  SELECT LAG(event_type, 2) OVER w AS a,
+         LAG(event_type, 1) OVER w AS b,
+         event_type AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n
+FROM t WHERE a IS NOT NULL
+GROUP BY a, b, c
+ORDER BY n DESC, a, b, c
+LIMIT 25""",
+        "emb_code_dedup": _PQ_SQL + """,
+pcodes AS (
+  SELECT vec_id, list(code ORDER BY j) AS codes
+  FROM best WHERE rn = 1 GROUP BY vec_id
+)
+SELECT CAST(MIN(vec_id) AS BIGINT) AS rep,
+  CAST(COUNT(*) AS BIGINT) AS n_members, codes
+FROM pcodes GROUP BY codes HAVING COUNT(*) >= 2""",
+        "rel_monthly_growth": """
+WITH mrev AS (
+  SELECT date_trunc('month', o_orderdate) AS _m,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT epoch_us(CAST(_m AS TIMESTAMP)) AS month_us, revenue,
+  ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY _m))
+        / LAG(revenue) OVER (ORDER BY _m), 6) AS growth_pct
+FROM mrev""",
     }
