@@ -1650,6 +1650,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nearest_centroid convention)."""
         return S.product_quantize(load_table(spark, sf, "embeddings"))
 
+    def rel_abc_analysis(spark, sf):
+        """ABC / Pareto classification of parts by revenue share:
+        class A = parts covering the first 80% of cumulative revenue,
+        B = next 15%, C = the tail — the inventory-analysis staple.
+        One decimal-exact aggregate + one cumulative window ordered
+        deterministically by (revenue DESC, partkey); the class
+        boundary compares exact decimal-derived doubles, so the
+        labeling is bit-stable."""
+        from pyspark.sql import Window
+
+        li = load_table(spark, sf, "lineitem")
+        rev = li.groupBy("l_partkey").agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("_r")
+        )
+        w = Window.orderBy(F.col("_r").desc(), F.col("l_partkey").asc())
+        tot = rev.agg(F.sum("_r").alias("_t"))
+        classed = (
+            rev.withColumn("_cum", F.sum("_r").over(w))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.col("l_partkey").cast("long").alias("l_partkey"),
+                F.col("_r").cast("double").alias("revenue"),
+                (F.col("_cum").cast("double") / F.col("_t").cast("double")).alias(
+                    "cum_share"
+                ),
+            )
+            .withColumn(
+                "abc_class",
+                F.when(F.col("cum_share") <= 0.80, "A")
+                .when(F.col("cum_share") <= 0.95, "B")
+                .otherwise("C"),
+            )
+        )
+        return classed.groupBy("abc_class").agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(F.col("revenue").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("class_revenue"),
+        )
+
+    def g_rich_club(spark, sf):
+        """Rich-club connectivity (Colizza et al. 2006): for degree
+        thresholds k ∈ {10, 50, 100}, the density φ(k) of the subgraph
+        induced on vertices of degree > k — integer counts end-to-end,
+        one row per threshold."""
+        edges, _, _ = _graph(spark, sf)
+        deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("dg"))
+        out = None
+        for kk in (10, 50, 100):
+            rich = deg.where(F.col("dg") > kk).select(F.col("src").alias("vId"))
+            within = (
+                edges.where(F.col("src") < F.col("dst"))
+                .join(rich.withColumnsRenamed({"vId": "src"}), "src", "left_semi")
+                .join(rich.withColumnsRenamed({"vId": "dst"}), "dst", "left_semi")
+            )
+            row = rich.agg(F.count("*").cast("long").alias("n_rich")).crossJoin(
+                within.agg(F.count("*").cast("long").alias("e_rich"))
+            ).select(
+                F.lit(kk).cast("long").alias("k"),
+                "n_rich",
+                "e_rich",
+                F.try_divide(
+                    (2 * F.col("e_rich")).cast("double"),
+                    (F.col("n_rich") * (F.col("n_rich") - 1)).cast("double"),
+                ).alias("phi"),
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
     def ev_trigrams(spark, sf):
         """Top event-type trigrams per user stream (two LAG windows +
         one count) — the path-analysis n-gram a product-analytics
@@ -2180,6 +2253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_trigrams": ev_trigrams,
         "emb_code_dedup": emb_code_dedup,
         "rel_monthly_growth": rel_monthly_growth,
+        "rel_abc_analysis": rel_abc_analysis,
+        "g_rich_club": g_rich_club,
     }
 
 
@@ -3708,4 +3783,39 @@ SELECT epoch_us(CAST(_m AS TIMESTAMP)) AS month_us, revenue,
   ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY _m))
         / LAG(revenue) OVER (ORDER BY _m), 6) AS growth_pct
 FROM mrev""",
+        "rel_abc_analysis": """
+WITH prev AS (
+  SELECT l_partkey,
+    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS r
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(r) AS t FROM prev),
+cl AS (
+  SELECT l_partkey, CAST(r AS DOUBLE) AS revenue,
+    CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey ASC) AS DOUBLE)
+      / CAST((SELECT t FROM tot) AS DOUBLE) AS cum_share
+  FROM prev
+)
+SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS class_revenue
+FROM cl GROUP BY 1""",
+        "g_rich_club": _G + """,
+rdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM edges GROUP BY src)
+SELECT k, n_rich, e_rich,
+  CAST(2 * e_rich AS DOUBLE)
+    / CAST(n_rich * (n_rich - 1) AS DOUBLE) AS phi
+FROM (
+"""
+        + "\n  UNION ALL\n".join(
+            f"""  SELECT CAST({kk} AS BIGINT) AS k,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM rdeg WHERE dg > {kk}) AS n_rich,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM edges e
+       JOIN rdeg a ON a.src = e.src JOIN rdeg b ON b.src = e.dst
+       WHERE e.src < e.dst AND a.dg > {kk} AND b.dg > {kk}) AS e_rich"""
+            for kk in (10, 50, 100)
+        )
+        + "\n)",
     }
