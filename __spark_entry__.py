@@ -1660,6 +1660,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nearest_centroid convention)."""
         return S.product_quantize(load_table(spark, sf, "embeddings"))
 
+    def rel_data_quality(spark, sf):
+        """Rule-based data-quality audit (the dbt-test / expectation
+        suite shape): referential orphans, out-of-range measures,
+        duplicate keys, and null rates — each rule one aggregate, the
+        orphan rule a distributed anti-join, unioned into a
+        (rule, n_violations, passed) report."""
+        o = load_table(spark, sf, "orders")
+        c = load_table(spark, sf, "customer")
+        li = load_table(spark, sf, "lineitem")
+        ev = load_table(spark, sf, "events")
+
+        orphans = o.join(
+            c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
+        ).agg(F.count("*").cast("long").alias("n"))
+        bad_qty = li.where(
+            (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)
+        ).agg(F.count("*").cast("long").alias("n"))
+        dup_keys = (
+            o.groupBy("o_orderkey")
+            .agg(F.count("*").alias("_c"))
+            .where(F.col("_c") > 1)
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        null_props = ev.where(F.col("props").isNull()).agg(
+            F.count("*").cast("long").alias("n")
+        )
+        neg_price = o.where(F.col("o_totalprice") <= 0).agg(
+            F.count("*").cast("long").alias("n")
+        )
+
+        def rule(name, df):
+            return df.select(
+                F.lit(name).alias("rule"),
+                F.col("n").alias("n_violations"),
+                (F.col("n") == 0).alias("passed"),
+            )
+
+        return (
+            rule("orders_custkey_in_customer", orphans)
+            .unionByName(rule("lineitem_quantity_in_range", bad_qty))
+            .unionByName(rule("orders_orderkey_unique", dup_keys))
+            .unionByName(rule("events_props_not_null", null_props))
+            .unionByName(rule("orders_totalprice_positive", neg_price))
+        )
+
+    def g_degree_histogram(spark, sf):
+        """Log2-binned degree distribution of the co-purchase graph —
+        the heavy-tail fingerprint every graph profile starts with;
+        integer bins, exact."""
+        edges, _, _ = _graph(spark, sf)
+        deg = edges.groupBy("src").agg(F.count("*").alias("dg"))
+        return (
+            deg.select(
+                F.floor(F.log2("dg")).cast("long").alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_vertices"))
+        )
+
     def rel_abc_analysis(spark, sf):
         """ABC / Pareto classification of parts by revenue share:
         class A = parts covering the first 80% of cumulative revenue,
@@ -2265,6 +2324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_monthly_growth": rel_monthly_growth,
         "rel_abc_analysis": rel_abc_analysis,
         "g_rich_club": g_rich_club,
+        "rel_data_quality": rel_data_quality,
+        "g_degree_histogram": g_degree_histogram,
     }
 
 
@@ -3828,4 +3889,40 @@ FROM (
             for kk in (10, 50, 100)
         )
         + "\n)",
+        "rel_data_quality": """
+SELECT 'orders_custkey_in_customer' AS rule,
+  CAST((SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    AS n_violations,
+  (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey)) = 0 AS passed
+UNION ALL
+SELECT 'lineitem_quantity_in_range',
+  CAST((SELECT COUNT(*) FROM lineitem
+        WHERE l_quantity <= 0 OR l_quantity > 50) AS BIGINT),
+  (SELECT COUNT(*) FROM lineitem
+   WHERE l_quantity <= 0 OR l_quantity > 50) = 0
+UNION ALL
+SELECT 'orders_orderkey_unique',
+  CAST((SELECT COUNT(*) FROM (
+     SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+   )) AS BIGINT),
+  (SELECT COUNT(*) FROM (
+     SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+   )) = 0
+UNION ALL
+SELECT 'events_props_not_null',
+  CAST((SELECT COUNT(*) FROM events WHERE props IS NULL) AS BIGINT),
+  (SELECT COUNT(*) FROM events WHERE props IS NULL) = 0
+UNION ALL
+SELECT 'orders_totalprice_positive',
+  CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT),
+  (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) = 0""",
+        "g_degree_histogram": _G + """,
+hdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM edges GROUP BY src)
+SELECT CAST(FLOOR(log2(dg)) AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM hdeg GROUP BY 1""",
     }
