@@ -241,8 +241,11 @@ def main() -> None:
         if name == "wcc_incremental":
             # split timing (n_batches=4): prepare is a second full
             # pipeline on the 80% bulk; the deltas are the actual
-            # incremental path.  The combined number stays under the
-            # old key for round-over-round comparability.
+            # incremental path.  The combined key keeps its r1-r3
+            # definition (prepare + delta) for round-over-round
+            # comparability — the localized phase added in r4 is
+            # reported ONLY under its own keys (ADVICE r4: r4's
+            # combined number was inflated by a phase r1-r3 never ran).
             n, t_prep, t_delta, t_loc, loc_diag = wcc_incremental_split(
                 spark, sf_dir
             )
@@ -252,7 +255,7 @@ def main() -> None:
             timings["wcc_incremental_delta_per_batch"] = round(t_delta / 4, 3)
             timings["wcc_incremental_localized"] = round(t_loc, 3)
             timings["wcc_incremental_localized_per_batch"] = round(t_loc / 4, 3)
-            timings[name] = round(dt, 3)
+            timings[name] = round(t_prep + t_delta, 3)
             total += dt
             print(
                 f"# {name}: {n} rows in {dt:.2f}s "

@@ -643,6 +643,12 @@ def k_truss(edges: DataFrame, k: int = 4, max_rounds: int = 50) -> DataFrame:
     mat = Materializer(spark)
     cur = mat(edges.where(F.col("src") < F.col("dst")), "ktruss")
     n = cur.count()
+    if k <= 2:
+        # required support is k-2 <= 0, so every edge survives — the
+        # 2-truss is the whole graph.  The peel loop below derives
+        # support from an inner wedge aggregate, which silently drops
+        # support-0 edges regardless of k (ADVICE r4).
+        return cur
     for _ in range(int(max_rounds)):
         if n == 0:
             break

@@ -672,8 +672,24 @@ def _refine_scoped(
 
     # splice carried stats/WCC sums: drop every PRE-batch community
     # with a member in V_R (complete communities — see docstring),
-    # splice in the freshly computed scoped tables
-    dropped_old = vertices.join(vr_ids, "vId", "left_semi").select("cId").distinct()
+    # splice in the freshly computed scoped tables.  ``vertices`` is
+    # the POST-batch labeling, so a community whose EVERY member
+    # reverted to t=0 in a delete batch (all its triangles died) has
+    # no member left in V_R and its old label is hidden behind the
+    # rebuilt cId=vId singletons — it would never be dropped and its
+    # stale (r,a,b,d)/(s,n) rows would poison every later splice.
+    # ``affected_comms`` carries the PRE-batch labels of all changed
+    # vertices, so unioning it in removes exactly those died-out
+    # communities (their fresh contribution is correctly absent from
+    # cur_cs/wccv_scope); affected communities with surviving clean
+    # members are already present via their V_R members, and on
+    # insert batches t never decreases, so the union adds nothing.
+    dropped_old = (
+        vertices.join(vr_ids, "vId", "left_semi")
+        .select("cId")
+        .unionByName(affected_comms.select("cId"))
+        .distinct()
+    )
     new_stats = mat(
         old_stats.select("cId", "r", "a", "b", "d")
         .join(dropped_old, "cId", "left_anti")

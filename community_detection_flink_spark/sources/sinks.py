@@ -58,7 +58,12 @@ def compact_parquet(
     Reads the directory, computes the output file count from the
     ACTUAL on-disk byte size (ceil(bytes / target)), rewrites with
     ``coalesce`` (no shuffle — compaction is a repacking, not a
-    repartitioning) through a temp directory, then atomically swaps.
+    repartitioning) through a temp directory, then swaps via two
+    renames.  The swap is NOT atomic (ADVICE r4): a crash between the
+    renames leaves the dataset only under ``<path>.compact-old`` — the
+    next call (or ``load``) recovers it, because entry starts by
+    renaming a stranded ``.compact-old`` back into place and removing
+    stale ``.compact-tmp`` leftovers.
     Returns ``{"files_before", "files_after", "bytes"}``.  No-op (and
     no rewrite) when the directory already has < ``min_files_to_compact``
     data files.  Row-level equality under compaction is pinned in
@@ -77,6 +82,17 @@ def compact_parquet(
             ]
         return out
 
+    tmp = path.rstrip("/") + ".compact-tmp"
+    old = path.rstrip("/") + ".compact-old"
+    # crash recovery from a previous interrupted swap: a stranded
+    # .compact-old with no live dataset IS the dataset — restore it;
+    # leftovers next to a live dataset are garbage from a completed or
+    # abandoned run — remove them so this run starts clean.
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
     before = _data_files(path)
     if len(before) < min_files_to_compact:
         return {
@@ -86,9 +102,7 @@ def compact_parquet(
         }
     total_bytes = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + ".compact-tmp"
     spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + ".compact-old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)

@@ -196,6 +196,56 @@ def test_scoped_delete_splice_exact(spark):
         assert math.isclose(got[c][0], s, rel_tol=1e-9, abs_tol=1e-12)
 
 
+def test_scoped_delete_kills_whole_community(spark):
+    """Ghost-community regression (ADVICE r4, medium): delete EVERY
+    edge of one community so all its triangles die and every member
+    reverts to t=0.  Pre-fix, ``dropped_old`` was derived only from
+    clean members still in V_R, so the died-out community's carried
+    (r,a,b,d)/(s,n) rows were never removed and poisoned every later
+    scoped splice.  The fix unions the pre-batch affected labels into
+    the drop set."""
+    state = prepare(_graph_df(spark))
+    dead_ids = list(range(30, 36))  # the last community, bridge-light
+    dead_comms = {
+        r.cId
+        for r in state.vertices.where(F.col("vId").isin(dead_ids)).collect()
+    }
+    dels = state.clean_edges.where(
+        F.col("src").isin(dead_ids) & F.col("dst").isin(dead_ids)
+    )
+    diag = {}
+    state = incremental_delete(state, dels, diag=diag)
+    assert diag["n_scope_vertices"] is not None  # scoped path engaged
+
+    # every member reverted to a singleton
+    reverted = {
+        r.vId: (r.t, r.cId)
+        for r in state.vertices.where(F.col("vId").isin(dead_ids)).collect()
+    }
+    assert all(t == 0 and c == v for v, (t, c) in reverted.items())
+    # the dead community's rows are GONE from the carried tables
+    carried = {r.cId for r in state.stats.select("cId").collect()}
+    assert not (carried & dead_comms)
+    assert _stats_map(state.stats) == _stats_map(_recomputed_stats(state))
+    got = _wccv_map(state.wccv)
+    want = _wccv_map(_recomputed_wccv(state))
+    assert set(got) == set(want)
+    for c, (s, n) in want.items():
+        assert got[c][1] == n
+        assert math.isclose(got[c][0], s, rel_tol=1e-9, abs_tol=1e-12)
+
+    # a FOLLOW-UP scoped batch splices against the repaired carried
+    # state and stays exact (the pre-fix poison propagated here)
+    batch = _anchored_batch(spark, [0, 1, 2], range(400, 406))
+    state = incremental_update(state, batch)
+    assert _stats_map(state.stats) == _stats_map(_recomputed_stats(state))
+    got = _wccv_map(state.wccv)
+    want = _wccv_map(_recomputed_wccv(state))
+    assert set(got) == set(want)
+    for c, (s, n) in want.items():
+        assert math.isclose(got[c][0], s, rel_tol=1e-9, abs_tol=1e-12)
+
+
 def test_scoped_vs_full_on_reference_graph(spark, monkeypatch):
     """VERDICT r3 #2 'Done' criterion on the reference's OWN graph
     (SNAP email-Eu-core).  The graph is small-world, so the scope

@@ -380,3 +380,8 @@ def test_k_truss_cliques_and_bridge(spark, golden_edges):
     # k=3 keeps every triangle edge (same set here)
     t3 = {(r.src, r.dst) for r in k_truss(e, k=3).collect()}
     assert t3 == cliques
+    # k<=2: required support is 0, so the 2-truss is the WHOLE graph
+    # including the support-0 bridge (ADVICE r4: the inner wedge
+    # aggregate used to peel it regardless of k)
+    t2 = {(r.src, r.dst) for r in k_truss(e, k=2).collect()}
+    assert t2 == cliques | {(3, 4)}

@@ -59,6 +59,36 @@ def test_compact_parquet_preserves_rows_and_shrinks_files(spark, tmp_path):
     assert stats2["files_before"] == stats2["files_after"] == 1
 
 
+def test_compact_parquet_crash_recovery(spark, tmp_path):
+    """ADVICE r4: the two-rename swap has a crash window where the
+    dataset exists only as ``.compact-old``.  The next call must
+    restore it (and sweep stale ``.compact-tmp`` leftovers) before
+    doing anything else."""
+    import os
+    import shutil
+
+    from community_detection_flink_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag2")
+    df = spark.range(0, 1_000).withColumn("v", F.col("id") * 3)
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    before = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+
+    # simulate a crash between the two renames: dataset gone, only
+    # .compact-old (the original) and a half-written .compact-tmp left
+    os.rename(path, path + ".compact-old")
+    os.makedirs(path + ".compact-tmp")
+    with open(os.path.join(path + ".compact-tmp", "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    stats = compact_parquet(spark, path, target_file_mb=128)
+    assert stats["files_before"] == 4 and stats["files_after"] == 1
+    assert sorted((r.id, r.v) for r in spark.read.parquet(path).collect()) == before
+    assert not os.path.exists(path + ".compact-old")
+    assert not os.path.exists(path + ".compact-tmp")
+    shutil.rmtree(path)
+
+
 def test_edge_csv_malformed_rows(spark, tmp_path):
     """Source robustness: the schema'd CSV scan NULLs unparseable
     columns (Spark PERMISSIVE default) instead of failing the job, and
