@@ -71,10 +71,16 @@ def pagerank(
     (rather than an epsilon test) keeps the result a pure function of
     the input, which is what makes the exact DuckDB oracle possible.
 
-    The scalar 1/N enters through a broadcast one-row aggregate, not a
-    driver round-trip.  Ranks are rounded to 9 decimals on output —
-    summation order across engines/partitionings differs at ~1e-16
-    relative, far below the rounding grain.
+    The vertex count N is ONE O(1) scalar collected to the driver up
+    front (it also materializes the deg cache every round reuses).
+    Earlier rounds threaded N through a per-round broadcast one-row
+    aggregate instead; that re-ran a SinglePartition exchange + a
+    BroadcastNestedLoopJoin in every iteration (6 extra exchanges /
+    6 extra jobs at 5 rounds, measured) for a value that never
+    changes.  A bounded scalar collect is the documented exception to
+    the no-driver-round-trip rule.  Ranks are rounded to 9 decimals on
+    output — summation order across engines/partitionings differs at
+    ~1e-16 relative, far below the rounding grain.
 
     The two edge-sized caches the rounds share (deg, dedges) are tied
     to the RETURNED DataFrame's lifetime (``_release_with``): repeated
@@ -97,10 +103,10 @@ def pagerank(
         .sortWithinPartitions("src")
         .persist()
     )
-    n1 = F.broadcast(deg.agg(F.count("*").cast("double").alias("n")))
+    n = float(deg.count())  # O(1) scalar; also materializes the cache
 
-    ranks = deg.select("src", F.lit(1.0).alias("w")).crossJoin(n1).select(
-        F.col("src").alias("vId"), (F.col("w") / F.col("n")).alias("pr")
+    ranks = deg.select(
+        F.col("src").alias("vId"), (F.lit(1.0) / F.lit(n)).alias("pr")
     )
     d = float(damping)
     for _ in range(int(iterations)):
@@ -111,10 +117,14 @@ def pagerank(
             .agg(F.sum("c").alias("mass"))
         )
         # symmetrized graph: every vertex has an in-edge, so the
-        # aggregate's key set IS the vertex set — no outer re-join
-        ranks = contrib.crossJoin(n1).select(
+        # aggregate's key set IS the vertex set — no outer re-join.
+        # hash(dst) propagates through the alias to hash(vId), so the
+        # next round's rank-side join input is already co-partitioned
+        # with the cached hash(src) edge layout — the groupBy above is
+        # the ONLY per-round shuffle.
+        ranks = contrib.select(
             F.col("dst").alias("vId"),
-            ((1.0 - d) / F.col("n") + d * F.col("mass")).alias("pr"),
+            (F.lit((1.0 - d) / n) + d * F.col("mass")).alias("pr"),
         )
     return _release_with(
         ranks.select("vId", F.round("pr", 9).alias("pr")), deg, dedges
@@ -237,10 +247,10 @@ def pagerank_weighted(
         .sortWithinPartitions("src")
         .persist()
     )
-    n1 = F.broadcast(wsum.agg(F.count("*").cast("double").alias("n")))
+    n = float(wsum.count())  # O(1) scalar; also materializes the cache
 
-    ranks = wsum.select("src").crossJoin(n1).select(
-        F.col("src").alias("vId"), (F.lit(1.0) / F.col("n")).alias("pr")
+    ranks = wsum.select(
+        F.col("src").alias("vId"), (F.lit(1.0) / F.lit(n)).alias("pr")
     )
     d = float(damping)
     for _ in range(int(iterations)):
@@ -253,9 +263,9 @@ def pagerank_weighted(
             .groupBy("dst")
             .agg(F.sum("c").alias("mass"))
         )
-        ranks = contrib.crossJoin(n1).select(
+        ranks = contrib.select(
             F.col("dst").alias("vId"),
-            ((1.0 - d) / F.col("n") + d * F.col("mass")).alias("pr"),
+            (F.lit((1.0 - d) / n) + d * F.col("mass")).alias("pr"),
         )
     return _release_with(
         ranks.select("vId", F.round("pr", 9).alias("pr")), wsum, dedges

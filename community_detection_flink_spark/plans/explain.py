@@ -101,6 +101,43 @@ def partition_filters(df: DataFrame) -> list[str]:
 
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the plan (0 for fully
-    co-located bucketed joins/aggregations)."""
+    co-located bucketed joins/aggregations).
+
+    NOTE: this counts NODE OCCURRENCES in the pre-execution formatted
+    plan, which overstates iterative queries that read a cached
+    InMemoryRelation — the cache's build lineage (including its one
+    Exchange) is reprinted inside every InMemoryTableScan that reads
+    it, so a 5-round loop over one cached table shows the same
+    already-executed Exchange 5+ times.  Fine for the simple one-pass
+    queries ``tests/test_plans.py`` pins at 0; use
+    ``executed_exchange_count`` for an honest count on iterative
+    plans."""
     text = formatted_plan(df)
     return len(re.findall(r"\n\(\d+\) Exchange", text))
+
+
+def executed_exchange_count(df: DataFrame) -> int:
+    """Distinct shuffle Exchanges that actually EXECUTE in the final
+    (post-AQE) physical plan.
+
+    Counts unique ``plan_id``s: the executed-plan tree string reprints
+    a cached InMemoryRelation's build lineage inside every
+    InMemoryTableScan that reads it, but those reprints carry the SAME
+    plan_id — the exchange ran once when the cache was built, not once
+    per read — so distinct-ids is the number of shuffles the query
+    actually paid for.  BroadcastExchange is excluded (not a shuffle).
+    Drains the Dataset first if AQE hasn't finalized the plan."""
+    text = df._jdf.queryExecution().executedPlan().toString()
+    if "isFinalPlan=false" in text:
+        for _ in df.toLocalIterator():
+            pass
+        text = df._jdf.queryExecution().executedPlan().toString()
+    ids = set(
+        re.findall(
+            r"(?<![A-Za-z])Exchange [^\n]*?\[plan_id=(\d+)\]", text
+        )
+    )
+    if ids:
+        return len(ids)
+    # non-AQE plans print no plan_id; fall back to occurrence count
+    return len(re.findall(r"(?<![A-Za-z])Exchange (?:hash|range|Single|RoundRobin)", text))
