@@ -104,6 +104,16 @@ def pagerank(
         .persist()
     )
     n = float(deg.count())  # O(1) scalar; also materializes the cache
+    if n == 0:
+        # empty edge list: no vertices, so no ranks — mirror the
+        # bfs_distances empty-input contract instead of dividing by 0.
+        return _release_with(
+            deg.select(
+                F.col("src").alias("vId"), F.lit(0.0).alias("pr")
+            ),
+            deg,
+            dedges,
+        )
 
     ranks = deg.select(
         F.col("src").alias("vId"), (F.lit(1.0) / F.lit(n)).alias("pr")
@@ -248,6 +258,15 @@ def pagerank_weighted(
         .persist()
     )
     n = float(wsum.count())  # O(1) scalar; also materializes the cache
+    if n == 0:
+        # empty edge list guard — see pagerank above.
+        return _release_with(
+            wsum.select(
+                F.col("src").alias("vId"), F.lit(0.0).alias("pr")
+            ),
+            wsum,
+            dedges,
+        )
 
     ranks = wsum.select(
         F.col("src").alias("vId"), (F.lit(1.0) / F.lit(n)).alias("pr")

@@ -116,28 +116,61 @@ def exchange_count(df: DataFrame) -> int:
     return len(re.findall(r"\n\(\d+\) Exchange", text))
 
 
+def _walk_executed_plan(node, seen: set, shuffles: set) -> None:
+    """Recursive walk of the executed SparkPlan OBJECT tree via py4j.
+
+    The tree STRING is unusable for honest shuffle counting: every
+    AdaptiveSparkPlan node prints an ``== Initial Plan ==`` section
+    whose exchanges carry their own plan_ids (never executed), and the
+    indentation of nested adaptive sections does not line up with the
+    surrounding tree, so the sections cannot even be stripped reliably.
+    Walking the objects sidesteps all of it — an AdaptiveSparkPlanExec
+    is entered through ``executedPlan()`` (the final plan; the initial
+    plan is simply never visited), query stages through ``plan()``,
+    cached relations through the InMemoryRelation's ``cachedPlan()``
+    (visited once per SparkPlan id, matching the fact that the cache
+    build's shuffle ran once no matter how many scans read it), and
+    ReusedExchange through its child (same id ⇒ deduped)."""
+    nid = node.id()
+    if nid in seen:
+        return
+    seen.add(nid)
+    cls = node.getClass().getSimpleName()
+    if cls == "ShuffleExchangeExec":
+        shuffles.add(nid)
+    elif cls == "AdaptiveSparkPlanExec":
+        _walk_executed_plan(node.executedPlan(), seen, shuffles)
+        return
+    elif cls == "ReusedExchangeExec":
+        _walk_executed_plan(node.child(), seen, shuffles)
+        return
+    elif cls.endswith("QueryStageExec"):
+        _walk_executed_plan(node.plan(), seen, shuffles)
+        return
+    elif cls == "InMemoryTableScanExec":
+        _walk_executed_plan(node.relation().cachedPlan(), seen, shuffles)
+        return
+    children = node.children()
+    for i in range(children.size()):
+        _walk_executed_plan(children.apply(i), seen, shuffles)
+
+
 def executed_exchange_count(df: DataFrame) -> int:
     """Distinct shuffle Exchanges that actually EXECUTE in the final
     (post-AQE) physical plan.
 
-    Counts unique ``plan_id``s: the executed-plan tree string reprints
-    a cached InMemoryRelation's build lineage inside every
-    InMemoryTableScan that reads it, but those reprints carry the SAME
-    plan_id — the exchange ran once when the cache was built, not once
-    per read — so distinct-ids is the number of shuffles the query
-    actually paid for.  BroadcastExchange is excluded (not a shuffle).
-    Drains the Dataset first if AQE hasn't finalized the plan."""
-    text = df._jdf.queryExecution().executedPlan().toString()
-    if "isFinalPlan=false" in text:
+    Walks the executed-plan object tree (see ``_walk_executed_plan``)
+    and counts distinct ShuffleExchangeExec nodes by SparkPlan id —
+    the number of shuffles the query actually paid for, with cached
+    lineage counted once and AQE's never-executed initial plans
+    excluded.  BroadcastExchange is excluded (not a shuffle).  Drains
+    the Dataset first if AQE hasn't finalized the plan."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if "isFinalPlan=false" in plan.toString():
         for _ in df.toLocalIterator():
             pass
-        text = df._jdf.queryExecution().executedPlan().toString()
-    ids = set(
-        re.findall(
-            r"(?<![A-Za-z])Exchange [^\n]*?\[plan_id=(\d+)\]", text
-        )
-    )
-    if ids:
-        return len(ids)
-    # non-AQE plans print no plan_id; fall back to occurrence count
-    return len(re.findall(r"(?<![A-Za-z])Exchange (?:hash|range|Single|RoundRobin)", text))
+        plan = df._jdf.queryExecution().executedPlan()
+    seen: set = set()
+    shuffles: set = set()
+    _walk_executed_plan(plan, seen, shuffles)
+    return len(shuffles)

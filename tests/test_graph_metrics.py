@@ -113,6 +113,22 @@ def test_bfs_distances_explicit_source_and_cap(spark):
     assert capped == {0: 0, 1: 1, 2: 2}
 
 
+def test_pagerank_empty_edges_returns_empty(spark):
+    """ADVICE r5 (low): hoisting 1/N to driver arithmetic made the
+    empty edge list raise ZeroDivisionError; it must return an empty
+    (vId, pr) frame like bfs_distances does."""
+    from community_detection_flink_spark.operators.graph_metrics import (
+        pagerank_weighted,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(empty)
+    assert out.columns == ["vId", "pr"] and out.count() == 0
+    empty_w = spark.createDataFrame([], "src long, dst long, w double")
+    out_w = pagerank_weighted(empty_w)
+    assert out_w.columns == ["vId", "pr"] and out_w.count() == 0
+
+
 def test_weighted_pagerank_reduces_to_unweighted(spark, golden_edges):
     from community_detection_flink_spark.operators.graph_metrics import (
         pagerank,

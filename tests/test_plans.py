@@ -94,6 +94,68 @@ def test_partition_pruned_scan(spark, tmp_path):
     assert any("event_type" in f and "purchase" in f for f in pf)
 
 
+def test_executed_exchange_count_not_inflated_by_aqe(spark):
+    """ADVICE r5: the AdaptiveSparkPlan tree string prints an
+    '== Initial Plan ==' section whose exchanges carry their own
+    plan_ids, so the old regex counter returned 2 for a 1-shuffle
+    query.  The object-walk counter must return exactly 1."""
+    from community_detection_flink_spark.plans.explain import (
+        executed_exchange_count,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    assert executed_exchange_count(q) == 1
+
+
+def test_executed_exchange_count_colocated_join(spark):
+    """Two aggregates on the same key + a join on that key: the join
+    must reuse the aggregate partitioning, so exactly 2 shuffles
+    execute (one per aggregate), not 3."""
+    from community_detection_flink_spark.plans.explain import (
+        executed_exchange_count,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    with _no_broadcast(spark):
+        a = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"))
+        b = li.groupBy("l_orderkey").agg(F.count("*").alias("c"))
+        assert executed_exchange_count(a.join(b, "l_orderkey")) == 2
+
+
+def test_pagerank_executed_exchange_count_pinned(spark):
+    """VERDICT r5 #4: pin the honest shuffle count of the 5-round
+    PageRank so the per-round plan can't silently regress.  Budget:
+    one groupBy(dst) shuffle per round + the two cache builds (degree
+    aggregate, hash(src) edge repartition) — the rank-side join must
+    keep REUSING the previous round's aggregate partitioning, so a
+    regression to re-shuffling ranks (or a revived per-round scalar
+    exchange) breaks the <= bound."""
+    import __spark_entry__ as entry_mod
+    from community_detection_flink_spark.plans.explain import (
+        executed_exchange_count,
+    )
+
+    df = entry_mod.queries()["g_pagerank"](spark, SF)
+    n = executed_exchange_count(df)
+    assert 5 <= n <= 7, n
+
+
+def _no_broadcast(spark):
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _ctx():
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    return _ctx()
+
+
 def test_bucketed_join_zero_exchange(spark):
     from community_detection_flink_spark.plans.explain import exchange_count
     from community_detection_flink_spark.sources.bucketed import write_bucketed
