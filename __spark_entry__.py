@@ -383,6 +383,172 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         state = incremental_delete(state, dels)
         return state.vertices.select("vId", "cId")
 
+    def cdc_invariants(spark, sf):
+        """SURVEY §5.4 invariants of the CDC (insert + delete) path as
+        an exact-oracle table (VERDICT r5 #3) — upgrades ``wcc_cdc``
+        from a bare row count to a checked gate artifact.  The r5
+        ghost-community bug (operators/incremental.py:672) proved this
+        path can diverge silently; these rows make that a hash
+        mismatch.
+
+        Flow mirrors ``wcc_cdc`` exactly: bulk 80% → insert the stream
+        batch → delete every edge incident (either endpoint, the
+        delete symmetrizes) to an even vertex ≥ 0.8·max_id.  Checks:
+
+        * structural counts the oracle derives from RAW lineitem
+          (vertex coverage — vertices never disappear, so the labeled
+          set is the FULL graph's endpoint set; remaining doubled-edge
+          count under the same predicate);
+        * internal consistency (Σ sizes, orphan cIds, stats-vs-labels
+          agreement) — oracle-pinned to 0;
+        * insert+delete ≡ direct-recompute parity on everything the
+          delete algebra claims exact (tests/test_incremental_delete):
+          per-vertex (t, vt, cc), cleaned edges, triangle list.  The
+          direct side is derived INDEPENDENTLY of the engine's
+          semi-join deltas: an edge {a,b} dies iff an endpoint is bad
+          (≥ thr and even), so a triangle survives iff NONE of its
+          three corners is bad — a pure filter of the full-graph
+          triangle list, fed to a fresh ``preprocess`` of the
+          remaining edges."""
+        from community_detection_flink_spark.operators.incremental import (
+            incremental_delete,
+        )
+        from community_detection_flink_spark.sources.edges import (
+            symmetrize_edges,
+        )
+        from community_detection_flink_spark.streaming.incremental_stream import (
+            run_edge_batches,
+        )
+
+        e, _, _ = _graph(spark, sf)
+        state = run_edge_batches(
+            e, bulk_to_stream_ratio=0.8, n_batches=1, tri_full=_TRI_CACHE[sf]
+        )
+        thr = int(state.max_vertex * 0.8)
+        dels = e.where(
+            (F.col("src") >= F.lit(thr)) & (F.col("src") % 2 == 0)
+        )
+        state = incremental_delete(state, dels)
+
+        def bad(c):
+            return (F.col(c) >= F.lit(thr)) & (F.col(c) % 2 == 0)
+
+        comm = state.vertices.select("vId", "cId")
+        n_rows = state.vertices.count()
+        n_vertices = comm.select("vId").distinct().count()
+        sum_sizes = int(
+            comm.groupBy("cId").count().agg(F.sum("count")).first()[0]
+        )
+        orphan_cids = (
+            comm.select("cId")
+            .distinct()
+            .join(
+                comm.select(F.col("vId").alias("cId")).distinct(),
+                "cId",
+                "left_anti",
+            )
+            .count()
+        )
+        sizes = (
+            state.vertices.where("t > 0")
+            .groupBy("cId")
+            .agg(F.count("*").cast("int").alias("n"))
+        )
+        stats_size_mismatch = (
+            state.stats.join(sizes, "cId", "full")
+            .where(
+                F.col("n").isNull()
+                | F.col("r").isNull()
+                | (F.col("n") != F.col("r"))
+            )
+            .count()
+        )
+        deleted_edges_present = state.edges.where(
+            bad("src") | bad("dst")
+        ).count()
+        edge_rows = state.edges.count()
+
+        # ---- independent direct recompute of the remaining graph ----
+        remaining = e.join(
+            symmetrize_edges(dels), ["src", "dst"], "left_anti"
+        )
+        tri_direct = _TRI_CACHE[sf].where(
+            ~bad("u") & ~bad("v") & ~bad("w")
+        )
+        v_direct, clean_direct = preprocess(remaining, tri=tri_direct)
+        a = state.vertices.select(
+            "vId",
+            F.col("t").alias("ta"),
+            F.col("vt").alias("vta"),
+            F.round("cc", 9).alias("cca"),
+        )
+        b = v_direct.select(
+            "vId",
+            F.col("t").alias("tb"),
+            F.col("vt").alias("vtb"),
+            F.round("cc", 9).alias("ccb"),
+        )
+        vertex_stats_mismatch = (
+            a.join(b, "vId", "full")
+            .where(
+                F.when(
+                    F.col("tb").isNull(),
+                    # dropped from the cleaned graph ⇒ state must have
+                    # reverted it to zeroed stats
+                    (F.col("ta") != 0)
+                    | (F.col("vta") != 0)
+                    | (F.col("cca") != 0.0),
+                )
+                .when(F.col("ta").isNull(), F.lit(True))
+                .otherwise(
+                    (F.col("ta") != F.col("tb"))
+                    | (F.col("vta") != F.col("vtb"))
+                    | (F.col("cca") != F.col("ccb"))
+                )
+            )
+            .count()
+        )
+        clean_edge_diff = (
+            state.clean_edges.join(
+                clean_direct, ["src", "dst"], "left_anti"
+            ).count()
+            + clean_direct.join(
+                state.clean_edges, ["src", "dst"], "left_anti"
+            ).count()
+        )
+        def canon_tri(tri):
+            # triangle corners are stored in arbitrary orientation —
+            # canonicalize to (min, mid, max) before set comparison
+            lo = F.least("u", "v", "w")
+            hi = F.greatest("u", "v", "w")
+            return tri.select(
+                lo.alias("u"),
+                (F.col("u") + F.col("v") + F.col("w") - lo - hi).alias("v"),
+                hi.alias("w"),
+            )
+
+        tri_a, tri_b = canon_tri(state.tri), canon_tri(tri_direct)
+        tri_diff = (
+            tri_a.join(tri_b, ["u", "v", "w"], "left_anti").count()
+            + tri_b.join(tri_a, ["u", "v", "w"], "left_anti").count()
+        )
+
+        rows = [
+            ("labeled_rows", n_rows),
+            ("labeled_distinct_vertices", n_vertices),
+            ("sum_community_sizes", sum_sizes),
+            ("orphan_cids", orphan_cids),
+            ("stats_size_mismatch", stats_size_mismatch),
+            ("deleted_edges_present", deleted_edges_present),
+            ("edge_rows", edge_rows),
+            ("vertex_stats_mismatch_vs_direct", vertex_stats_mismatch),
+            ("clean_edge_diff_vs_direct", clean_edge_diff),
+            ("tri_diff_vs_direct", tri_diff),
+        ]
+        return spark.createDataFrame(
+            [(k, int(v)) for k, v in rows], "invariant STRING, value LONG"
+        )
+
     def wcc_incremental_localized(spark, sf):
         """E2 with LOCALIZED micro-batches and batch-neighborhood
         (scoped) refinement — rows-only, iterative (VERDICT r3 #2/#3).
@@ -2188,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_edges": g_edges,
         "wcc_invariants": wcc_invariants,
         "ev_funnel": ev_funnel,
+        "cdc_invariants": cdc_invariants,
         # rounds-2/3 additions, first driver certification in r4
         "doc_pack_chunks": doc_pack_chunks,
         "doc_contamination": doc_contamination,
@@ -2705,6 +2872,30 @@ UNION ALL SELECT 'sum_community_sizes', n FROM nv
 UNION ALL SELECT 'orphan_cids', CAST(0 AS BIGINT)
 UNION ALL SELECT 'stats_size_mismatch', CAST(0 AS BIGINT)
 UNION ALL SELECT 'non_monotone_accepted_rounds', CAST(0 AS BIGINT)""",
+        # Structural rows derive from RAW lineitem via the same edge
+        # CTE: vertices never disappear under deletes, so the labeled
+        # set is the FULL endpoint set; edge_rows applies the delete
+        # predicate (either endpoint ≥ thr and even — the engine
+        # symmetrizes) to the doubled edge list.  Python's
+        # int(max*0.8) truncation == FLOOR for positive ids.
+        "cdc_invariants": _G + """,
+mx AS (SELECT CAST(FLOOR(MAX(GREATEST(src, dst)) * 0.8) AS BIGINT) AS thr FROM edges),
+remaining AS (
+  SELECT src, dst FROM edges, mx
+  WHERE NOT (src >= thr AND src % 2 = 0) AND NOT (dst >= thr AND dst % 2 = 0)
+),
+nv AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n FROM edges),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM remaining)
+SELECT 'labeled_rows' AS invariant, n AS value FROM nv
+UNION ALL SELECT 'labeled_distinct_vertices', n FROM nv
+UNION ALL SELECT 'sum_community_sizes', n FROM nv
+UNION ALL SELECT 'orphan_cids', CAST(0 AS BIGINT)
+UNION ALL SELECT 'stats_size_mismatch', CAST(0 AS BIGINT)
+UNION ALL SELECT 'deleted_edges_present', CAST(0 AS BIGINT)
+UNION ALL SELECT 'edge_rows', c FROM ne
+UNION ALL SELECT 'vertex_stats_mismatch_vs_direct', CAST(0 AS BIGINT)
+UNION ALL SELECT 'clean_edge_diff_vs_direct', CAST(0 AS BIGINT)
+UNION ALL SELECT 'tri_diff_vs_direct', CAST(0 AS BIGINT)""",
         "g_degrees": _G + "SELECT src AS vId, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src",
         "g_triangle_counts": _G + """
 SELECT v.vId, COALESCE(t.t, 0) AS t
