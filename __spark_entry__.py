@@ -2257,6 +2257,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges, _, _ = _graph(spark, sf)
         return GM.landmark_distances(edges, n_landmarks=4, max_depth=20)
 
+    def g_centrality_approx(spark, sf):
+        """Landmark-approximated closeness + betweenness centrality
+        (graph_metrics.approx_centrality; VERDICT r4 #8) with 4
+        deterministic landmarks.  Oracle: the landmark-distance
+        recursive CTE, then k/Σd per vertex and the
+        on-some-shortest-path landmark-pair count."""
+        from community_detection_flink_spark.operators import graph_metrics as GM
+
+        edges, _, _ = _graph(spark, sf)
+        return GM.approx_centrality(edges, n_landmarks=4, max_depth=20)
+
     def rel_q4_order_priority(spark, sf):
         """TPC-H Q4 analog (order-priority checking): 1996-Q1 orders
         with at least one lineitem shipped >30 days after the order
@@ -2475,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q6_forecast_revenue": rel_q6_forecast_revenue,
         "ev_rolling_features": ev_rolling_features,
         "g_landmark_distances": g_landmark_distances,
+        "g_centrality_approx": g_centrality_approx,
         "emb_product_quantization": emb_product_quantization,
         "emb_pq_ann": emb_pq_ann,
         "emb_ivfpq_ann": emb_ivfpq_ann,
@@ -3895,6 +3907,32 @@ mwalk(lm, vId, d) AS (
   WHERE w.d < 20
 )
 SELECT lm, vId, CAST(MIN(d) AS BIGINT) AS dist FROM mwalk GROUP BY lm, vId""",
+        "g_centrality_approx": _G.replace("WITH li", "WITH RECURSIVE li") + """,
+lms AS (SELECT src AS lm FROM (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 4)),
+mwalk(lm, vId, d) AS (
+  SELECT lm, lm, 0 FROM lms
+  UNION
+  SELECT w.lm, e.dst, w.d + 1 FROM mwalk w JOIN edges e ON e.src = w.vId
+  WHERE w.d < 20
+),
+dist AS (SELECT lm, vId, CAST(MIN(d) AS BIGINT) AS dist FROM mwalk GROUP BY lm, vId),
+agg AS (SELECT vId, COUNT(*) AS k, SUM(dist) AS sumd FROM dist GROUP BY vId),
+lmd AS (
+  SELECT d.lm AS l1, d.vId AS l2, d.dist AS dll
+  FROM dist d JOIN lms ON d.vId = lms.lm WHERE d.lm < d.vId
+),
+onpath AS (
+  SELECT a.vId, CAST(COUNT(*) AS BIGINT) AS betweenness
+  FROM lmd p
+  JOIN dist a ON a.lm = p.l1
+  JOIN dist b ON b.lm = p.l2 AND b.vId = a.vId
+  WHERE a.dist + b.dist = p.dll AND a.vId <> p.l1 AND a.vId <> p.l2
+  GROUP BY a.vId
+)
+SELECT agg.vId,
+  ROUND(CASE WHEN sumd > 0 THEN CAST(k AS DOUBLE) / CAST(sumd AS DOUBLE) ELSE 0.0 END, 9) AS closeness,
+  COALESCE(betweenness, 0) AS betweenness
+FROM agg LEFT JOIN onpath ON agg.vId = onpath.vId""",
         "emb_product_quantization": _PQ_SQL + """
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
   list(code ORDER BY j) AS codes,

@@ -113,6 +113,36 @@ def test_bfs_distances_explicit_source_and_cap(spark):
     assert capped == {0: 0, 1: 1, 2: 2}
 
 
+def test_approx_centrality_path_graph_hand_values(spark):
+    """Path 0-1-2-3-4, landmarks {0,1,2,3} (smallest ids).
+
+    closeness(v) = k / Σ_ℓ d(v,ℓ):  0 → 4/6, 2 → 4/4, 4 → 4/10.
+    betweenness(v) = #{(ℓ1<ℓ2): d(ℓ1,v)+d(v,ℓ2)=d(ℓ1,ℓ2), v∉{ℓ1,ℓ2}}:
+    interior pivots 1 and 2 each sit on 2 landmark pairs; endpoints
+    0, 3-as-endpoint-of-sample and off-path 4 sit on none."""
+    from community_detection_flink_spark.operators.graph_metrics import (
+        approx_centrality,
+    )
+    from community_detection_flink_spark.sources.edges import symmetrize_edges
+
+    e = symmetrize_edges(
+        spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+    )
+    got = {
+        r.vId: (round(r.closeness, 9), r.betweenness)
+        for r in approx_centrality(e, n_landmarks=4, max_depth=10).collect()
+    }
+    assert got == {
+        0: (round(4 / 6, 9), 0),
+        1: (round(4 / 4, 9), 2),
+        2: (round(4 / 4, 9), 2),
+        3: (round(4 / 6, 9), 0),
+        4: (round(4 / 10, 9), 0),
+    }
+
+
 def test_pagerank_empty_edges_returns_empty(spark):
     """ADVICE r5 (low): hoisting 1/N to driver arithmetic made the
     empty edge list raise ZeroDivisionError; it must return an empty
