@@ -552,6 +552,41 @@ def ivf_recall(
     return hits / total
 
 
+def ivfpq_recall(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 8,
+    index: IVFIndex | None = None,
+    m: int = 4,
+    n_codes: int = 8,
+    rerank: int | None = None,
+    n_cells: int | None = None,
+    seed: int = 42,
+) -> float:
+    """Recall@k of ``ann_topk_ivfpq`` vs exact ``cosine_topk`` — the
+    IVF+PQ quality gate (mirror of ``ivf_recall``; VERDICT r4 #5).
+    Pass ``rerank`` to measure the shortlist+exact-re-rank path."""
+    exact = cosine_topk(emb, queries, k).select("query_id", "vec_id")
+    approx = ann_topk_ivfpq(
+        emb,
+        queries,
+        k,
+        n_probe=n_probe,
+        index=index,
+        m=m,
+        n_codes=n_codes,
+        n_cells=n_cells,
+        seed=seed,
+        rerank=rerank,
+    ).select("query_id", "vec_id")
+    total = exact.count()
+    if total == 0:
+        return 1.0
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    return hits / total
+
+
 def ann_recall(
     emb: DataFrame,
     queries: DataFrame,
@@ -1059,6 +1094,7 @@ def ann_topk_ivfpq(
     n_cells: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF + PQ — the production ANN composition: IVF cells route each
     query to its ``n_probe`` nearest clusters (coarse quantizer, the
@@ -1075,6 +1111,11 @@ def ann_topk_ivfpq(
     ≈ n_probe/n_cells on clustered data).  Output:
     ``(query_id, vec_id, adc_dist)``, top-``k`` per query,
     deterministic (adc, vec_id) order.
+
+    ``rerank=R`` adds the exact re-rank stage: ADC shortlists the top
+    ``R`` candidates per query, their float embeddings are re-read
+    (vec_id semi-join, not a corpus scan) and scored exactly; output
+    becomes ``(query_id, vec_id, cosine, rank)`` like the exact path.
     """
     from pyspark.sql import Window
 
@@ -1134,8 +1175,49 @@ def ann_topk_ivfpq(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
-    return (
+    if rerank is None:
+        return (
+            adc.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "vec_id", "adc_dist")
+        )
+    # exact re-rank: ADC shortlists `rerank` candidates per query (its
+    # honest job — cheap coarse scoring), then the float embeddings of
+    # ONLY those shortlisted rows are read once for an exact cosine
+    # top-k.  This is the production ANN shape end-to-end: on tight
+    # clusters raw m=4 codes collapse to near-ties (recall@5 ≈ 0.15,
+    # COVERAGE.md), while shortlist+rerank restores exact-quality
+    # results at shortlist-size cost.  Shortlist rows per query stay
+    # O(rerank); the embedding re-read is a vec_id semi-join, not a
+    # second corpus scan.
+    shortlist = (
         adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= int(rerank))
+        .select("query_id", "vec_id")
+    )
+    qvec = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    rescored = (
+        shortlist.join(
+            emb.select(F.col(id_col).cast("long").alias("vec_id"), "embedding"),
+            "vec_id",
+        )
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_col(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= k)
-        .select("query_id", "vec_id", "adc_dist")
+        .select(
+            "query_id", "vec_id", "cosine", F.col("rn").cast("long").alias("rank")
+        )
     )
