@@ -209,6 +209,14 @@ def ann_quality(spark, sf_dir: str) -> dict[str, float]:
     ci_frac = S.ivf_candidates(embc, qc, n_probe=4, index=cidx).count() / (
         10 * (nc - 1)
     )
+    # IVF+PQ with exact re-rank (r6): the production composition's
+    # measured quality at a 20%-of-cells probe budget
+    import math
+
+    c_probe = max(1, math.ceil(0.2 * cidx.n_cells))
+    cpq_recall = S.ivfpq_recall(
+        embc, qc, k=5, n_probe=c_probe, index=cidx, m=4, rerank=128
+    )
     embc.unpersist()
     return {
         "ann_recall_at_5": round(recall, 4),
@@ -223,6 +231,7 @@ def ann_quality(spark, sf_dir: str) -> dict[str, float]:
         "clustered_lsh_candidate_frac": round(c_frac, 4),
         "clustered_ivf_recall_at_5_probe4": round(ci_recall, 4),
         "clustered_ivf_candidate_frac": round(ci_frac, 4),
+        "clustered_ivfpq_rerank128_recall_at_5": round(cpq_recall, 4),
     }
 
 
@@ -235,7 +244,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
+    # Median-of-3 per query (VERDICT r5 #2): BENCH_r05 showed 2.8-6.3×
+    # spikes on UNTOUCHED code (emb_cosine_topk, doc_simhash) plus a
+    # ~20% whole-run drift — one contended host run can masquerade as a
+    # regression when every query is timed exactly once.  Each
+    # repeatable query now runs 3×; the reported time is the median and
+    # the max is kept alongside so contention is visible instead of
+    # silently folded in.  NOT repeated (single run, documented):
+    # - wcc_communities: _WCC_CACHE memoizes the result across calls —
+    #   a re-run would time a parquet rescan, not the pipeline;
+    # - the wcc_incremental split and the clustered fixture: stateful
+    #   multi-phase harnesses with their own timing protocol.
+    # Run 1 of a repeated query may include shared session-cache builds
+    # (_graph/_TRI_CACHE); the median therefore reports the
+    # steady-state cost, which is the per-query signal the
+    # round-over-round comparison needs.
+    REPEATS = 3
+    no_repeat = {"wcc_communities", "wcc_incremental"}
+
     timings: dict[str, float] = {}
+    timings_max: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         if name == "wcc_incremental":
@@ -266,12 +294,23 @@ def main() -> None:
                 flush=True,
             )
             continue
-        t0 = time.time()
-        n = queries[name](spark, sf_dir).count()
-        dt = time.time() - t0
+        runs = []
+        n_runs = 1 if name in no_repeat else REPEATS
+        for _ in range(n_runs):
+            t0 = time.time()
+            n = queries[name](spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        dt = sorted(runs)[len(runs) // 2]
         timings[name] = round(dt, 3)
+        if n_runs > 1:
+            timings_max[name] = round(max(runs), 3)
         total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr, flush=True)
+        print(
+            f"# {name}: {n} rows, median {dt:.2f}s of "
+            f"{[round(r, 2) for r in runs]}",
+            file=sys.stderr,
+            flush=True,
+        )
 
     # clustered-graph localized incremental (own fixture, scaled to
     # ~|V| of sf0.1's co-purchase graph; timed outside `total` — it is
@@ -298,6 +337,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_max_of_3": timings_max,
+                "timing_protocol": "median-of-3 per query since r6 "
+                "(single-run: wcc_communities, wcc_incremental phases)",
                 "baseline_subtotal": round(
                     sum(timings[k] for k in R1_BASELINE if k in timings), 3
                 ),
