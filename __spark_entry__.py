@@ -2436,6 +2436,186 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("sum_value_7d"),
         )
 
+    def rel_q12_late_priority(spark, sf):
+        """TPC-H Q12 analog (shipping-priority anomaly check): for
+        1996 lineitems delivered late (shipped >60 days after the
+        order date — this schema has no commit/receipt dates or ship
+        mode, so lateness vs o_orderdate and l_linestatus stand in,
+        same convention as rel_q4), count critical-priority
+        (1-URGENT / 2-HIGH) vs other orders per line status.  One
+        fact-fact join on the orderkey, then a two-conditional-sum
+        aggregate — no second pass over either table."""
+        o = load_table(spark, sf, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        )
+        li = load_table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_linestatus", "l_shipdate"
+        )
+        crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .where(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+                & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+            )
+            .groupBy("l_linestatus")
+            .agg(
+                F.sum(F.when(crit, 1).otherwise(0))
+                .cast("long")
+                .alias("high_line_count"),
+                F.sum(F.when(crit, 0).otherwise(1))
+                .cast("long")
+                .alias("low_line_count"),
+            )
+        )
+
+    def rel_q13_customer_distribution(spark, sf):
+        """TPC-H Q13 (customer distribution): how many customers
+        placed exactly k non-urgent orders, for every k including 0.
+        (The reference filter is on o_comment, absent here; the
+        1-URGENT exclusion keeps the filtered-left-join shape.)  The
+        left join keeps order-less customers; the double aggregation
+        is two shuffles, the second one on a tiny domain."""
+        c = load_table(spark, sf, "customer").select("c_custkey")
+        o = load_table(spark, sf, "orders").where(
+            F.col("o_orderpriority") != "1-URGENT"
+        )
+        per_cust = (
+            c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        )
+        return per_cust.groupBy("c_count").agg(
+            F.count("*").cast("long").alias("custdist")
+        )
+
+    def rel_q19_discounted_revenue(spark, sf):
+        """TPC-H Q19 analog (discounted revenue, disjunctive
+        predicates): revenue from three brand/size/quantity windows
+        OR-ed together (container and ship-mode columns don't exist
+        in this schema; brand+size keep the disjunct shape).  The
+        common l_quantity <= 30 bound is factored out so it pushes to
+        the lineitem scan; part is broadcast — the disjunction then
+        evaluates inside the single stream-side stage."""
+        li = load_table(spark, sf, "lineitem").where(F.col("l_quantity") <= 30)
+        pa = load_table(spark, sf, "part").select(
+            "p_partkey", "p_brand", "p_size"
+        )
+        j = li.join(
+            F.broadcast(pa), li["l_partkey"] == pa["p_partkey"]
+        ).where(
+            (
+                (F.col("p_brand") == "Brand#12")
+                & F.col("p_size").between(1, 5)
+                & F.col("l_quantity").between(1, 11)
+            )
+            | (
+                (F.col("p_brand") == "Brand#23")
+                & F.col("p_size").between(1, 10)
+                & F.col("l_quantity").between(10, 20)
+            )
+            | (
+                (F.col("p_brand") == "Brand#34")
+                & F.col("p_size").between(1, 15)
+                & F.col("l_quantity").between(20, 30)
+            )
+        )
+        return j.agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+
+    def rel_q21_waiting_suppliers(spark, sf):
+        """TPC-H Q21 analog (suppliers who kept orders waiting): on
+        finalized ('F') multi-supplier orders, suppliers who were the
+        ONLY late one (l_shipdate > o_orderdate + 45 stands in for
+        receipt>commit).  The classic EXISTS / NOT-EXISTS pair is
+        re-expressed as per-order supplier-count aggregates — two
+        orderkey-shuffles instead of two self-joins of lineitem, and
+        the verdict join keys stay co-partitioned on the orderkey."""
+        o = load_table(spark, sf, "orders").where(
+            F.col("o_orderstatus") == "F"
+        ).select("o_orderkey", "o_orderdate")
+        li = (
+            load_table(spark, sf, "lineitem")
+            .select("l_orderkey", "l_suppkey", "l_shipdate")
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        )
+        per_order = li.groupBy("l_orderkey").agg(
+            F.countDistinct("l_suppkey").alias("_nsup"),
+            F.countDistinct(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.date_add(F.col("o_orderdate"), 45),
+                    F.col("l_suppkey"),
+                )
+            ).alias("_nlate"),
+        )
+        late_pairs = (
+            li.where(
+                F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 45)
+            )
+            .select("l_orderkey", "l_suppkey")
+            .distinct()
+        )
+        s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+        return (
+            late_pairs.join(
+                per_order.where(
+                    (F.col("_nsup") >= 2) & (F.col("_nlate") == 1)
+                ).select("l_orderkey"),
+                "l_orderkey",
+            )
+            .groupBy("l_suppkey")
+            .agg(F.count("*").cast("long").alias("numwait"))
+            .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+            .select("s_name", "numwait")
+        )
+
+    def rel_q22_global_sales(spark, sf):
+        """TPC-H Q22 analog (global sales opportunity): per nation (no
+        phone column — c_nationkey <= 6 stands in for the country-code
+        list), count lapsed customers (no order since 2000-01-01; in
+        this testdata every customer has SOME order, so the original's
+        "never ordered" anti-join would be vacuously empty) whose
+        balance beats the cohort's average positive balance.  The
+        threshold is an exact DECIMAL sum divided once in double so
+        Spark and the oracle agree bit-for-bit; it reaches the filter
+        as a broadcast 1-row join, never a driver round-trip."""
+        c = load_table(spark, sf, "customer").where(
+            F.col("c_nationkey") <= 6
+        )
+        thr = c.where(F.col("c_acctbal") > 0.0).agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("_avg")
+        )
+        o = (
+            load_table(spark, sf, "orders")
+            .where(F.col("o_orderdate") >= "2000-01-01")
+            .select("o_custkey")
+        )
+        return (
+            c.join(F.broadcast(thr))
+            .where(F.col("c_acctbal") > F.col("_avg"))
+            .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+            .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+            .agg(
+                F.count("*").cast("long").alias("numcust"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("totacctbal"),
+            )
+        )
+
     # ------------------------------------------------------------------
     # ORDER MATTERS: the driver's correctness gate records exactly the
     # FIRST 50 dict entries.  ROUND 6 executes the rotation VERDICT r4/
@@ -2600,6 +2780,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_ngrams": doc_top_ngrams,
         "doc_sample_split": doc_sample_split,
         "emb_ivfpq_ann": emb_ivfpq_ann,
+        # --- NEW in round 6 (below the cap so the planned rotation is
+        # untouched; r7 rotation candidates): the remaining TPC-H
+        # queries expressible over this schema — q12/q13/q19/q21/q22.
+        # q2/q9/q11/q16/q20 need partsupp, which the testdata lacks.
+        "rel_q12_late_priority": rel_q12_late_priority,
+        "rel_q13_customer_distribution": rel_q13_customer_distribution,
+        "rel_q19_discounted_revenue": rel_q19_discounted_revenue,
+        "rel_q21_waiting_suppliers": rel_q21_waiting_suppliers,
+        "rel_q22_global_sales": rel_q22_global_sales,
     }
 
 
@@ -4276,4 +4465,80 @@ hdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM edges GROUP BY src)
 SELECT CAST(FLOOR(log2(dg)) AS BIGINT) AS bucket,
   CAST(COUNT(*) AS BIGINT) AS n_vertices
 FROM hdeg GROUP BY 1""",
+        "rel_q12_late_priority": """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus""",
+        "rel_q13_customer_distribution": """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count""",
+        "rel_q19_discounted_revenue": """
+SELECT
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+    AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity <= 30 AND (
+     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      AND l_quantity BETWEEN 1 AND 11)
+  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      AND l_quantity BETWEEN 10 AND 20)
+  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      AND l_quantity BETWEEN 20 AND 30))""",
+        "rel_q21_waiting_suppliers": """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+    COUNT(DISTINCT l_suppkey) AS nsup,
+    COUNT(DISTINCT CASE
+      WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+      THEN l_suppkey END) AS nlate
+  FROM li GROUP BY l_orderkey
+),
+late_pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM li
+  WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late_pairs
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE nsup >= 2 AND nlate = 1
+GROUP BY s_name""",
+        "rel_q22_global_sales": """
+WITH cohort AS (
+  SELECT * FROM customer WHERE c_nationkey <= 6
+),
+thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+    / COUNT(*) AS avg_bal
+  FROM cohort WHERE c_acctbal > 0.0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+  CAST(COUNT(*) AS BIGINT) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM cohort, thr
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey""",
     }
