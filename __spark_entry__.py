@@ -2616,6 +2616,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def doc_containment(spark, sf):
+        """Asymmetric containment dedup over word trigram shingles:
+        ordered pairs where ≥60% of doc_a's distinct trigrams appear
+        in doc_b — catches excerpts/quotes that symmetric Jaccard
+        misses.  Prefix-filtered candidate generation (AllPairs
+        adapted to the asymmetric bound), exact array_intersect
+        verify; see operators/dedup.py::containment_pairs."""
+        return D.containment_pairs(
+            load_table(spark, sf, "documents"), threshold=0.6, shingle_n=3
+        )
+
+    def doc_winnowing(spark, sf):
+        """Winnowing fingerprints (Schleimer et al., SIGMOD'03 / MOSS)
+        over word 4-grams, window 8: the rightmost-minimum hash of
+        every window — local fingerprints with a no-gap coverage
+        guarantee, for partial-overlap detection.  One window
+        aggregate over hash(doc_id) partitions; see
+        operators/textual.py::winnowing_fingerprints.  Oracle computes
+        the same selection via an independent join-based formulation
+        (window-start × position range join + rightmost argmin)."""
+        return T.winnowing_fingerprints(
+            load_table(spark, sf, "documents"), k=4, w=8
+        )
+
     # ------------------------------------------------------------------
     # ORDER MATTERS: the driver's correctness gate records exactly the
     # FIRST 50 dict entries.  ROUND 6 executes the rotation VERDICT r4/
@@ -2789,6 +2813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q19_discounted_revenue": rel_q19_discounted_revenue,
         "rel_q21_waiting_suppliers": rel_q21_waiting_suppliers,
         "rel_q22_global_sales": rel_q22_global_sales,
+        # containment dedup + winnowing fingerprints (r7 rotation
+        # candidates; §2.10 dedup/fingerprinting family)
+        "doc_containment": doc_containment,
+        "doc_winnowing": doc_winnowing,
     }
 
 
@@ -4541,4 +4569,58 @@ WHERE c_acctbal > avg_bal
     SELECT 1 FROM orders WHERE o_custkey = c_custkey
       AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_nationkey""",
+        # naive O(pairs) formulation — the oracle needs exactness, not
+        # scale; the engine side is the prefix-filtered AllPairs plan
+        "doc_containment": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+    ELSE list_transform(range(len(tk) - 2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+    END)) AS s
+  FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(common AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+WHERE CAST(common AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.6""",
+        # independent join-based winnowing: window starts × position
+        # range join, min per window, rightmost argmin — the engine
+        # uses a single window aggregate instead (textual.py)
+        "doc_winnowing": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+shl AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) < 4
+    THEN [struct_pack(p := CAST(1 AS BIGINT), s := array_to_string(tk, ' '))]
+    ELSE list_transform(range(len(tk) - 3),
+      i -> struct_pack(p := CAST(i + 1 AS BIGINT),
+                       s := tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))
+    END) AS u
+  FROM toks
+),
+sh AS (SELECT doc_id, u.p AS pos, {_H60.format(x='u.s')} AS g FROM shl),
+tot AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+starts AS (
+  SELECT s.doc_id, s.pos AS j FROM sh s JOIN tot USING (doc_id)
+  WHERE s.pos <= greatest(n - 7, 1)
+),
+wmin AS (
+  SELECT st.doc_id, st.j, MIN(p.g) AS mg
+  FROM starts st JOIN sh p
+    ON p.doc_id = st.doc_id AND p.pos BETWEEN st.j AND st.j + 7
+  GROUP BY 1, 2
+),
+sel AS (
+  SELECT w.doc_id, MAX(p.pos) AS pos, w.mg AS fp
+  FROM wmin w JOIN sh p
+    ON p.doc_id = w.doc_id AND p.pos BETWEEN w.j AND w.j + 7 AND p.g = w.mg
+  GROUP BY w.doc_id, w.j, w.mg
+)
+SELECT DISTINCT doc_id, pos, fp FROM sel""",
     }

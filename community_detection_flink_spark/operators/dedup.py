@@ -608,3 +608,98 @@ def minhash_estimate_quality(
             )
         ).alias("c")
     ).select("c.metric", "c.ok")
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    mat=None,
+) -> DataFrame:
+    """EXACT containment-similar ORDERED pairs over distinct word
+    n-gram shingles: ``C(A,B) = |S(A) ∩ S(B)| / |S(A)| ≥ t``.
+
+    Containment is the *asymmetric* near-dup relation — it catches a
+    short document that is mostly a subset of a longer one (a quoted
+    passage, an excerpt, a page embedded in a crawl dump), which
+    symmetric Jaccard misses because the size difference drags
+    ``|A∩B| / |A∪B|`` below any useful threshold.  Standard tool in
+    LLM-corpus cleaning next to Jaccard dedup (the reference engine
+    has no text surface at all; this extends the §2.10 dedup family).
+
+    Scale path — prefix filtering, adapted to the asymmetric case:
+    sort every doc's shingle set by one global order (document
+    frequency asc, shingle asc).  If ``|A∩B| ≥ ⌈t·|A|⌉`` then the
+    first ``|A| − ⌈t·|A|⌉ + 1`` shingles of A (its *prefix*) must
+    share an element with B — otherwise the intersection fits inside
+    A's suffix, which has only ``⌈t·|A|⌉ − 1`` elements.  So
+    candidates come from joining A-side PREFIX shingles against
+    B-side FULL shingle rows; globally frequent shingles sort last
+    and stay out of prefixes, so join fan-out is bounded by
+    rare-shingle document frequencies, exactly as in
+    ``ngram_jaccard_pairs``.  A size filter ``|B| ≥ t·|A|`` (the
+    intersection can never exceed ``|B|``) prunes further.
+    Candidates are verified EXACTLY with ``array_intersect`` over the
+    full per-doc shingle arrays — no false negatives (prefix
+    theorem), no false positives (exact verify).
+
+    Output: ``doc_a, doc_b, containment`` (double) with
+    ``doc_a != doc_b`` — ORDERED pairs (A contained in B), so a
+    near-identical pair appears in both directions.
+    """
+    def _cache(df, name):
+        if mat is not None:
+            return mat.cache(df, name)
+        df = df.persist()
+        df.count()
+        return df
+
+    sarr = F.array_distinct(shingles_col(F.col("text"), shingle_n))
+    sh = _cache(
+        docs.select("doc_id", F.explode(sarr).alias("s")), "cont-shingles"
+    )
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    ranked = sh.join(dfreq, "s").withColumn(
+        "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # A-side prefix length |A| − ⌈t·|A|⌉ + 1 (1e-9 guards float noise in
+    # the safe direction: a longer prefix can only add candidates)
+    pref = (
+        ranked.join(sizes, "doc_id")
+        .where(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - 1e-9) + 1
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"), "s", F.col("sz").alias("sz_a")
+        )
+    )
+    full_b = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_b"), "s", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        pref.join(full_b, "s")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .where(
+            F.col("sz_b").cast("double")
+            >= F.lit(threshold) * F.col("sz_a").cast("double")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrays = sh.groupBy("doc_id").agg(F.collect_list("s").alias("sarr"))
+    return (
+        cand.join(arrays.withColumnsRenamed({"doc_id": "doc_a", "sarr": "arr_a"}), "doc_a")
+        .join(arrays.withColumnsRenamed({"doc_id": "doc_b", "sarr": "arr_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("arr_a", "arr_b")).cast("double")
+                / F.size("arr_a").cast("double")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

@@ -496,3 +496,67 @@ def repeated_passages(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 8
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm): per doc, hash every word
+    ``k``-gram, slide a window of ``w`` consecutive hashes, and select
+    the RIGHTMOST MINIMUM of each window.  Guarantees: every run of
+    ``w`` consecutive k-grams contributes ≥1 fingerprint (no
+    coverage gaps, unlike 0-mod-p sampling), and the selected set is
+    position-robust (insertions far from a window don't change its
+    selection) — the standard local fingerprinting scheme for
+    partial-overlap / plagiarism-style detection, complementing the
+    whole-document rolling hash in ``fingerprint`` above.
+
+    Implementation is pure built-in expressions + ONE window
+    aggregate: ``min`` over ``struct(hash, -pos)`` on a
+    ``ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`` frame computes the
+    (min-hash, rightmost) selection of the window STARTING at each
+    position in a single pass — no self-join over positions, no
+    Python.  Per-doc window partitions are independent, so the single
+    shuffle is ``hash(doc_id)`` and the operator scales horizontally
+    with the corpus.  Documents shorter than ``w`` k-grams yield the
+    one truncated window's minimum (the whole-doc min), matching the
+    paper's boundary semantics.
+
+    Output: ``doc_id, pos, fp`` — distinct selected positions
+    (1-based k-gram index) with their 60-bit md5-derived k-gram hash.
+    """
+    from community_detection_flink_spark.operators.dedup import shingles_col
+
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(shingles_col(F.col("text"), k)).alias("pos0", "s"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        _hash60(F.col("s")).alias("g"),
+    )
+    part = Window.partitionBy("doc_id")
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = (
+        sh.withColumn("n", F.count("*").over(part))
+        .withColumn(
+            "m",
+            F.min(
+                F.struct(F.col("g").alias("g"), (-F.col("pos")).alias("np"))
+            ).over(frame),
+        )
+        # valid window starts only: pos ≤ max(n − w + 1, 1); for docs
+        # shorter than w that keeps exactly the one truncated window
+        .where(F.col("pos") <= F.greatest(F.col("n") - (w - 1), F.lit(1)))
+        .select(
+            "doc_id",
+            (-F.col("m.np")).alias("pos"),
+            F.col("m.g").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
