@@ -2640,6 +2640,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "documents"), k=4, w=8
         )
 
+    def ev_cep_strict(spark, sf):
+        """CEP strict-contiguity pattern count per user: runs of views
+        then clicks ending in a purchase with NO intervening events
+        (``v+c+p`` over the encoded per-user type sequence) — the
+        complement of ev_funnel's skip-till-next-match semantics.
+        See operators/temporal.py::sequence_pattern_matches."""
+        from community_detection_flink_spark.operators import temporal as TP
+
+        return TP.sequence_pattern_matches(
+            load_table(spark, sf, "events"),
+            "v+c+p",
+            {
+                "view": "v",
+                "click": "c",
+                "purchase": "p",
+                "signup": "s",
+                "error": "e",
+            },
+        )
+
     # ------------------------------------------------------------------
     # ORDER MATTERS: the driver's correctness gate records exactly the
     # FIRST 50 dict entries.  ROUND 6 executes the rotation VERDICT r4/
@@ -2817,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidates; §2.10 dedup/fingerprinting family)
         "doc_containment": doc_containment,
         "doc_winnowing": doc_winnowing,
+        "ev_cep_strict": ev_cep_strict,
     }
 
 
@@ -4623,4 +4644,19 @@ sel AS (
   GROUP BY w.doc_id, w.j, w.mg
 )
 SELECT DISTINCT doc_id, pos, fp FROM sel""",
+        "ev_cep_strict": """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+      WHEN 'error' THEN 'e' ELSE '_' END AS ch
+  FROM events
+),
+s AS (
+  SELECT user_id, array_to_string(list(ch ORDER BY ts, event_id), '') AS seq
+  FROM e GROUP BY user_id
+)
+SELECT user_id, CAST(len(seq) AS BIGINT) AS seq_len,
+  CAST(len(regexp_extract_all(seq, 'v+c+p')) AS BIGINT) AS n_matches
+FROM s WHERE len(regexp_extract_all(seq, 'v+c+p')) > 0""",
     }

@@ -373,3 +373,65 @@ def transition_counts(
             F.col("n").cast("double"), F.sum("n").over(total).cast("double")
         ).alias("p"),
     )
+
+def sequence_pattern_matches(
+    events: DataFrame,
+    pattern: str,
+    type_chars: dict[str, str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CEP-style STRICT-CONTIGUITY pattern matching over each user's
+    event-type sequence (MATCH_RECOGNIZE / Flink-CEP ``next()``
+    semantics — no events may intervene between pattern steps, the
+    complement of ``funnel``'s skip-till-next-match semantics).
+
+    Each event type is encoded as one character (``type_chars``), the
+    per-user event stream is ordered by ``(ts, event_id)`` (total
+    order — ties are deterministic) and folded into one string, and
+    ``pattern`` (a regex over the type alphabet, e.g. ``v+c+p``) is
+    counted with standard leftmost non-overlapping scan semantics.
+
+    Scale shape: ONE shuffle on ``hash(user_id)`` into a sort-agg
+    (``sort_array`` over ``collect_list`` of (ts, id, char) structs),
+    then per-row regex — all JVM built-ins, no Python, no self-join.
+    Per-user sequences are bounded by per-user event counts (the same
+    bound every keyed window in this module already carries); a user
+    whose history exceeds memory would need session-chunking upstream,
+    not a different operator.
+
+    Output: ``user_id, seq_len, n_matches`` for users with ≥1 match.
+    """
+    enc = F.col(type_col)
+    # fold the type→char mapping into one chained when() expression
+    expr = None
+    for t, ch in sorted(type_chars.items()):
+        expr = (
+            F.when(enc == t, ch) if expr is None else expr.when(enc == t, ch)
+        )
+    expr = expr.otherwise("_")
+    rows = events.select(
+        F.col(user_col).alias("user_id"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            expr.alias("ch"),
+        ).alias("r"),
+    )
+    seqs = rows.groupBy("user_id").agg(
+        F.concat_ws(
+            "", F.transform(F.sort_array(F.collect_list("r")), lambda s: s["ch"])
+        ).alias("seq")
+    )
+    return (
+        seqs.select(
+            "user_id",
+            F.length("seq").cast("long").alias("seq_len"),
+            F.size(F.regexp_extract_all("seq", F.lit(pattern), F.lit(0)))
+            .cast("long")
+            .alias("n_matches"),
+        )
+        .where(F.col("n_matches") > 0)
+    )
