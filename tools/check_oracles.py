@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import sys
 import time
 
@@ -74,6 +75,8 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if json_out and records:
+            _dump(json_out, records)  # checkpoint: survive a mid-sweep kill
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -140,9 +143,15 @@ def main():
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     if json_out:
-        with open(json_out, "w") as f:
-            json.dump(records, f, indent=2)
+        _dump(json_out, records)
         print(f"wrote {json_out} ({len(records)} records)")
+
+
+def _dump(json_out, records):
+    tmp = json_out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(records, f, indent=2)
+    os.replace(tmp, json_out)
 
 
 if __name__ == "__main__":
