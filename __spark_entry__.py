@@ -3274,11 +3274,23 @@ SELECT e.src AS vId, ld.cId AS cId, CAST(COUNT(*) AS BIGINT) AS dIn
 FROM tedges e JOIN lab ld ON ld.vId = e.dst GROUP BY 1, 2""",
         "g_intra_degree": _G + """
 SELECT src AS vId, CAST(COUNT(*) AS BIGINT) AS vtC FROM ewc WHERE c_src = c_dst GROUP BY src""",
+        # Same-community triangles WITHOUT touching the shared tri/lab
+        # CTEs: the label is vId % 10 (lab's definition), so the
+        # community filter pushes INTO the enumeration — restrict to
+        # oriented intra-community edges first (~|edges|/20), and the
+        # wedge join shrinks ~100×.  Equivalent to filtering tri by
+        # labels: a triangle whose three vertices share vId % 10 has
+        # all three edges intra, and every triangle edge is in tedges,
+        # so the intra-subgraph enumeration finds exactly the same set.
+        # The previous tri⋈lab³ form made DuckDB materialize tri plus
+        # the 6-way tedges union and spill >80 GB at sf0.1.
         "g_community_triangles": _G + """,
+ie AS (SELECT src, dst FROM edges WHERE src < dst AND src % 10 = dst % 10),
 tri3 AS (
-  SELECT u, v, w FROM tri
-  JOIN lab lu ON lu.vId = u JOIN lab lv ON lv.vId = v JOIN lab lw ON lw.vId = w
-  WHERE lu.cId = lv.cId AND lv.cId = lw.cId
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM ie e1
+  JOIN ie e2 ON e2.src = e1.dst
+  JOIN ie e3 ON e3.src = e1.src AND e3.dst = e2.dst
 )
 SELECT x AS vId, CAST(COUNT(*) AS BIGINT) AS tC FROM (
   SELECT u AS x FROM tri3 UNION ALL SELECT v FROM tri3 UNION ALL SELECT w FROM tri3
