@@ -1858,8 +1858,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         subspaces × 8 codewords from the first 8 vectors): d floats →
         m codes + reconstruction error.  Distances and the error fold
         in fixed index order — hash-matched with NO rounding (the
-        nearest_centroid convention)."""
-        return S.product_quantize(load_table(spark, sf, "embeddings"))
+        nearest_centroid convention).  The ``codes`` array is
+        serialized to a "-"-joined string for the gate: the driver's
+        pandas canonicalizer cannot sort/hash an array column (the
+        g_adjacency precedent from round 1)."""
+        return S.product_quantize(load_table(spark, sf, "embeddings")).select(
+            "vec_id",
+            F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes"),
+            "err2",
+        )
 
     def rel_data_quality(spark, sf):
         """Rule-based data-quality audit (the dbt-test / expectation
@@ -2019,7 +2026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sharing ALL m codes land in one block (code-grid resolution —
         the quantization-based blocking key large-scale embedding
         dedup uses before exact verification).  Groups of ≥2 with
-        deterministic representative (min vec_id)."""
+        deterministic representative (min vec_id).  ``codes`` is
+        serialized to a "-"-joined string for the gate (the
+        g_adjacency precedent — pandas cannot sort an array column)."""
         codes = S.product_quantize(load_table(spark, sf, "embeddings"))
         return (
             codes.groupBy("codes")
@@ -2028,7 +2037,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.count("*").cast("long").alias("n_members"),
             )
             .where(F.col("n_members") >= 2)
-            .select("rep", "n_members", "codes")
+            .select(
+                "rep",
+                "n_members",
+                F.concat_ws("-", F.col("codes").cast("array<string>")).alias(
+                    "codes"
+                ),
+            )
         )
 
     def rel_monthly_growth(spark, sf):
@@ -4286,7 +4301,7 @@ SELECT agg.vId,
 FROM agg LEFT JOIN onpath ON agg.vId = onpath.vId""",
         "emb_product_quantization": _PQ_SQL + """
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
-  list(code ORDER BY j) AS codes,
+  array_to_string(list(code ORDER BY j), '-') AS codes,
   list_reduce(list_prepend(0.0, list(d2 ORDER BY j)), (x, y) -> x + y) AS err2
 FROM best WHERE rn = 1 GROUP BY vec_id""",
         "emb_pq_ann": _PQ_SQL + """,
@@ -4449,7 +4464,8 @@ pcodes AS (
   FROM best WHERE rn = 1 GROUP BY vec_id
 )
 SELECT CAST(MIN(vec_id) AS BIGINT) AS rep,
-  CAST(COUNT(*) AS BIGINT) AS n_members, codes
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  array_to_string(codes, '-') AS codes
 FROM pcodes GROUP BY codes HAVING COUNT(*) >= 2""",
         "rel_monthly_growth": """
 WITH mrev AS (
