@@ -6,14 +6,17 @@ binary schema, the Arrow-batched ``mapInPandas`` transform shape,
 partition-sized batching, and metadata extraction with built-in
 functions.
 
-The AUDIO and IMAGE decode paths are REAL for the codec-free formats:
-``wav_pcm_stats`` walks RIFF chunks and computes PCM signal stats, and
-``bmp_stats`` parses 24-bit uncompressed DIBs (stride + row-order
-aware) — both stdlib ``struct`` + one numpy pass, no codec libraries,
-which is exactly why WAV/PCM and BMP are the honest format choices in
-this container.  ``synthesize_wav_blobs`` / ``synthesize_bmp_blobs``
-give them oracle-checkable encode→decode roundtrips
-(``mm_wav_roundtrip`` / ``mm_bmp_roundtrip``).  Compressed-format
+The AUDIO, IMAGE, and VIDEO-FRAME decode paths are REAL for the
+codec-free formats: ``wav_pcm_stats`` walks RIFF chunks and computes
+PCM signal stats, ``bmp_stats`` parses 24-bit uncompressed DIBs
+(stride + row-order aware), and ``ppm_frame_sample`` decodes
+concatenated Netpbm P6 frame streams (the ffmpeg ``image2pipe`` raw
+video interchange) — all stdlib + one numpy pass, no codec libraries,
+which is exactly why WAV/PCM, BMP, and PPM are the honest format
+choices in this container.  ``synthesize_wav_blobs`` /
+``synthesize_bmp_blobs`` / ``synthesize_ppm_stream_blobs`` give them
+oracle-checkable encode→decode roundtrips (``mm_wav_roundtrip`` /
+``mm_bmp_roundtrip`` / ``mm_ppm_frame_sample``).  Compressed-format
 decode (JPEG/MP4) stays a clearly-marked stub (``_fake_decode``); swap
 it for PIL/ffmpeg in production and nothing else changes.
 """
@@ -89,23 +92,139 @@ def decode_features(docs: DataFrame, batch_limit: int = 1024) -> DataFrame:
     return with_blob(docs).select("doc_id", "blob").mapInPandas(run, FEATURE_SCHEMA)
 
 
-def frame_sample_stub(docs: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
-    """STUB for video frame sampling: emits one row per sampled offset.
+PPM_FRAME_SCHEMA = (
+    "doc_id LONG, frame_no LONG, byte_offset LONG, width LONG, "
+    "height LONG, mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE"
+)
 
-    Real pipelines explode a video blob into frame rows; the stub
-    derives frame offsets from byte length so the explode/partition
-    shape (1 blob row → N frame rows) is exercised for real.
-    """
-    wb = with_blob(docs)
-    offsets = F.sequence(
-        F.lit(0),
-        F.greatest((F.col("byte_len") - 1) / every_n_bytes, F.lit(0)).cast("long"),
-    )
-    return wb.select("doc_id", F.explode(offsets).alias("frame_no")).select(
-        "doc_id",
-        "frame_no",
-        (F.col("frame_no") * every_n_bytes).cast("long").alias("byte_offset"),
-    )
+
+def _parse_ppm_stream(b: bytes):
+    """REAL Netpbm P6 stream parser — stdlib + one numpy pass/frame.
+
+    Concatenated P6 frames are the raw-video interchange format
+    ffmpeg's ``image2pipe`` ppm codec emits, so this IS video-frame
+    decode for an honest codec-free format (the role JPEG/MP4 decode
+    plays in production).  The header tokenizer follows the Netpbm
+    spec: any whitespace between tokens, ``#`` comments to
+    end-of-line, one whitespace byte after maxval, then ``w·h·3`` raw
+    bytes.  Returns ``[(byte_offset, w, h, mean_r, mean_g, mean_b)]``;
+    stops cleanly at the first malformed or truncated frame (the
+    resilient-stream contract — a cut-off tail must not kill the
+    task)."""
+    import numpy as np
+
+    n = len(b)
+    ws = b" \t\r\n"
+
+    def token(p: int):
+        while p < n:
+            c = b[p : p + 1]
+            if c in ws:
+                p += 1
+            elif c == b"#":
+                while p < n and b[p : p + 1] != b"\n":
+                    p += 1
+            else:
+                break
+        s = p
+        while p < n and b[p : p + 1] not in ws:
+            p += 1
+        return b[s:p], p
+
+    frames = []
+    pos = 0
+    while pos < n:
+        start = pos
+        magic, p = token(pos)
+        if magic != b"P6":
+            break
+        wtok, p = token(p)
+        htok, p = token(p)
+        mtok, p = token(p)
+        if not (wtok.isdigit() and htok.isdigit() and mtok.isdigit()):
+            break
+        w, h, maxval = int(wtok), int(htok), int(mtok)
+        if maxval != 255 or w <= 0 or h <= 0:
+            break
+        p += 1  # exactly one whitespace byte after maxval, per spec
+        need = w * h * 3
+        if p + need > n:
+            break
+        px = np.frombuffer(b, dtype="u1", count=need, offset=p).reshape(h, w, 3)
+        m = px.astype("float64").mean(axis=(0, 1))
+        frames.append((start, w, h, float(m[0]), float(m[1]), float(m[2])))
+        pos = p + need
+    return frames
+
+
+def ppm_frame_sample(
+    df: DataFrame,
+    every_k: int = 2,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """REAL video-frame sampling (replaced the round-1..6
+    ``frame_sample_stub``): decode a concatenated Netpbm P6 frame
+    stream and keep every ``every_k``-th frame with its byte offset,
+    dimensions, and per-channel means.
+
+    Same Arrow ``mapInPandas`` shape as the WAV/BMP decoders: whole
+    batches per worker, 1 blob row → N frame rows, malformed streams
+    contribute zero rows instead of failing the partition.  At 100 TB
+    the blob column never shuffles — sampling happens in the scan
+    stage and only the small frame-row table moves on."""
+    from collections.abc import Iterator as _It
+
+    cols = [
+        id_col, "frame_no", "byte_offset", "width", "height",
+        "mean_r", "mean_g", "mean_b",
+    ]
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for bt in batches:
+            rows = []
+            for i, blob in zip(bt[id_col], bt[blob_col]):
+                for fno, (off, w, h, mr, mg, mb) in enumerate(
+                    _parse_ppm_stream(bytes(blob))
+                ):
+                    if fno % every_k == 0:
+                        rows.append((int(i), fno, off, w, h, mr, mg, mb))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, blob_col).mapInPandas(run, PPM_FRAME_SCHEMA)
+
+
+def synthesize_ppm_stream_blobs(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic P6 stream synthesis: ``2 + id % 5`` solid-color
+    frames of ``(4 + id % 8) × (2 + id % 6)``; frame ``f`` is colored
+    ``((id + 11f) % 256, (7id + 3f) % 256, (13id + 5f) % 256)``.
+    Solid frames make every decoded mean an exact small integer and
+    every byte offset a closed-form function of (id, f) — which is
+    what gives ``ppm_frame_sample`` an exact SQL oracle
+    (``mm_ppm_frame_sample``)."""
+    from collections.abc import Iterator as _It
+
+    def make(i: int) -> bytes:
+        w, h = 4 + i % 8, 2 + i % 6
+        out = bytearray()
+        for f in range(2 + i % 5):
+            r = (i + 11 * f) % 256
+            g = (i * 7 + 3 * f) % 256
+            bl = (i * 13 + 5 * f) % 256
+            out += f"P6\n{w} {h}\n255\n".encode()
+            out += bytes((r, g, bl)) * (w * h)
+        return bytes(out)
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for b in batches:
+            yield pd.DataFrame(
+                [(int(i), make(int(i))) for i in b[id_col]],
+                columns=[id_col, "blob"],
+            )
+
+    return docs.select(id_col).mapInPandas(run, f"{id_col} LONG, blob BINARY")
 
 
 WAV_STATS_SCHEMA = (

@@ -173,6 +173,7 @@ def run_stream(
     checkpoint_dir: str,
     on_batch=None,
     cdc: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> StreamHandle:
     """Real Structured Streaming driver: parquet edge source →
     ``foreachBatch`` incremental WCC.
@@ -212,7 +213,14 @@ def run_stream(
             on_batch(holder["state"], batch_id)
 
     schema = "src LONG, dst LONG, op STRING" if cdc else "src LONG, dst LONG"
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # with availableNow the file source otherwise drains everything
+        # in ONE micro-batch; capping files-per-trigger makes each
+        # source file its own batch, which is what per-batch latency
+        # measurement and batch-over-batch state-carry tests need
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     query = (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
