@@ -110,6 +110,70 @@ WITH partsupp AS (
 )"""
 
 
+def _cdc_sql(window: int = 8, divisor: int = 64) -> str:
+    """DuckDB twin of dedup.content_defined_chunks — replays the
+    identical polynomial roll (cdc_pows literals shared) and the same
+    explicit append-end-boundary branch."""
+    from community_detection_flink_spark.operators.dedup import cdc_pows
+
+    pw = "[" + ", ".join(str(p) for p in cdc_pows(window)) + "]"
+    return f"""
+WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents),
+b0 AS (
+  SELECT doc_id, text, n,
+    list_filter(
+      range({window}, GREATEST(n + 1, {window})),
+      p -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT), list_transform(range({window}),
+               j -> (CAST(ord(substr(text, CAST(p - j AS INTEGER), 1))
+                          AS BIGINT)
+                     * ({pw}[CAST(j AS INTEGER) + 1])) % 2147483647)),
+             (a, x) -> (a + x) % 2147483647) % {divisor} = 0
+    ) AS bounds
+  FROM c
+),
+b AS (
+  SELECT doc_id, text, n,
+    CASE WHEN list_contains(bounds, n) THEN bounds
+         ELSE list_append(bounds, n) END AS bf
+  FROM b0
+),
+cdc_chunks AS (
+  SELECT doc_id, CAST(r.i AS BIGINT) AS chunk_no,
+    CASE WHEN r.i = 0 THEN CAST(1 AS BIGINT)
+         ELSE bf[CAST(r.i AS INTEGER)] + 1 END AS start,
+    bf[CAST(r.i AS INTEGER) + 1] AS e,
+    text
+  FROM b, UNNEST(range(len(bf))) r(i)
+),
+cdc AS (
+  SELECT doc_id, chunk_no, start, e - start + 1 AS chunk_len,
+    ('0x' || substr(md5(substr(text, CAST(start AS INTEGER),
+                               CAST(e - start + 1 AS INTEGER))), 1, 15)
+    )::BIGINT AS chunk_hash
+  FROM cdc_chunks
+)"""
+
+
+def _jl_folds(k: int = 16, d: int = 64) -> list[str]:
+    """One DuckDB index-ordered fold per projection component, sign
+    literals from the same Python matrix Spark's jl_project bakes in."""
+    from community_detection_flink_spark.operators.similarity import (
+        jl_sign_matrix,
+    )
+
+    folds = []
+    for j, row in enumerate(jl_sign_matrix(k, d)):
+        lst = "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in row) + "]"
+        folds.append(
+            f"list_reduce(list_prepend(0.0, list_transform(range({d}), "
+            f"i -> CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) * "
+            f"({lst}[CAST(i AS INTEGER) + 1]))), (a, x) -> a + x) "
+            f"AS p{j:02d}"
+        )
+    return folds
+
+
 def _sf_tag(sf_dir: str) -> str:
     import hashlib
     import re
@@ -2956,21 +3020,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r01-r05 and the per-round local sweeps
     # (tools/check_oracles.py --json).
     # ------------------------------------------------------------------
+
+    # ---------------- round-7 additions ----------------
+
+    def doc_cdc_chunks(spark, sf):
+        """Content-defined chunking (dedup.content_defined_chunks —
+        the LBFS/FastCDC rolling-hash boundary rule, window=8,
+        divisor=64): per-chunk rows with 1-based spans and md5-derived
+        chunk hashes.  All-JVM higher-order expressions; the oracle
+        replays the identical polynomial (cdc_pows literals shared
+        between both engines)."""
+        return D.content_defined_chunks(load_table(spark, sf, "documents"))
+
+    def doc_cdc_chunk_dedup(spark, sf):
+        """Chunk-level dedup over content-defined chunks
+        (dedup.cdc_chunk_dedup): recurring chunk contents with
+        occurrence/document counts — the aggregate behind
+        dedup-by-reference stores and boilerplate scrubbing.  One
+        chunk_hash shuffle with map-side combine."""
+        return D.cdc_chunk_dedup(load_table(spark, sf, "documents"))
+
+    def emb_jl_projection(spark, sf):
+        """Johnson-Lindenstrauss ±1 random projection
+        (similarity.jl_project, Achlioptas'03): 64 floats → 16 exact
+        double components as SCALAR columns (p00..p15), sign matrix
+        injected as literals into both engines.  Pure map — no
+        shuffle."""
+        return S.jl_project(load_table(spark, sf, "embeddings"))
+
+    def emb_jl_distortion(spark, sf):
+        """Measured JL distortion (similarity.jl_distortion): for all
+        pairs in the 30-vector prefix, ‖R(xa−xb)‖²/(k·‖xa−xb‖²) — the
+        JL lemma says ≈1; the 435 per-pair ratios are exact row-local
+        folds (no cross-row float aggregation), rounded to 9."""
+        return S.jl_distortion(load_table(spark, sf, "embeddings"))
+
+    def ev_late_audit(spark, sf):
+        """Watermark late-data audit (windows.late_data_audit): with a
+        10-minute watermark delay and event_id arrival order, how many
+        events per type would Structured Streaming drop as late, and
+        by how much?  Running-max analytic + one aggregate, integral-µs
+        exact."""
+        return W.late_data_audit(load_table(spark, sf, "events"), 10)
+
+    # ------------------------------------------------------------------
     return {
-        # --- anchors (round-over-round continuity; certified r1-r5) ---
+        # --- r7 prefix-50 (the driver gate certifies the first 50) ---
+        # anchors: round-over-round continuity, certified every round
         "g_edges": g_edges,
         "wcc_invariants": wcc_invariants,
         "ev_funnel": ev_funnel,
-        # --- NEW in round 6: first driver certification ---
         "cdc_invariants": cdc_invariants,
+        "emb_ann_quality": emb_ann_quality,
+        # first driver certification: the 9 r6-new entries the r6
+        # verdict flagged as never-driver-certified, plus the 5
+        # partsupp TPC-H queries new in r7
+        "rel_q12_late_priority": rel_q12_late_priority,
+        "rel_q13_customer_distribution": rel_q13_customer_distribution,
+        "rel_q19_discounted_revenue": rel_q19_discounted_revenue,
+        "rel_q21_waiting_suppliers": rel_q21_waiting_suppliers,
+        "rel_q22_global_sales": rel_q22_global_sales,
+        "doc_containment": doc_containment,
+        "doc_winnowing": doc_winnowing,
+        "ev_cep_strict": ev_cep_strict,
+        "emb_ivfpq_ann": emb_ivfpq_ann,
+        "rel_q2_min_cost_supplier": rel_q2_min_cost_supplier,
+        "rel_q9_product_profit": rel_q9_product_profit,
+        "rel_q11_important_stock": rel_q11_important_stock,
+        "rel_q16_supplier_part_counts": rel_q16_supplier_part_counts,
+        "rel_q20_potential_promotion": rel_q20_potential_promotion,
+        # changed in r7 (array-codes serialization fix / PPM-stream
+        # upgrade) - re-certify the new semantics
+        "emb_product_quantization": emb_product_quantization,
+        "emb_code_dedup": emb_code_dedup,
+        "mm_frame_sample": mm_frame_sample,
+        # re-certification rotation: the 28 oldest oracle-backed
+        # entries (last driver artifact: CORRECTNESS_r03); the 9
+        # remaining r3-certified entries (rel_parts_intersect,
+        # rel_parts_never_ordered, rel_percentiles,
+        # rel_pricing_summary, rel_profile_orders, rel_rollup_orders,
+        # rel_skewed_agg, rel_top_orders, rel_window_top_customers)
+        # are the r8 rotation block
+        "doc_dedup_groups": doc_dedup_groups,
+        "doc_dedup_keep_best": doc_dedup_keep_best,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_jaccard_pairs": doc_jaccard_pairs,
+        "doc_lang_id": doc_lang_id,
+        "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+        "doc_minhash_signatures": doc_minhash_signatures,
+        "doc_quality": doc_quality,
+        "doc_sample_split": doc_sample_split,
+        "doc_simhash": doc_simhash,
+        "doc_simhash_near_dups": doc_simhash_near_dups,
+        "doc_token_stats": doc_token_stats,
+        "doc_top_ngrams": doc_top_ngrams,
+        "ev_asof_prior_purchase": ev_asof_prior_purchase,
+        "ev_json_props": ev_json_props,
+        "ev_range_recent_purchases": ev_range_recent_purchases,
+        "ev_session": ev_session,
+        "ev_sliding": ev_sliding,
+        "ev_tumbling": ev_tumbling,
+        "ev_user_running": ev_user_running,
+        "g_community_triangles": g_community_triangles,
+        "g_intra_degree": g_intra_degree,
+        "g_vertex_community_degrees": g_vertex_community_degrees,
+        "rel_cube_orders": rel_cube_orders,
+        "rel_customers_without_orders": rel_customers_without_orders,
+        "rel_nation_revenue": rel_nation_revenue,
+        "rel_parts_in_lineitem": rel_parts_in_lineitem,
+        # ----- below the prefix-50 cap -----
+        # round-7-new (r8 rotation candidates): content-defined
+        # chunking, JL projection, late-data audit
+        "doc_cdc_chunks": doc_cdc_chunks,
+        "doc_cdc_chunk_dedup": doc_cdc_chunk_dedup,
+        "emb_jl_projection": emb_jl_projection,
+        "emb_jl_distortion": emb_jl_distortion,
+        "ev_late_audit": ev_late_audit,
         "g_centrality_approx": g_centrality_approx,
         "rel_q8_market_share": rel_q8_market_share,
-        # --- extended in round 6 (ivfpq rows) — stays in the prefix so
-        # the extension is certified ---
-        "emb_ann_quality": emb_ann_quality,
-        # --- round-4 second batch: never driver-certified before this
-        # round (37, all oracle-backed; hash-green in the committed local
-        # sweeps and both judges' samples) ---
         "rel_q5_local_supplier": rel_q5_local_supplier,
         "rel_q10_returned_items": rel_q10_returned_items,
         "rel_orc_roundtrip": rel_orc_roundtrip,
@@ -2991,7 +3159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q6_forecast_revenue": rel_q6_forecast_revenue,
         "ev_rolling_features": ev_rolling_features,
         "g_landmark_distances": g_landmark_distances,
-        "emb_product_quantization": emb_product_quantization,
         "emb_pq_ann": emb_pq_ann,
         "ev_debounce": ev_debounce,
         "g_snapshot_edges": g_snapshot_edges,
@@ -3002,21 +3169,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q15_top_supplier": rel_q15_top_supplier,
         "doc_passage_locations": doc_passage_locations,
         "ev_trigrams": ev_trigrams,
-        "emb_code_dedup": emb_code_dedup,
         "rel_monthly_growth": rel_monthly_growth,
         "rel_abc_analysis": rel_abc_analysis,
         "g_rich_club": g_rich_club,
         "rel_data_quality": rel_data_quality,
         "g_degree_histogram": g_degree_histogram,
-        # --- r1-r3-certified rotation slots (2-round re-certification
-        # cadence; first re-visit since CORRECTNESS_r01-r03) ---
         "g_degrees": g_degrees,
         "g_triangle_counts": g_triangle_counts,
         "g_vertex_metrics": g_vertex_metrics,
         "g_community_stats": g_community_stats,
         "g_adjacency": g_adjacency,
         "rel_distinct_counts": rel_distinct_counts,
-        # ----- below the prefix-50 cap -----
         "doc_pack_chunks": doc_pack_chunks,
         "doc_contamination": doc_contamination,
         "doc_cross_dedup": doc_cross_dedup,
@@ -3031,7 +3194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_components_paths": g_components_paths,
         "mm_blob_meta": mm_blob_meta,
         "mm_decode_features": mm_decode_features,
-        "mm_frame_sample": mm_frame_sample,
         "g_pagerank": g_pagerank,
         "g_pagerank_weighted": g_pagerank_weighted,
         "g_modularity": g_modularity,
@@ -3063,70 +3225,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_json_roundtrip": rel_json_roundtrip,
         "rel_grouping_sets": rel_grouping_sets,
         "doc_pii_scrub": doc_pii_scrub,
-        "g_vertex_community_degrees": g_vertex_community_degrees,
-        "g_intra_degree": g_intra_degree,
-        "g_community_triangles": g_community_triangles,
         "wcc_communities": wcc_communities,
         "wcc_stats": wcc_stats,
         "wcc_incremental": wcc_incremental,
         "wcc_cdc": wcc_cdc,
         "rel_pricing_summary": rel_pricing_summary,
         "rel_top_orders": rel_top_orders,
-        "rel_nation_revenue": rel_nation_revenue,
         "rel_window_top_customers": rel_window_top_customers,
         "rel_rollup_orders": rel_rollup_orders,
-        "rel_cube_orders": rel_cube_orders,
-        "rel_customers_without_orders": rel_customers_without_orders,
-        "rel_parts_in_lineitem": rel_parts_in_lineitem,
         "rel_parts_intersect": rel_parts_intersect,
         "rel_parts_never_ordered": rel_parts_never_ordered,
-        "ev_user_running": ev_user_running,
-        "ev_tumbling": ev_tumbling,
-        "ev_sliding": ev_sliding,
-        "ev_session": ev_session,
-        "ev_json_props": ev_json_props,
-        "ev_asof_prior_purchase": ev_asof_prior_purchase,
-        "ev_range_recent_purchases": ev_range_recent_purchases,
-        "doc_exact_dedup": doc_exact_dedup,
-        "doc_minhash_signatures": doc_minhash_signatures,
-        "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
-        "doc_simhash": doc_simhash,
-        "doc_jaccard_pairs": doc_jaccard_pairs,
-        "doc_simhash_near_dups": doc_simhash_near_dups,
-        "doc_dedup_groups": doc_dedup_groups,
-        "doc_dedup_keep_best": doc_dedup_keep_best,
         "rel_skewed_agg": rel_skewed_agg,
         "rel_percentiles": rel_percentiles,
         "rel_profile_orders": rel_profile_orders,
-        "doc_token_stats": doc_token_stats,
-        "doc_quality": doc_quality,
-        "doc_lang_id": doc_lang_id,
-        "doc_fingerprint": doc_fingerprint,
-        "doc_top_ngrams": doc_top_ngrams,
-        "doc_sample_split": doc_sample_split,
-        "emb_ivfpq_ann": emb_ivfpq_ann,
-        # --- NEW in round 6 (below the cap so the planned rotation is
-        # untouched; r7 rotation candidates): the remaining TPC-H
-        # queries expressible over this schema — q12/q13/q19/q21/q22.
-        # q2/q9/q11/q16/q20 need partsupp, which the testdata lacks.
-        "rel_q12_late_priority": rel_q12_late_priority,
-        "rel_q13_customer_distribution": rel_q13_customer_distribution,
-        "rel_q19_discounted_revenue": rel_q19_discounted_revenue,
-        "rel_q21_waiting_suppliers": rel_q21_waiting_suppliers,
-        "rel_q22_global_sales": rel_q22_global_sales,
-        # containment dedup + winnowing fingerprints (r7 rotation
-        # candidates; §2.10 dedup/fingerprinting family)
-        "doc_containment": doc_containment,
-        "doc_winnowing": doc_winnowing,
-        "ev_cep_strict": ev_cep_strict,
-        # --- NEW in round 7: the partsupp-blocked TPC-H queries,
-        # unblocked by deterministic synthesis (_partsupp / _PS_SQL) —
-        # completes the 22-query suite at 22/22 schema-expressible.
-        "rel_q2_min_cost_supplier": rel_q2_min_cost_supplier,
-        "rel_q9_product_profit": rel_q9_product_profit,
-        "rel_q11_important_stock": rel_q11_important_stock,
-        "rel_q16_supplier_part_counts": rel_q16_supplier_part_counts,
-        "rel_q20_potential_promotion": rel_q20_potential_promotion,
     }
 
 
@@ -4772,6 +4883,62 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'EUROPE'
   AND s_suppkey IN (SELECT ps_suppkey FROM excess)
 ORDER BY s_suppkey""",
+        "doc_cdc_chunks": _cdc_sql() + """
+SELECT doc_id, chunk_no, start, chunk_len, chunk_hash FROM cdc""",
+        "doc_cdc_chunk_dedup": _cdc_sql() + """
+SELECT chunk_hash,
+  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+  CAST(MIN(chunk_len) AS BIGINT) AS chunk_len
+FROM cdc GROUP BY chunk_hash HAVING COUNT(*) >= 2""",
+        "emb_jl_projection": (
+            "SELECT CAST(vec_id AS BIGINT) AS vec_id,\n  "
+            + ",\n  ".join(_jl_folds())
+            + "\nFROM embeddings"
+        ),
+        "emb_jl_distortion": (
+            "WITH pr AS (\n  SELECT CAST(vec_id AS BIGINT) AS vec_id,\n  "
+            + ",\n  ".join(_jl_folds())
+            + "\n  FROM embeddings WHERE vec_id < 30\n),"
+            + """
+base AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings WHERE vec_id < 30
+),
+orig AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+    list_reduce(list_prepend(0.0, list_transform(range(64),
+      i -> (a.x[CAST(i AS INTEGER) + 1] - b.x[CAST(i AS INTEGER) + 1])
+         * (a.x[CAST(i AS INTEGER) + 1] - b.x[CAST(i AS INTEGER) + 1]))),
+      (acc, v) -> acc + v) AS d2
+  FROM base a JOIN base b ON a.vec_id < b.vec_id
+)
+SELECT o.qa, o.qb,
+  ROUND(("""
+            + " + ".join(
+                f"(pa.p{j:02d} - pb.p{j:02d}) * (pa.p{j:02d} - pb.p{j:02d})"
+                for j in range(16)
+            )
+            + """) / NULLIF(16.0 * d2, 0.0), 9) AS ratio
+FROM orig o
+JOIN pr pa ON pa.vec_id = o.qa
+JOIN pr pb ON pb.vec_id = o.qb"""
+        ),
+        "ev_late_audit": """
+WITH t AS (
+  SELECT event_type,
+    COALESCE(
+      MAX(epoch_us(ts)) OVER (ORDER BY event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      - 600000000 - epoch_us(ts), -1) AS _late_us
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN _late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+  GREATEST(MAX(_late_us), 0) // 1000000 AS max_late_s
+FROM t GROUP BY event_type""",
         "ev_debounce": """
 SELECT CAST(event_id AS BIGINT) AS event_id,
   CAST(user_id AS BIGINT) AS user_id, event_type

@@ -703,3 +703,126 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+# ----------------------------------------------------------------------
+# content-defined chunking (round 7)
+# ----------------------------------------------------------------------
+
+CDC_BASE = 257
+CDC_MOD = (1 << 31) - 1
+
+
+def cdc_pows(window: int) -> list[int]:
+    """``CDC_BASE**j % CDC_MOD`` for j in 0..window-1 — shared with the
+    DuckDB oracle so both engines evaluate the identical polynomial."""
+    return [pow(CDC_BASE, j, CDC_MOD) for j in range(window)]
+
+
+def content_defined_chunks(
+    docs: DataFrame, window: int = 8, divisor: int = 64
+) -> DataFrame:
+    """Content-defined chunking — the rolling-hash boundary rule behind
+    LBFS / FastCDC-style storage and text dedup (Muthitacharoen et al.
+    SOSP'01): a chunk boundary falls after character position ``p``
+    wherever the polynomial hash of the last ``window`` characters ≡ 0
+    (mod ``divisor``), plus a final boundary at end-of-text.  Because
+    boundaries are a function of CONTENT, an insertion or deletion
+    re-aligns at most the chunk it touches — fixed-size blocks would
+    shift every downstream block and defeat chunk-level dedup.
+
+    Entirely JVM higher-order expressions: per-character codes via
+    ``transform``/``ascii``, per-position hashes as an ``aggregate``
+    fold in fixed index order (each term reduced mod 2³¹−1 so the sum
+    never leaves long range), boundary selection via ``filter`` — no
+    Python, no shuffle (chunking happens in the scan stage; only the
+    caller's chunk-hash aggregate moves data).  Expected chunk length
+    ≈ ``divisor`` characters.
+
+    Output: ``(doc_id, chunk_no, start, chunk_len, chunk_hash)`` —
+    1-based start, 60-bit md5-derived chunk hash (``_hash60``), chunks
+    in document order.
+    """
+    pows = F.array(*[F.lit(p).cast("long") for p in cdc_pows(window)])
+    n = F.length("text")
+
+    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+
+    def roll(cds):
+        def h(p):
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(window - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: (
+                    acc
+                    + (
+                        F.element_at(cds, (p - j).cast("int")).cast("long")
+                        * F.element_at(pows, (j + 1).cast("int"))
+                    )
+                    % F.lit(CDC_MOD)
+                )
+                % F.lit(CDC_MOD),
+            )
+
+        bounds = F.filter(
+            F.when(n >= window, F.sequence(F.lit(window).cast("long"), n))
+            .otherwise(F.array().cast("array<long>")),
+            lambda p: h(p) % divisor == 0,
+        )
+        # append end-of-text unless it is already a boundary (explicit
+        # branch, NOT array_distinct — order preservation must not
+        # depend on engine-specific distinct semantics)
+        return F.when(
+            F.array_contains(bounds, n.cast("long")), bounds
+        ).otherwise(F.concat(bounds, F.array(n.cast("long"))))
+
+    with_bounds = docs.select(
+        "doc_id", "text", let_col(codes, roll).alias("bounds")
+    )
+    chunk = F.transform(
+        F.col("bounds"),
+        lambda b, i: F.struct(
+            i.cast("long").alias("chunk_no"),
+            F.when(i == 0, F.lit(1).cast("long"))
+            .otherwise(F.element_at(F.col("bounds"), i.cast("int")) + 1)
+            .alias("start"),
+            b.alias("end"),
+        ),
+    )
+    return (
+        with_bounds.select("doc_id", "text", F.explode(chunk).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_no").alias("chunk_no"),
+            F.col("c.start").alias("start"),
+            (F.col("c.end") - F.col("c.start") + 1).alias("chunk_len"),
+            _hash60(
+                F.substring(
+                    "text",
+                    F.col("c.start").cast("int"),
+                    (F.col("c.end") - F.col("c.start") + 1).cast("int"),
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame, window: int = 8, divisor: int = 64, min_count: int = 2
+) -> DataFrame:
+    """Chunk-level dedup over content-defined chunks: which chunk
+    contents recur, how often, and across how many documents — the
+    aggregate a dedup-by-reference store (or a repeated-boilerplate
+    scrubber) runs first.  ONE shuffle on chunk_hash with map-side
+    partial aggregation; chunk text itself never moves."""
+    ch = content_defined_chunks(docs, window, divisor)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.min("chunk_len").cast("long").alias("chunk_len"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )

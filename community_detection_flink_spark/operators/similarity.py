@@ -1221,3 +1221,118 @@ def ann_topk_ivfpq(
             "query_id", "vec_id", "cosine", F.col("rn").cast("long").alias("rank")
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (round 7)
+# ----------------------------------------------------------------------
+
+
+def jl_sign_matrix(k: int, d: int) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for the Achlioptas (2003) database-
+    friendly JL projection.  Entries come from a murmur-style integer
+    finalizer over (j, i) computed HERE in Python and injected into
+    both engines as literals — the matrix is data-independent, so
+    baking it into the plan sidesteps cross-engine RNG entirely (and a
+    real deployment would broadcast a trained/shared matrix the same
+    way)."""
+    rows = []
+    for j in range(k):
+        row = []
+        for i in range(d):
+            x = (j * 1000003 + i + 12345) & 0xFFFFFFFF
+            x ^= x >> 13
+            x = (x * 0x5BD1E995) & 0xFFFFFFFF
+            x ^= x >> 15
+            row.append(1.0 if (x & 1) == 0 else -1.0)
+        rows.append(row)
+    return rows
+
+
+def jl_project(emb: DataFrame, k: int = 16, id_col: str = "vec_id") -> DataFrame:
+    """Johnson-Lindenstrauss random projection: d floats → k doubles
+    via a ±1 sign matrix (Achlioptas'03 — the JL variant that needs no
+    gaussian sampling and keeps every op exact-foldable).  Squared
+    norms are preserved in expectation up to the factor k/d·? — for an
+    unscaled ±1 matrix E‖Rx‖² = k·‖x‖², which ``jl_distortion``
+    measures directly.
+
+    Per-component fold: ``zip_with`` the (double-cast) embedding with
+    the literal sign row, then ``aggregate`` in fixed index order —
+    bit-exact, JVM-only, no shuffle (a pure map over the scan).
+    Output columns: ``(vec_id, p00..p{k-1:02d})`` — scalar columns,
+    never an array (driver-canonicalizer contract).
+    """
+    d = _dim_of(emb)
+    signs = jl_sign_matrix(k, d)
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+
+    def comp(j):
+        row = F.array(*[F.lit(s) for s in signs[j]])
+        return F.aggregate(
+            F.zip_with(x, row, lambda a, s: a * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias(f"p{j:02d}")
+
+    return emb.select(F.col(id_col), *[comp(j) for j in range(k)])
+
+
+def jl_distortion(
+    emb: DataFrame, k: int = 16, max_id: int = 30, id_col: str = "vec_id"
+) -> DataFrame:
+    """Measured JL distortion on the ``max_id``-vector prefix: for
+    every pair a<b, the ratio ‖R(xa−xb)‖² / (k·‖xa−xb‖²) — 1.0 ± ε
+    when the projection preserves geometry (the JL lemma's guarantee;
+    ±1 matrices satisfy it per Achlioptas).  All folds index-ordered
+    and per-ROW (no cross-row float aggregation, which would be
+    order-dependent); the ratio is one double division, rounded to 9.
+
+    The pair join is a small-prefix crossJoin by construction (both
+    sides ≤ max_id rows) — the corpus never self-joins."""
+    pr = jl_project(emb.where(F.col(id_col) < max_id), k, id_col)
+    d = _dim_of(emb)
+    base = emb.where(F.col(id_col) < max_id).select(
+        F.col(id_col),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("x"),
+    )
+    a = base.select(F.col(id_col).alias("qa"), F.col("x").alias("xa"))
+    b = base.select(F.col(id_col).alias("qb"), F.col("x").alias("xb"))
+    orig = (
+        a.crossJoin(b)
+        .where(F.col("qa") < F.col("qb"))
+        .select(
+            "qa",
+            "qb",
+            F.aggregate(
+                F.zip_with("xa", "xb", lambda u, v: (u - v) * (u - v)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+    )
+    pa = pr.select(
+        F.col(id_col).alias("qa"),
+        *[F.col(f"p{j:02d}").alias(f"a{j:02d}") for j in range(k)],
+    )
+    pb = pr.select(
+        F.col(id_col).alias("qb"),
+        *[F.col(f"p{j:02d}").alias(f"b{j:02d}") for j in range(k)],
+    )
+    pd2 = None
+    for j in range(k):
+        term = (F.col(f"a{j:02d}") - F.col(f"b{j:02d}")) * (
+            F.col(f"a{j:02d}") - F.col(f"b{j:02d}")
+        )
+        pd2 = term if pd2 is None else pd2 + term
+    return (
+        orig.join(pa, "qa")
+        .join(pb, "qb")
+        .select(
+            "qa",
+            "qb",
+            F.round(
+                F.try_divide(pd2, F.lit(float(k)) * F.col("d2")), 9
+            ).alias("ratio"),
+        )
+    )

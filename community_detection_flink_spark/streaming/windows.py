@@ -150,3 +150,64 @@ def interval_join(
         .cast("long")
         .alias("lag_us"),
     )
+
+
+def late_data_audit(events: DataFrame, delay_minutes: int = 10) -> DataFrame:
+    """Watermark late-data audit (round 7): how much data WOULD a
+    given watermark delay drop?  The sizing question every
+    ``withWatermark`` deployment must answer before picking the delay.
+
+    Semantics mirror Structured Streaming's watermark exactly: events
+    arrive in ``event_id`` order, the watermark is the running max
+    event time over already-arrived events minus ``delay_minutes``,
+    and an event is LATE iff its own event time is below the watermark
+    at arrival.  Batch-computable as one analytic window (running max
+    over arrival order) + one aggregate — all integral-µs arithmetic,
+    so the audit is oracle-exact.
+
+    Output per event_type: ``(event_type, n_events, n_late,
+    max_late_s)`` with max_late_s the worst lateness in whole seconds
+    (0 when none are late).
+
+    Scale note: the unpartitioned running max is a deliberate match
+    for streaming's GLOBAL watermark and costs one total-order sort.
+    At 100 TB the audit runs per arrival unit (file / hour partition)
+    — same code over a partition-pruned scan, embarrassingly parallel
+    — because a watermark decision is only ever needed per ingest
+    batch, never over all history at once.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lateness = (
+        F.max(F.unix_micros("ts")).over(w)
+        - F.lit(delay_minutes * 60 * 1_000_000)
+        - F.unix_micros("ts")
+    )
+    return (
+        events.select(
+            "event_type",
+            F.coalesce(lateness, F.lit(-1)).alias("_late_us"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum((F.col("_late_us") > 0).cast("long"))
+            .cast("long")
+            .alias("n_late"),
+            F.greatest(F.max("_late_us"), F.lit(0))
+            .cast("long")
+            .alias("max_late_us"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_late",
+            # integral division on both engines (double-cast-to-long
+            # truncates in Spark but ROUNDS in DuckDB)
+            F.expr("max_late_us div 1000000").alias("max_late_s"),
+        )
+    )
