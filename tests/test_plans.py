@@ -179,3 +179,35 @@ def test_bucketed_join_zero_exchange(spark):
         .agg(F.count("*").alias("n"))
     )
     assert sorted(map(tuple, q.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_round7_operators_plan_shape(spark):
+    """CDC chunking and JL projection are scan-stage maps: zero
+    shuffle Exchange, zero Python eval.  Chunk dedup shuffles only on
+    chunk_hash.  (PLANS.md round-7 section is the reviewable twin.)"""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from community_detection_flink_spark.plans.explain import (
+        executed_exchange_count,
+    )
+
+    qs = entry_mod.queries()
+    chunks = qs["doc_cdc_chunks"](spark, SF)
+    assert python_eval_nodes(chunks) == []
+    assert executed_exchange_count(chunks) == 0
+
+    proj = qs["emb_jl_projection"](spark, SF)
+    assert python_eval_nodes(proj) == []
+    assert executed_exchange_count(proj) == 0
+
+    dedup = qs["doc_cdc_chunk_dedup"](spark, SF)
+    assert python_eval_nodes(dedup) == []
+    assert executed_exchange_count(dedup) <= 2  # partial+final agg pair
+
+    # the synthesized partsupp is an explode over part: no shuffle of
+    # its own, and q16's only exchanges are the distinct-count agg
+    q16 = qs["rel_q16_supplier_part_counts"](spark, SF)
+    assert python_eval_nodes(q16) == []
+    assert executed_exchange_count(q16) <= 3

@@ -69,6 +69,15 @@ AUDIT = [
     ("doc_containment", "asymmetric containment dedup: small-side shingle set broadcast, overlap counted pre-join-explosion"),
     ("doc_winnowing", "winnowing fingerprints: per-doc window minimum entirely in one doc-keyed shuffle"),
     ("ev_cep_strict", "strict-contiguity CEP: one user-keyed sort shuffle, pattern match via window lead()s, no self-join"),
+    # round 7
+    ("rel_q2_min_cost_supplier", "TPC-H Q2: synthesized partsupp (no-shuffle explode of part), supplier/nation/region + part list broadcast, min-per-part joined back"),
+    ("rel_q9_product_profit", "TPC-H Q9: composite-key lineitem⋈partsupp left to AQE, dims broadcast, DECIMAL profit fold"),
+    ("rel_q16_supplier_part_counts", "TPC-H Q16: broadcast anti-join exclusion, single grouping-key shuffle for distinct counts"),
+    ("doc_cdc_chunks", "content-defined chunking: all-JVM higher-order rolling hash in the scan stage, zero Python, zero shuffle"),
+    ("doc_cdc_chunk_dedup", "chunk-level dedup: ONE chunk_hash shuffle with map-side partial agg"),
+    ("emb_jl_projection", "JL projection: literal sign matrix, pure map over the scan — zero shuffle, zero Python"),
+    ("ev_late_audit", "late-data audit: global running-max analytic (deliberate total-order sort; per-ingest-batch at scale) + one agg"),
+    ("mm_frame_sample", "P6 frame-stream decode: Arrow mapInPandas in the scan stage, frame rows only downstream"),
 ]
 
 
