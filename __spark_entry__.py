@@ -3063,6 +3063,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact."""
         return W.late_data_audit(load_table(spark, sf, "events"), 10)
 
+    def doc_winnow_pairs(spark, sf):
+        """MOSS match step (textual.winnowing_overlap_pairs): document
+        pairs sharing ≥2 distinct winnowing fingerprints, candidates
+        formed only inside fingerprint buckets with the >50-doc
+        boilerplate fingerprints dropped first (skew-safe at corpus
+        scale)."""
+        return T.winnowing_overlap_pairs(load_table(spark, sf, "documents"))
+
+    def emb_truncation_recall(spark, sf):
+        """Dimension-truncation recall (similarity.
+        truncated_cosine_recall, the Matryoshka sizing question):
+        exact top-5 overlap between full 64-dim and first-16-dim
+        cosine rankings for the 10-query prefix — both rankings
+        brute-force, fold-exact, so the metric itself hash-matches."""
+        return S.truncated_cosine_recall(load_table(spark, sf, "embeddings"))
+
     # ------------------------------------------------------------------
     return {
         # --- r7 prefix-50 (the driver gate certifies the first 50) ---
@@ -3137,6 +3153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_jl_projection": emb_jl_projection,
         "emb_jl_distortion": emb_jl_distortion,
         "ev_late_audit": ev_late_audit,
+        "doc_winnow_pairs": doc_winnow_pairs,
+        "emb_truncation_recall": emb_truncation_recall,
         "g_centrality_approx": g_centrality_approx,
         "rel_q8_market_share": rel_q8_market_share,
         "rel_q5_local_supplier": rel_q5_local_supplier,
@@ -3284,6 +3302,39 @@ _TOKS = (
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 )
 _H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+# winnowing fingerprint chain (through the rightmost-min selection)
+# shared by doc_winnowing and doc_winnow_pairs
+_WINNOW_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+shl AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) < 4
+    THEN [struct_pack(p := CAST(1 AS BIGINT), s := array_to_string(tk, ' '))]
+    ELSE list_transform(range(len(tk) - 3),
+      i -> struct_pack(p := CAST(i + 1 AS BIGINT),
+                       s := tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))
+    END) AS u
+  FROM toks
+),
+sh AS (SELECT doc_id, u.p AS pos, {_H60.format(x='u.s')} AS g FROM shl),
+tot AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+starts AS (
+  SELECT s.doc_id, s.pos AS j FROM sh s JOIN tot USING (doc_id)
+  WHERE s.pos <= greatest(n - 7, 1)
+),
+wmin AS (
+  SELECT st.doc_id, st.j, MIN(p.g) AS mg
+  FROM starts st JOIN sh p
+    ON p.doc_id = st.doc_id AND p.pos BETWEEN st.j AND st.j + 7
+  GROUP BY 1, 2
+),
+sel AS (
+  SELECT w.doc_id, MAX(p.pos) AS pos, w.mg AS fp
+  FROM wmin w JOIN sh p
+    ON p.doc_id = w.doc_id AND p.pos BETWEEN w.j AND w.j + 7 AND p.g = w.mg
+  GROUP BY w.doc_id, w.j, w.mg
+)"""
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -4926,6 +4977,34 @@ FROM orig o
 JOIN pr pa ON pa.vec_id = o.qa
 JOIN pr pb ON pb.vec_id = o.qb"""
         ),
+        "emb_truncation_recall": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+full_rank AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {cosine_placeholder} DESC, vec_id) AS rn
+    FROM q, c WHERE vec_id <> query_id
+  ) WHERE rn <= 5
+),
+qt AS (SELECT vec_id AS query_id, embedding[1:16] AS qv FROM embeddings WHERE vec_id < 10),
+ct AS (SELECT vec_id, embedding[1:16] AS cv FROM embeddings),
+trunc_rank AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {cosine_placeholder} DESC, vec_id) AS rn
+    FROM qt q, ct c WHERE vec_id <> query_id
+  ) WHERE rn <= 5
+),
+ov AS (
+  SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM full_rank f JOIN trunc_rank t USING (query_id, vec_id)
+  GROUP BY f.query_id
+)
+SELECT q2.query_id, COALESCE(n_overlap, 0) AS n_overlap,
+  CAST(COALESCE(n_overlap, 0) AS DOUBLE) / 5.0 AS recall
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q2
+LEFT JOIN ov USING (query_id)""".replace("{cosine_placeholder}", cosine),
         "ev_late_audit": """
 WITH t AS (
   SELECT event_type,
@@ -5190,37 +5269,17 @@ WHERE CAST(common AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.6""",
         # independent join-based winnowing: window starts × position
         # range join, min per window, rightmost argmin — the engine
         # uses a single window aggregate instead (textual.py)
-        "doc_winnowing": f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
-shl AS (
-  SELECT doc_id, unnest(
-    CASE WHEN len(tk) < 4
-    THEN [struct_pack(p := CAST(1 AS BIGINT), s := array_to_string(tk, ' '))]
-    ELSE list_transform(range(len(tk) - 3),
-      i -> struct_pack(p := CAST(i + 1 AS BIGINT),
-                       s := tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))
-    END) AS u
-  FROM toks
-),
-sh AS (SELECT doc_id, u.p AS pos, {_H60.format(x='u.s')} AS g FROM shl),
-tot AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-starts AS (
-  SELECT s.doc_id, s.pos AS j FROM sh s JOIN tot USING (doc_id)
-  WHERE s.pos <= greatest(n - 7, 1)
-),
-wmin AS (
-  SELECT st.doc_id, st.j, MIN(p.g) AS mg
-  FROM starts st JOIN sh p
-    ON p.doc_id = st.doc_id AND p.pos BETWEEN st.j AND st.j + 7
-  GROUP BY 1, 2
-),
-sel AS (
-  SELECT w.doc_id, MAX(p.pos) AS pos, w.mg AS fp
-  FROM wmin w JOIN sh p
-    ON p.doc_id = w.doc_id AND p.pos BETWEEN w.j AND w.j + 7 AND p.g = w.mg
-  GROUP BY w.doc_id, w.j, w.mg
-)
+        "doc_winnowing": _WINNOW_SQL + """
 SELECT DISTINCT doc_id, pos, fp FROM sel""",
+        "doc_winnow_pairs": _WINNOW_SQL + """,
+fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a JOIN rare USING (fp) JOIN fps b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2""",
         "ev_cep_strict": """
 WITH e AS (
   SELECT user_id, ts, event_id,

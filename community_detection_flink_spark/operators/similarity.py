@@ -1336,3 +1336,48 @@ def jl_distortion(
             ).alias("ratio"),
         )
     )
+
+
+def truncated_cosine_recall(
+    emb: DataFrame,
+    dims: int = 16,
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Dimension-truncation recall — the Matryoshka-representation
+    sizing question (Kusupati et al. NeurIPS'22): how much of the
+    exact cosine top-k survives when the index keeps only the first
+    ``dims`` of d dimensions?  Truncation is THE cheapest
+    embedding-compression lever (4× storage/bandwidth at dims=16 of
+    64), and this measures exactly what it costs in recall before
+    anyone commits an index build to it.
+
+    Both rankings are exact brute-force ``cosine_topk`` runs
+    (broadcast query side, corpus streams, deterministic
+    (cosine desc, vec_id) tie-break) over index-ordered folds, so the
+    whole metric is oracle-exact.  Output: ``(query_id, n_overlap,
+    recall)`` for every query, zero-overlap queries included.
+    """
+    queries = emb.where(F.col(id_col) < n_queries)
+    full = cosine_topk(emb, queries, k).select("query_id", "vec_id")
+    t = emb.select(id_col, F.slice("embedding", 1, dims).alias("embedding"))
+    trunc = cosine_topk(
+        t, t.where(F.col(id_col) < n_queries), k
+    ).select("query_id", "vec_id")
+    overlap = (
+        full.join(trunc, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        queries.select(F.col(id_col).alias("query_id"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / F.lit(float(k))
+            ).alias("recall"),
+        )
+    )

@@ -560,3 +560,48 @@ def winnowing_fingerprints(
         .distinct()
     )
     return sel
+
+
+def winnowing_overlap_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 8,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Partial-overlap candidate pairs from winnowing fingerprints —
+    the MOSS match step (Schleimer et al. SIGMOD'03 §4): two documents
+    are overlap candidates when they share ≥ ``min_shared`` DISTINCT
+    selected fingerprints.
+
+    Pairs form ONLY inside fingerprint buckets (the LSH-bucket-join
+    shape every operator in this family uses — never an all-pairs
+    corpus join), and fingerprints selected in more than ``max_df``
+    documents are dropped first: boilerplate k-grams carry no
+    discriminating power and their buckets are exactly the quadratic
+    hot spots (the standard MOSS "too common to report" rule, which
+    is also what makes the plan skew-safe at corpus scale).
+
+    Output: ``(doc_a, doc_b, n_shared)`` with ``doc_a < doc_b``.
+    """
+    fp = (
+        winnowing_fingerprints(docs, k, w)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    fp = fp.join(rare, "fp")
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -141,3 +141,61 @@ def test_late_data_audit_hand_values(spark):
     assert got["a"]["max_late_s"] == 0
     assert got["b"]["n_events"] == 2 and got["b"]["n_late"] == 2
     assert got["b"]["max_late_s"] == 20 * 60
+
+
+def test_winnowing_overlap_pairs_excerpt(spark):
+    from community_detection_flink_spark.operators.textual import (
+        winnowing_overlap_pairs,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, "intro words first then " + base + " closing words after"),
+            (2, "completely unrelated content about other things entirely "
+                "nothing shared with anything else in this corpus at all ok"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnowing_overlap_pairs(docs).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert not any(2 in p for p in pairs)
+    # boilerplate cap: with max_df=1 every shared fingerprint is "too
+    # common" (df=2) and the pair disappears
+    assert winnowing_overlap_pairs(docs, max_df=1).count() == 0
+
+
+def test_truncation_recall_bounds(spark):
+    from community_detection_flink_spark.operators.similarity import (
+        truncated_cosine_recall,
+    )
+
+    rng = np.random.RandomState(3)
+    # corpus A: all signal in the first 16 dims → truncation changes nothing
+    head = rng.randn(40, 16)
+    vecs = np.hstack([head, np.zeros((40, 48))]).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = truncated_cosine_recall(emb, dims=16, k=5, n_queries=5).collect()
+    assert len(got) == 5
+    assert all(r["recall"] == 1.0 and r["n_overlap"] == 5 for r in got)
+
+    # corpus B: signal ONLY in the last 48 dims → truncated ranking is
+    # cosine over near-identical tiny heads: recall must degrade
+    tail = rng.randn(40, 48)
+    vecs2 = np.hstack([np.ones((40, 16)) * 0.001, tail]).astype("float32")
+    emb2 = spark.createDataFrame(
+        [(i, [float(x) for x in vecs2[i]]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got2 = truncated_cosine_recall(emb2, dims=16, k=5, n_queries=5).collect()
+    assert sum(r["n_overlap"] for r in got2) < 25  # strictly below perfect
