@@ -3071,6 +3071,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scale)."""
         return T.winnowing_overlap_pairs(load_table(spark, sf, "documents"))
 
+    def ev_resample_ffill(spark, sf):
+        """Daily-grid resampling with forward fill
+        (temporal.resample_ffill — the date-spine/gap-fill warehouse
+        primitive): per user < 50, one row per day of their active
+        span carrying the last-at-or-before value (struct-max
+        deterministic).  Grid explode + one user-keyed window."""
+        from community_detection_flink_spark.operators import temporal as TP
+
+        return TP.resample_ffill(load_table(spark, sf, "events"))
+
+    def ev_attribution(spark, sf):
+        """Last-touch attribution (temporal.last_touch_attribution):
+        each purchase credited to the most recent preceding
+        non-purchase event within 7 days — one analytic window, no
+        event×event self-join; struct-MAX so both engines share the
+        order-free semantics."""
+        from community_detection_flink_spark.operators import temporal as TP
+
+        return TP.last_touch_attribution(load_table(spark, sf, "events"))
+
     def emb_truncation_recall(spark, sf):
         """Dimension-truncation recall (similarity.
         truncated_cosine_recall, the Matryoshka sizing question):
@@ -3155,6 +3175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_late_audit": ev_late_audit,
         "doc_winnow_pairs": doc_winnow_pairs,
         "emb_truncation_recall": emb_truncation_recall,
+        "ev_resample_ffill": ev_resample_ffill,
+        "ev_attribution": ev_attribution,
         "g_centrality_approx": g_centrality_approx,
         "rel_q8_market_share": rel_q8_market_share,
         "rel_q5_local_supplier": rel_q5_local_supplier,
@@ -4977,6 +4999,45 @@ FROM orig o
 JOIN pr pa ON pa.vec_id = o.qa
 JOIN pr pb ON pb.vec_id = o.qb"""
         ),
+        "ev_resample_ffill": """
+WITH ev AS (
+  SELECT user_id, ts, event_id, value, date_trunc('day', ts) AS day
+  FROM events WHERE user_id < 50
+),
+daily AS (
+  SELECT user_id, day,
+    MAX(struct_pack(ts := ts, event_id := event_id, value := value)) AS m
+  FROM ev GROUP BY user_id, day
+),
+span AS (SELECT user_id, MIN(day) AS a, MAX(day) AS b FROM ev GROUP BY user_id),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(a, b, INTERVAL 1 DAY)) AS day
+  FROM span
+)
+SELECT g.user_id, epoch_us(g.day) // 1000000 AS day_s,
+  last_value(d.m.value IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM grid g
+LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day""",
+        "ev_attribution": """
+WITH t AS (
+  SELECT event_id, user_id, event_type, ts,
+    MAX(CASE WHEN event_type <> 'purchase'
+        THEN struct_pack(ts := ts, event_id := event_id,
+                         event_type := event_type) END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tch
+  FROM events
+)
+SELECT event_id, user_id,
+  CASE WHEN tch IS NOT NULL
+        AND epoch_us(ts) - epoch_us(tch.ts) <= 604800000000
+       THEN tch.event_type ELSE 'none' END AS channel,
+  CASE WHEN tch IS NOT NULL
+        AND epoch_us(ts) - epoch_us(tch.ts) <= 604800000000
+       THEN (epoch_us(ts) - epoch_us(tch.ts)) // 1000000 END AS lag_s
+FROM t WHERE event_type = 'purchase'""",
         "emb_truncation_recall": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id, embedding AS cv FROM embeddings),

@@ -435,3 +435,111 @@ def sequence_pattern_matches(
         )
         .where(F.col("n_matches") > 0)
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    max_user: int = 50,
+) -> DataFrame:
+    """Time-series resampling to a regular DAILY grid with forward
+    fill (round 7) — the gap-filling every metrics warehouse and
+    feature store needs before joining event streams to calendar-keyed
+    facts (`date_spine` in dbt, `time_bucket_gapfill` in Timescale).
+
+    Per user: a day slot exists for every day in [first event day,
+    last event day]; each slot carries the value of the LAST event at
+    or before it (deterministic last = struct-max over (ts, event_id),
+    forward-filled with ``last(..., ignorenulls)`` over the day
+    order).  One per-(user, day) aggregate + one explode of the
+    per-user day span + one user-keyed window — grid rows are ~span,
+    never |events|².
+
+    ``max_user`` bounds the demo output; at scale the same plan runs
+    per partition-pruned user range.  Output: ``(user_id, day_s,
+    value_ffill)`` with day_s epoch seconds.
+    """
+    ev = events.where(F.col("user_id") < max_user)
+    day = F.date_trunc("DAY", F.col("ts"))
+    daily_last = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("_m"))
+        .select("user_id", "day", F.col("_m.value").alias("_v"))
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min(day).alias("_a"), F.max(day).alias("_b")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("_a", "_b", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily_last, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("_v", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+        .select(
+            "user_id",
+            F.expr("unix_micros(day) div 1000000").alias("day_s"),
+            "value_ffill",
+        )
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    window_days: int = 7,
+) -> DataFrame:
+    """Last-touch conversion attribution (round 7): every ``purchase``
+    event is credited to the user's most recent PRECEDING
+    non-purchase event within ``window_days`` — the standard
+    marketing-attribution join, expressed as one user-keyed analytic
+    window instead of an event×event self-join.
+
+    The "most recent preceding" is a struct-MAX over (ts, event_id,
+    event_type) on a ``ROWS … 1 PRECEDING`` frame — MAX (not LAST) so
+    the semantics are an order-free aggregate both engines define
+    identically.  Purchases with no touch inside the window attribute
+    to ``'none'``.  Output: ``(event_id, user_id, channel, lag_s)``
+    with lag_s NULL for unattributed purchases.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.max(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct("ts", "event_id", "event_type"),
+        )
+    ).over(w)
+    lag_us = F.unix_micros("ts") - F.unix_micros(F.col("_t.ts"))
+    in_window = lag_us <= F.lit(window_days * 86400 * 1_000_000)
+    return (
+        events.select("event_id", "user_id", "event_type", "ts", touch.alias("_t"))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.when(
+                F.col("_t").isNotNull() & in_window, F.col("_t.event_type")
+            )
+            .otherwise("none")
+            .alias("channel"),
+            F.when(
+                F.col("_t").isNotNull() & in_window,
+                F.expr(
+                    "(unix_micros(ts) - unix_micros(_t.ts)) div 1000000"
+                ),
+            ).alias("lag_s"),
+        )
+    )

@@ -199,3 +199,65 @@ def test_truncation_recall_bounds(spark):
     )
     got2 = truncated_cosine_recall(emb2, dims=16, k=5, n_queries=5).collect()
     assert sum(r["n_overlap"] for r in got2) < 25  # strictly below perfect
+
+
+def test_resample_ffill_hand_values(spark):
+    from community_detection_flink_spark.operators.temporal import resample_ffill
+
+    t0 = datetime.datetime(2024, 3, 1, 10, 0)
+
+    def ev(eid, day_offset, value, user=1):
+        return (eid, t0 + datetime.timedelta(days=day_offset), user,
+                "view", value, None)
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 0, 10.0),
+            ev(2, 0, 11.0),   # later same day wins (struct-max on ts,event_id)
+            ev(3, 3, 30.0),   # days 1-2 are gaps → forward-fill 11.0
+        ],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    got = sorted(
+        (r["day_s"], r["value_ffill"])
+        for r in resample_ffill(events).collect()
+    )
+    day0 = int(datetime.datetime(2024, 3, 1).timestamp())
+    assert got == [
+        (day0, 11.0),
+        (day0 + 86400, 11.0),
+        (day0 + 2 * 86400, 11.0),
+        (day0 + 3 * 86400, 30.0),
+    ]
+
+
+def test_last_touch_attribution_hand_values(spark):
+    from community_detection_flink_spark.operators.temporal import (
+        last_touch_attribution,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1)
+
+    def ev(eid, hours, typ, user=1):
+        return (eid, t0 + datetime.timedelta(hours=hours), user, typ, 1.0, None)
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 0, "view"),
+            ev(2, 1, "click"),
+            ev(3, 2, "purchase"),       # last touch: click, 1h ago
+            ev(4, 3, "purchase"),       # last touch: still click (2h)
+            ev(5, 100, "purchase"),     # click was 99h < 7d (168h) ago → click
+            ev(6, 9000, "purchase"),    # > 7 days since any touch → none
+            ev(7, 0, "purchase", 2),    # user 2: no touches at all → none
+        ],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    got = {r["event_id"]: r for r in last_touch_attribution(events).collect()}
+    assert got[3]["channel"] == "click" and got[3]["lag_s"] == 3600
+    assert got[4]["channel"] == "click" and got[4]["lag_s"] == 7200
+    assert got[5]["channel"] == "click" and got[5]["lag_s"] == 99 * 3600
+    assert got[6]["channel"] == "none" and got[6]["lag_s"] is None
+    assert got[7]["channel"] == "none" and got[7]["lag_s"] is None

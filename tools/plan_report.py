@@ -78,6 +78,10 @@ AUDIT = [
     ("emb_jl_projection", "JL projection: literal sign matrix, pure map over the scan — zero shuffle, zero Python"),
     ("ev_late_audit", "late-data audit: global running-max analytic (deliberate total-order sort; per-ingest-batch at scale) + one agg"),
     ("mm_frame_sample", "P6 frame-stream decode: Arrow mapInPandas in the scan stage, frame rows only downstream"),
+    ("doc_winnow_pairs", "winnowing-overlap pairs: fingerprint-bucket join only, boilerplate fingerprints dropped pre-join"),
+    ("emb_truncation_recall", "truncation recall: two broadcast-query brute-force rankings, corpus never self-joins"),
+    ("ev_resample_ffill", "daily resample + ffill: per-user span explode + ONE user-keyed window, no event self-join"),
+    ("ev_attribution", "last-touch attribution: one analytic window over the event scan, no event x event join"),
 ]
 
 
