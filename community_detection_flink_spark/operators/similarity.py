@@ -1291,7 +1291,6 @@ def jl_distortion(
     The pair join is a small-prefix crossJoin by construction (both
     sides ≤ max_id rows) — the corpus never self-joins."""
     pr = jl_project(emb.where(F.col(id_col) < max_id), k, id_col)
-    d = _dim_of(emb)
     base = emb.where(F.col(id_col) < max_id).select(
         F.col(id_col),
         F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("x"),

@@ -459,7 +459,12 @@ def resample_ffill(
     value_ffill)`` with day_s epoch seconds.
     """
     ev = events.where(F.col("user_id") < max_user)
-    day = F.date_trunc("DAY", F.col("ts"))
+    # DATE-typed spine: to_date + a DATE sequence steps whole calendar
+    # days regardless of session timezone/DST, and day_s is derived
+    # from unix_date (days-since-epoch), so the output is identical to
+    # the oracle's naive-timestamp generate_series under ANY session
+    # timezone — not just the harness's UTC.
+    day = F.to_date(F.col("ts"))
     daily_last = (
         ev.groupBy("user_id", day.alias("day"))
         .agg(F.max(F.struct("ts", "event_id", "value")).alias("_m"))
@@ -488,7 +493,7 @@ def resample_ffill(
         )
         .select(
             "user_id",
-            F.expr("unix_micros(day) div 1000000").alias("day_s"),
+            F.expr("CAST(unix_date(day) AS BIGINT) * 86400").alias("day_s"),
             "value_ffill",
         )
     )
