@@ -152,7 +152,12 @@ def interval_join(
     )
 
 
-def late_data_audit(events: DataFrame, delay_minutes: int = 10) -> DataFrame:
+def late_data_audit(
+    events: DataFrame,
+    delay_minutes: int = 10,
+    batch_col: str | None = None,
+    lag: int = 1,
+) -> DataFrame:
     """Watermark late-data audit (round 7): how much data WOULD a
     given watermark delay drop?  The sizing question every
     ``withWatermark`` deployment must answer before picking the delay.
@@ -175,13 +180,34 @@ def late_data_audit(events: DataFrame, delay_minutes: int = 10) -> DataFrame:
     — same code over a partition-pruned scan, embarrassingly parallel
     — because a watermark decision is only ever needed per ingest
     batch, never over all history at once.
+
+    When ``batch_col`` is given, the watermark advances at BATCH
+    granularity instead of per row — the running max is over events in
+    batches ≤ N-``lag`` only.  ``lag=1`` models the watermark value
+    micro-batch N's progress reports (computed from batches ≤ N-1,
+    the EVICTION watermark).  ``lag=2`` models what Spark ≥3.4
+    actually uses to DROP late input: stateful operators filter with
+    ``watermarkForLateEvents`` — the previous micro-batch's watermark,
+    i.e. batches ≤ N-2 (verified empirically on this build:
+    a 49-minute-late row arriving one batch after the watermark passed
+    it is still accepted; two batches after, it is dropped and counted
+    in ``numRowsDroppedByWatermark``).  With ``lag=2`` the batched
+    audit equals a real ``withWatermark`` run's drop count exactly —
+    ``tests/test_watermark_parity.py`` pins that equality end-to-end
+    against a live streaming query.
     """
     from pyspark.sql import Window
 
-    w = (
-        Window.orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    if batch_col is None:
+        w = (
+            Window.orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        w = (
+            Window.orderBy(batch_col)
+            .rangeBetween(Window.unboundedPreceding, -lag)
+        )
     lateness = (
         F.max(F.unix_micros("ts")).over(w)
         - F.lit(delay_minutes * 60 * 1_000_000)
