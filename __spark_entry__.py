@@ -3081,6 +3081,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact."""
         return W.late_data_audit(load_table(spark, sf, "events"), 10)
 
+    def ev_watermark_sizing(spark, sf):
+        """Watermark sizing curve (windows.watermark_sizing, r8): drop
+        counts for a GRID of candidate delays (1/5/10/30 min) from ONE
+        analytic pass — the same disorder column feeds one conditional
+        sum per delay, so the whole curve costs a single-delay audit.
+        Integral-µs + basis-point arithmetic, oracle-exact."""
+        return W.watermark_sizing(load_table(spark, sf, "events"))
+
     def doc_winnow_pairs(spark, sf):
         """MOSS match step (textual.winnowing_overlap_pairs): document
         pairs sharing ≥2 distinct winnowing fingerprints, candidates
@@ -3140,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_resample_ffill": ev_resample_ffill,
         "ev_attribution": ev_attribution,
         "mm_gif_frames": mm_gif_frames,
+        "ev_watermark_sizing": ev_watermark_sizing,
         # the named r8 rotation block: the 9 entries whose newest
         # driver artifact was CORRECTNESS_r03
         "rel_pricing_summary": rel_pricing_summary,
@@ -3180,7 +3189,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_topk_per_window": ev_topk_per_window,
         "doc_dup_ratio_by_source": doc_dup_ratio_by_source,
         "doc_normalize": doc_normalize,
-        "doc_quality_sample": doc_quality_sample,
         # --- below the driver cap (covered by the committed
         # full-registry sweeps at sf0.01 + sf0.1 every round) ---
         # r9 rotation block (r5-certified; bring into the prefix
@@ -3190,10 +3198,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rel_q3_shipping_priority, rel_q18_large_orders,
         # rel_pivot_status, rel_unpivot_prices, rel_snapshot_diff,
         # rel_csv_roundtrip, rel_json_roundtrip, rel_grouping_sets,
-        # doc_pii_scrub.  emb_ivfpq_ann is rows-only by design
+        # doc_pii_scrub, doc_quality_sample (displaced from the r8
+        # prefix by ev_watermark_sizing, new in r8).  emb_ivfpq_ann is rows-only by design
         # (exactness certified by its gate twin emb_ann_quality) —
         # moved below the cap per VERDICT r7 #2 so the gate can
         # read 50/50 zero-err.
+        "doc_quality_sample": doc_quality_sample,
         "rel_q12_late_priority": rel_q12_late_priority,
         "rel_q13_customer_distribution": rel_q13_customer_distribution,
         "rel_q19_discounted_revenue": rel_q19_discounted_revenue,
@@ -5123,6 +5133,25 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
   CAST(SUM(CASE WHEN _late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
   GREATEST(MAX(_late_us), 0) // 1000000 AS max_late_s
 FROM t GROUP BY event_type""",
+        "ev_watermark_sizing": """
+WITH e AS (
+  SELECT COALESCE(
+    MAX(epoch_us(ts)) OVER (ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    - epoch_us(ts), -1) AS dis
+  FROM events
+),
+delays(delay) AS (VALUES (1), (5), (10), (30)),
+curve AS (
+  SELECT CAST(delay AS BIGINT) AS delay_minutes,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CASE WHEN dis > delay * 60 * 1000000 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_late
+  FROM e, delays GROUP BY delay
+)
+SELECT delay_minutes, n_events, n_late,
+  (n_late * 10000) // n_events AS pct_late_bp
+FROM curve""",
         "ev_debounce": """
 SELECT CAST(event_id AS BIGINT) AS event_id,
   CAST(user_id AS BIGINT) AS user_id, event_type

@@ -237,3 +237,59 @@ def late_data_audit(
             F.expr("max_late_us div 1000000").alias("max_late_s"),
         )
     )
+
+
+def watermark_sizing(
+    events: DataFrame,
+    delays_minutes: tuple[int, ...] = (1, 5, 10, 30),
+) -> DataFrame:
+    """Watermark sizing curve (round 8): the capacity-planning
+    companion to ``late_data_audit`` — for a GRID of candidate
+    watermark delays, how many events would each drop?
+
+    One analytic pass computes each event's disorder
+    (``running max of prior event times − own event time``); every
+    candidate delay is then just one more conditional sum over the
+    SAME pass, so the whole curve costs exactly what a single-delay
+    audit costs: one total-order sort + one aggregate.  This is the
+    query a team runs ONCE per pipeline to pick the delay; the scale
+    story is ``late_data_audit``'s (per ingest unit, partition-pruned,
+    embarrassingly parallel).
+
+    Output: ``(delay_minutes, n_events, n_late, pct_late)`` — one row
+    per candidate delay, ``pct_late`` in basis points (integral, so
+    both engines agree bit-for-bit).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    disorder = F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    base = events.select(F.coalesce(disorder, F.lit(-1)).alias("_dis_us"))
+    aggs = []
+    for d in delays_minutes:
+        aggs.append(
+            F.sum((F.col("_dis_us") > d * 60 * 1_000_000).cast("long"))
+            .cast("long")
+            .alias(f"_late_{d}")
+        )
+    row = base.agg(F.count("*").cast("long").alias("_n"), *aggs)
+    curve = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("delay_minutes"),
+                        F.col("_n").alias("n_events"),
+                        F.col(f"_late_{d}").alias("n_late"),
+                    )
+                    for d in delays_minutes
+                ]
+            )
+        ).alias("r")
+    )
+    return curve.select(
+        "r.delay_minutes",
+        "r.n_events",
+        "r.n_late",
+        F.expr("(r.n_late * 10000) div r.n_events").alias("pct_late_bp"),
+    )

@@ -211,3 +211,24 @@ def test_round7_operators_plan_shape(spark):
     q16 = qs["rel_q16_supplier_part_counts"](spark, SF)
     assert python_eval_nodes(q16) == []
     assert executed_exchange_count(q16) <= 3
+
+
+def test_round8_gif_plan_shape(spark):
+    """GIF decode is an Arrow mapInPandas in the scan stage: the blob
+    column never shuffles (zero Exchange end-to-end — synthesis and
+    decode compose in one stage), and the only Python nodes are the
+    two documented Arrow codec steps (synthesize + decode)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from community_detection_flink_spark.plans.explain import (
+        executed_exchange_count,
+    )
+
+    qs = entry_mod.queries()
+    frames = qs["mm_gif_frames"](spark, SF)
+    # python_eval_nodes reports DISTINCT node types: both Python steps
+    # (synthesize + decode) are Arrow MapInPandas, nothing row-at-a-time
+    assert python_eval_nodes(frames) == ["MapInPandas"]
+    assert executed_exchange_count(frames) == 0

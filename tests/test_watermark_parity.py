@@ -153,3 +153,36 @@ def test_fixture_audit_batched_matches_rowlevel_when_ordered(spark):
         }
         assert row_level == batched
     assert all(late == 0 for _, late in row_level.values())
+
+
+def test_watermark_sizing_curve(spark):
+    """The sizing curve must be monotone in delay, agree with
+    late_data_audit at the shared 10-minute point, and count the
+    synthetic stragglers correctly."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from community_detection_flink_spark.streaming.windows import (
+        watermark_sizing,
+    )
+
+    rows = [_event(i) for i in range(N_BATCHES * PER_BATCH)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE",
+    )
+    curve = {
+        r["delay_minutes"]: (r["n_events"], r["n_late"], r["pct_late_bp"])
+        for r in watermark_sizing(ev, (1, 5, 10, 30)).collect()
+    }
+    assert set(curve) == {1, 5, 10, 30}
+    lates = [curve[d][1] for d in (1, 5, 10, 30)]
+    assert lates == sorted(lates, reverse=True)
+    assert lates[0] > 0  # stragglers exceed a 1-minute allowance
+    # agreement with the single-delay audit at 10 minutes
+    audit_total = sum(
+        r["n_late"] for r in late_data_audit(ev, 10).collect()
+    )
+    assert curve[10][1] == audit_total
+    n = len(rows)
+    assert curve[10][2] == (curve[10][1] * 10000) // n

@@ -82,6 +82,8 @@ AUDIT = [
     ("emb_truncation_recall", "truncation recall: two broadcast-query brute-force rankings, corpus never self-joins"),
     ("ev_resample_ffill", "daily resample + ffill: per-user span explode + ONE user-keyed window, no event self-join"),
     ("ev_attribution", "last-touch attribution: one analytic window over the event scan, no event x event join"),
+    # round 8
+    ("mm_gif_frames", "GIF LZW decode: Arrow mapInPandas in the scan stage (blob never shuffles), frame rows only downstream"),
 ]
 
 
