@@ -548,3 +548,43 @@ def last_touch_attribution(
             ).alias("lag_s"),
         )
     )
+
+
+def heartbeat_gaps(
+    events: DataFrame, threshold_minutes: int = 30
+) -> DataFrame:
+    """Per-user heartbeat/gap audit (round 8): the SLA data-quality
+    summary an event pipeline runs to find silent users/devices —
+    consecutive-event gaps per user, counted against a threshold.
+
+    One user-keyed analytic window (lag over the SAME sort the other
+    per-user windows use) + one aggregate: gaps never materialize as
+    a self-join.  Integral-µs arithmetic end-to-end, so the summary is
+    oracle-exact.  Output: ``(user_id, n_events, n_gaps_over,
+    max_gap_s)`` with ``max_gap_s`` 0 for single-event users.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return (
+        events.select("user_id", gap.alias("_gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            # count(when(...)) not sum(cast(...)): a single-event user
+            # has only a NULL gap, and SUM over all-NULL is NULL while
+            # the contract (and the oracle) says 0
+            F.count(
+                F.when(
+                    F.col("_gap_us") > threshold_minutes * 60 * 1_000_000,
+                    F.lit(1),
+                )
+            )
+            .cast("long")
+            .alias("n_gaps_over"),
+            F.expr(
+                "greatest(coalesce(max(_gap_us), 0L), 0L) div 1000000"
+            ).alias("max_gap_s"),
+        )
+    )

@@ -605,3 +605,43 @@ def winnowing_overlap_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def sliding_word_chunks(
+    docs: DataFrame, chunk_words: int = 40, stride: int = 30
+) -> DataFrame:
+    """Sliding word-window chunking (round 8) — the standard RAG
+    chunker: fixed ``chunk_words``-word windows every ``stride`` words
+    (``chunk_words - stride`` words of overlap), as opposed to
+    ``pack_chunks`` (greedy budget fill, no overlap) and
+    ``cdc_chunks`` (content-defined boundaries).
+
+    All JVM higher-order functions: split once, one ``posexplode``
+    over the stride grid, ``slice`` + ``array_join`` + ``md5`` per
+    window — zero Python, zero shuffle (pure scan-stage map), and the
+    blob-sized text column never moves: only (doc_id, chunk_no,
+    start_word, n_words, chunk_md5) flows downstream.  At 100 TB this
+    is the shape that matters — chunk rows are ~100 bytes regardless
+    of document size.
+    """
+    words = F.split(F.col("text"), " ")
+    step1 = docs.select("doc_id", words.alias("w"))
+    step2 = step1.select(
+        "doc_id",
+        "w",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("w") - 1, F.lit(0)),
+                F.lit(stride),
+            )
+        ).alias("chunk_no", "start"),
+    )
+    chunk = F.expr(f"slice(w, start + 1, {chunk_words})")
+    return step2.select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.col("start").cast("long").alias("start_word"),
+        F.size(chunk).cast("long").alias("n_words"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

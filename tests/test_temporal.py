@@ -112,3 +112,37 @@ def test_range_count_join(spark):
     rows = {r["id"]: r["n_in_band"] for r in out.collect()}
     # left row 2 must appear with count 0, not vanish
     assert rows == {1: 2, 2: 0}
+
+
+def test_heartbeat_gaps_edge_cases(spark):
+    """Single-event users report 0 gaps / 0 max (not NULL); gaps are
+    counted strictly above the threshold."""
+    import datetime
+
+    from community_detection_flink_spark.operators.temporal import (
+        heartbeat_gaps,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: gaps 10, 45, 31 min -> 2 over a 30-min threshold
+        (1, at(0), 1), (2, at(10), 1), (3, at(55), 1), (4, at(86), 1),
+        # user 2: single event
+        (5, at(0), 2),
+        # user 3: gap exactly 30 min -> NOT over (strict >)
+        (6, at(0), 3), (7, at(30), 3),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["n_gaps_over"], r["max_gap_s"])
+        for r in heartbeat_gaps(ev, 30).collect()
+    }
+    assert got[1] == (4, 2, 45 * 60)
+    assert got[2] == (1, 0, 0)
+    assert got[3] == (2, 0, 30 * 60)

@@ -92,3 +92,32 @@ def test_pii_scrub_redacts(spark):
 
     for r in got.values():  # fingerprint = md5 of the scrubbed text
         assert r.scrub_md5 == hashlib.md5(r.clean_text.encode()).hexdigest()
+
+
+def test_sliding_word_chunks_shapes(spark):
+    """Window/stride arithmetic: overlap, tail windows, short docs."""
+    from community_detection_flink_spark.operators.textual import (
+        sliding_word_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(100))),  # 100 words
+            (2, "a b c"),                                 # shorter than one window
+            (3, "solo"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = sliding_word_chunks(docs, chunk_words=40, stride=30).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(
+            (r["chunk_no"], r["start_word"], r["n_words"])
+        )
+    # 100 words, stride 30 -> starts 0,30,60,90; window 40 clamps tails
+    assert sorted(by[1]) == [(0, 0, 40), (1, 30, 40), (2, 60, 40), (3, 90, 10)]
+    assert sorted(by[2]) == [(0, 0, 3)]
+    assert sorted(by[3]) == [(0, 0, 1)]
+    # overlap: chunk k shares its last 10 words with chunk k+1's head
+    txt = {r["chunk_no"]: r["chunk_md5"] for r in rows if r["doc_id"] == 1}
+    assert len(set(txt.values())) == 4  # all chunks distinct
