@@ -84,6 +84,9 @@ AUDIT = [
     ("ev_attribution", "last-touch attribution: one analytic window over the event scan, no event x event join"),
     # round 8
     ("mm_gif_frames", "GIF LZW decode: Arrow mapInPandas in the scan stage (blob never shuffles), frame rows only downstream"),
+    ("ev_watermark_sizing", "watermark sizing curve: whole delay grid from ONE running-max sort + one aggregate"),
+    ("doc_sliding_chunks", "sliding word-window chunking: JVM higher-order fns, zero shuffle, text never leaves the scan stage"),
+    ("ev_heartbeat_gaps", "heartbeat-gap audit: one user-keyed window + one aggregate, no self-join"),
 ]
 
 
