@@ -3146,6 +3146,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         brute-force, fold-exact, so the metric itself hash-matches."""
         return S.truncated_cosine_recall(load_table(spark, sf, "embeddings"))
 
+    def rel_bloom_prune(spark, sf):
+        """Bloom-filter runtime pruning (sketches.bloom_semi_prune,
+        r8): suppliers of nations 0-4 hash into a 1024-bit filter
+        (k=3 universal multiplicative hashes — engine-portable,
+        unlike Murmur3); the lineitem scan tests every l_suppkey and
+        ONE row reports pass/member/false-positive counts and the
+        measured FPR in basis points.  The 128-byte bitmap broadcasts
+        instead of the fact keys shuffling to a semi-join — the
+        100 TB runtime-filter pattern, made measurable."""
+        from community_detection_flink_spark.operators.sketches import (
+            bloom_semi_prune,
+        )
+
+        sup = load_table(spark, sf, "supplier").where(F.col("s_nationkey") < 5)
+        return bloom_semi_prune(load_table(spark, sf, "lineitem"), sup)
+
+    def doc_phrase_search(spark, sf):
+        """Positional phrase search (search.phrase_search, r8): exact
+        consecutive-token matches of 'key agg row' via posting-list
+        intersection on (doc_id, pos - i) — the inverted-index plan
+        (corpus scanned once, joins carry only the 3 query terms'
+        postings), vs the oracle's per-query LIKE-style scan."""
+        from community_detection_flink_spark.operators.search import (
+            phrase_search,
+        )
+
+        return phrase_search(load_table(spark, sf, "documents"))
+
+    def ev_ohlc_bars(spark, sf):
+        """OHLC downsampling (temporal.ohlc_bars, r8): per event_type
+        per hour, open/high/low/close/count with struct-extremum
+        open+close (deterministic under ties, no cross-row float
+        arithmetic — pure selections, so hashes match exactly).  One
+        keyed aggregate with map-side combine."""
+        from community_detection_flink_spark.operators.temporal import (
+            ohlc_bars,
+        )
+
+        return ohlc_bars(load_table(spark, sf, "events"))
+
     # ------------------------------------------------------------------
     return {
         # --- r8 prefix-50 (the driver gate certifies the first 50;
@@ -3172,6 +3212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_watermark_sizing": ev_watermark_sizing,
         "doc_sliding_chunks": doc_sliding_chunks,
         "ev_heartbeat_gaps": ev_heartbeat_gaps,
+        "rel_bloom_prune": rel_bloom_prune,
+        "doc_phrase_search": doc_phrase_search,
+        "ev_ohlc_bars": ev_ohlc_bars,
         # the named r8 rotation block: the 9 entries whose newest
         # driver artifact was CORRECTNESS_r03
         "rel_pricing_summary": rel_pricing_summary,
@@ -3183,10 +3226,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_skewed_agg": rel_skewed_agg,
         "rel_percentiles": rel_percentiles,
         "rel_profile_orders": rel_profile_orders,
-        # re-certification rotation: 26 of the 42 entries whose
+        # re-certification rotation: 23 of the 42 entries whose
         # newest driver artifact is CORRECTNESS_r05 (42 r5 + the 9
         # r3 above exceed the 50-slot cap minus anchors/new — the
-        # 16 r5 leftovers are the named r9 rotation block below)
+        # 19 r5 leftovers are the named r9 rotation block below;
+        # rel_scd2 / ev_anomalies / ev_topk_per_window were displaced
+        # late in r8 by the three operators new in this round:
+        # rel_bloom_prune, doc_phrase_search, ev_ohlc_bars)
         "doc_pack_chunks": doc_pack_chunks,
         "doc_contamination": doc_contamination,
         "doc_cross_dedup": doc_cross_dedup,
@@ -3207,13 +3253,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25": doc_bm25,
         "ev_retention": ev_retention,
         "doc_tfidf": doc_tfidf,
-        "rel_scd2": rel_scd2,
-        "ev_anomalies": ev_anomalies,
-        "ev_topk_per_window": ev_topk_per_window,
         # --- below the driver cap (covered by the committed
         # full-registry sweeps at sf0.01 + sf0.1 every round) ---
         # r9 rotation block (r5-certified; bring into the prefix
-        # next round): emb_centroid_assign, rel_window_distribution,
+        # next round): rel_scd2, ev_anomalies, ev_topk_per_window,
+        # emb_centroid_assign, rel_window_distribution,
         # ev_partition_pruned, rel_bucketed_join, mm_wav_roundtrip,
         # mm_bmp_roundtrip, rel_sketch_quality,
         # rel_q3_shipping_priority, rel_q18_large_orders,
@@ -3226,6 +3270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (exactness certified by its gate twin emb_ann_quality) —
         # moved below the cap per VERDICT r7 #2 so the gate can
         # read 50/50 zero-err.
+        "rel_scd2": rel_scd2,
+        "ev_anomalies": ev_anomalies,
+        "ev_topk_per_window": ev_topk_per_window,
         "doc_quality_sample": doc_quality_sample,
         "doc_dup_ratio_by_source": doc_dup_ratio_by_source,
         "doc_normalize": doc_normalize,
@@ -5190,6 +5237,65 @@ SELECT doc_id,
   md5(array_to_string(list_slice(w, start + 1, start + 40), ' '))
     AS chunk_md5
 FROM g""",
+        "rel_bloom_prune": """
+WITH sup AS (
+  SELECT DISTINCT s_suppkey FROM supplier WHERE s_nationkey < 5
+),
+pos AS (
+  SELECT DISTINCT ((s_suppkey * a + b) % 1048573) % 1024 AS pos
+  FROM sup, (VALUES (2654435761, 97), (40503, 12345),
+                    (2246822519, 7919)) h(a, b)
+),
+f AS (
+  SELECT l_suppkey,
+    ((l_suppkey * 2654435761 + 97) % 1048573) % 1024 AS p0,
+    ((l_suppkey * 40503 + 12345) % 1048573) % 1024 AS p1,
+    ((l_suppkey * 2246822519 + 7919) % 1048573) % 1024 AS p2
+  FROM lineitem
+),
+m AS (
+  SELECT (l_suppkey IN (SELECT s_suppkey FROM sup)) AS member,
+    (p0 IN (SELECT pos FROM pos) AND p1 IN (SELECT pos FROM pos)
+     AND p2 IN (SELECT pos FROM pos)) AS pass
+  FROM f
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_member_rows,
+  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  CAST(SUM(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_pos,
+  CAST(SUM(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) * 10000
+       AS BIGINT)
+    // GREATEST(CAST(SUM(CASE WHEN NOT member THEN 1 ELSE 0 END)
+                     AS BIGINT), 1) AS fpr_bp,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pos) AS n_bits_set
+FROM m""",
+        "doc_phrase_search": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS start
+  FROM toks, UNNEST(range(1, len(tk) - 3 + 2)) AS r(i)
+  WHERE len(tk) >= 3
+    AND array_to_string(
+          tk[CAST(i AS INTEGER):CAST(i AS INTEGER) + 2], ' ')
+        = 'key agg row'
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+  MIN(start) AS first_pos
+FROM occ GROUP BY doc_id""",
+        "ev_ohlc_bars": """
+SELECT event_type,
+  (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bar_ts,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  (MIN(struct_pack(ts := ts, event_id := event_id,
+                   value := value))).value AS open,
+  MAX(value) AS high, MIN(value) AS low,
+  (MAX(struct_pack(ts := ts, event_id := event_id,
+                   value := value))).value AS close
+FROM events GROUP BY 1, 2""",
         "ev_heartbeat_gaps": """
 WITH g AS (
   SELECT user_id,

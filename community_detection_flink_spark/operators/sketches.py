@@ -169,3 +169,113 @@ def cms_heavy_hitters_within(
     return spark.createDataFrame(
         [(f"cms_top{int(k)}_{col}_within_eps", bool(ok))], "metric STRING, ok BOOLEAN"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+
+#: (a, b) pairs of a universal multiplicative hash family
+#: pos(key) = ((key*a + b) mod P) mod m — exact BIGINT arithmetic in
+#: both engines, so the filter is bit-for-bit reproducible (unlike
+#: Spark's internal Murmur3-based BloomFilterImpl, which DuckDB
+#: cannot replay).
+_BLOOM_HASHES = ((2654435761, 97), (40503, 12345), (2246822519, 7919))
+_BLOOM_PRIME = 1048573  # prime > any m we use
+
+
+def _bloom_pos(key, a: int, b: int, m_bits: int):
+    return ((key * F.lit(a) + F.lit(b)) % F.lit(_BLOOM_PRIME)) % F.lit(m_bits)
+
+
+def bloom_semi_prune(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    fact_key: str = "l_suppkey",
+    dim_key: str = "s_suppkey",
+    m_bits: int = 1024,
+) -> DataFrame:
+    """Bloom-filter runtime pruning of a fact scan, with measured
+    false-positive accounting (the Bloom/semi-join runtime-filter
+    pattern Spark itself applies under
+    ``spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`` — here
+    surfaced as an explicit, engine-portable operator).
+
+    Build: the dim key set hashes through ``k=3`` universal
+    multiplicative hashes into an ``m_bits``-bit bitmap held as a
+    map<word → 32-bit mask> built by a ``bit_or`` aggregate — at most
+    ``m_bits/32`` rows ever aggregate, and the finished filter is a
+    SINGLE row (128 bytes of masks for the default 1024 bits).
+
+    Probe: the bitmap broadcast-crossJoins onto the fact side (one
+    row — the exact shape of a pushed runtime filter), each fact key
+    tests its 3 bit positions with ``element_at``+``&``, and ONE
+    aggregate emits the accounting row: rows scanned, true member
+    rows, rows passing the filter, false positives, measured FPR in
+    basis points, and bits set.
+
+    At 100 TB the point is shuffle avoidance: the 128-byte bitmap
+    travels to every scan task instead of the fact table's join key
+    shuffling to a semi-join — false positives only cost downstream
+    work, never correctness.  Zero Python; the only shuffles are the
+    ≤``m_bits/32``-row filter build and the final 1-row aggregate.
+    """
+    dk = F.col(dim_key).cast("long")
+    pos = dim_keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(dk, a, b, m_bits) for a, b in _BLOOM_HASHES])
+        ).alias("pos")
+    ).distinct()
+    words = pos.groupBy(F.expr("pos div 32").alias("word")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+        ).alias("mask")
+    )
+    bm = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bm"),
+        F.sum(F.bit_count("mask")).cast("long").alias("n_bits_set"),
+    )
+    member = (
+        dim_keys.select(dk.alias("k")).distinct().withColumn("m", F.lit(1))
+    )
+    fk = F.col(fact_key).cast("long")
+    probe = (
+        fact.select(
+            fk.alias("k"),
+            *[
+                _bloom_pos(fk, a, b, m_bits).alias(f"p{i}")
+                for i, (a, b) in enumerate(_BLOOM_HASHES)
+            ],
+        )
+        .join(F.broadcast(member), "k", "left")
+        .crossJoin(F.broadcast(bm))
+    )
+
+    def _bit_ok(p: str):
+        mask = F.coalesce(
+            F.element_at(F.col("bm"), F.expr(f"{p} div 32")), F.lit(0).cast("long")
+        )
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 32 AS INT))")
+        return mask.bitwiseAND(bit) != 0
+
+    is_member = F.col("m").isNotNull()
+    passed = _bit_ok("p0") & _bit_ok("p1") & _bit_ok("p2")
+    agg = probe.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(is_member, 1).otherwise(0)).cast("long").alias("n_member_rows"),
+        F.sum(F.when(passed, 1).otherwise(0)).cast("long").alias("n_pass"),
+        F.sum(F.when(passed & ~is_member, 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.first("n_bits_set").alias("n_bits_set"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_member_rows",
+        "n_pass",
+        "n_false_pos",
+        F.expr(
+            "(n_false_pos * 10000) div greatest(n_rows - n_member_rows, 1)"
+        ).alias("fpr_bp"),
+        "n_bits_set",
+    )

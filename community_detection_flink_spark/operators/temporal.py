@@ -588,3 +588,39 @@ def heartbeat_gaps(
             ).alias("max_gap_s"),
         )
     )
+
+
+def ohlc_bars(events: DataFrame, bucket_s: int = 3600) -> DataFrame:
+    """OHLC bar downsampling (the candlestick / metrics-rollup
+    primitive): per ``event_type`` per ``bucket_s``-second bucket,
+    the opening value (earliest event), high, low, and closing value
+    (latest event), plus the event count.
+
+    Open/close are struct-extremum selections —
+    ``min(struct(ts, event_id, value)).value`` — so ties and arrival
+    order are irrelevant: ``event_id`` breaks exact-timestamp ties
+    deterministically in both engines, and no cross-row float
+    arithmetic happens anywhere (every output is a selection of an
+    input value), which is why the row hash matches the oracle
+    exactly.
+
+    One keyed hash aggregate with map-side partial combine: at 100 TB
+    the shuffle carries only (type × bucket) partial states, never
+    raw events.  Zero Python, one shuffle.
+    """
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        events.groupBy(
+            "event_type",
+            F.expr(
+                f"(unix_timestamp(ts) div {int(bucket_s)}) * {int(bucket_s)}"
+            ).alias("bar_ts"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(key)["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key)["value"].alias("close"),
+        )
+    )

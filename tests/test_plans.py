@@ -232,3 +232,35 @@ def test_round8_gif_plan_shape(spark):
     # (synthesize + decode) are Arrow MapInPandas, nothing row-at-a-time
     assert python_eval_nodes(frames) == ["MapInPandas"]
     assert executed_exchange_count(frames) == 0
+
+
+def test_round8_late_operators_plan_shape(spark):
+    """Bloom pruning: the fact side joins only BROADCAST exchanges
+    (the 1-row bitmap + the tiny member dim) — every shuffle Exchange
+    in the plan belongs to the ≤32-row filter build or the final
+    1-row aggregate, never the fact scan.  Phrase search and OHLC
+    stay JVM-side with bounded shuffle counts."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from community_detection_flink_spark.plans.explain import (
+        executed_exchange_count,
+    )
+
+    qs = entry_mod.queries()
+
+    bloom = qs["rel_bloom_prune"](spark, SF)
+    assert python_eval_nodes(bloom) == []
+    plan = bloom._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") == 2  # bitmap row + member dim
+
+    phrase = qs["doc_phrase_search"](spark, SF)
+    assert python_eval_nodes(phrase) == []
+    # postings joins + final per-doc agg; corpus scanned once per term
+    # posting but never self-joined unfiltered
+    assert executed_exchange_count(phrase) <= 3
+
+    ohlc = qs["ev_ohlc_bars"](spark, SF)
+    assert python_eval_nodes(ohlc) == []
+    assert executed_exchange_count(ohlc) == 1  # the one keyed aggregate

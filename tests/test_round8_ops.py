@@ -1,0 +1,112 @@
+"""Round-8 late additions: Bloom semi-join pruning, positional
+phrase search, OHLC bars — closed-form hand-value tests."""
+
+from __future__ import annotations
+
+import datetime
+
+from community_detection_flink_spark.operators.search import phrase_search
+from community_detection_flink_spark.operators.sketches import (
+    _BLOOM_HASHES,
+    _BLOOM_PRIME,
+    bloom_semi_prune,
+)
+from community_detection_flink_spark.operators.temporal import ohlc_bars
+
+
+def _pos(key: int, m_bits: int = 1024) -> set[int]:
+    return {((key * a + b) % _BLOOM_PRIME) % m_bits for a, b in _BLOOM_HASHES}
+
+
+def test_bloom_no_false_negatives_and_exact_accounting(spark):
+    """Every member key MUST pass (Bloom's one-sided guarantee), and
+    the accounting row must match a from-scratch Python replay."""
+    dim = spark.createDataFrame([(k,) for k in (3, 7, 11)], "s_suppkey LONG")
+    fact_keys = [3, 3, 7, 11, 4, 5, 6, 8, 9, 10, 12, 13]
+    fact = spark.createDataFrame([(k,) for k in fact_keys], "l_suppkey LONG")
+    row = bloom_semi_prune(fact, dim, "l_suppkey", "s_suppkey").first()
+
+    bits = set().union(*[_pos(k) for k in (3, 7, 11)])
+    members = {3, 7, 11}
+    n_pass = sum(1 for k in fact_keys if _pos(k) <= bits)
+    n_member = sum(1 for k in fact_keys if k in members)
+    n_fp = sum(1 for k in fact_keys if _pos(k) <= bits and k not in members)
+    assert row.n_rows == len(fact_keys)
+    assert row.n_member_rows == n_member
+    assert row.n_pass == n_pass
+    assert row.n_false_pos == n_fp
+    assert row.n_pass >= row.n_member_rows  # no false negatives, ever
+    assert row.n_bits_set == len(bits)
+    assert row.fpr_bp == (n_fp * 10000) // max(len(fact_keys) - n_member, 1)
+
+
+def test_bloom_saturated_filter_passes_everything(spark):
+    """m=32 bits with 30 keys saturates the bitmap: every probe must
+    pass (FPR → 100%), demonstrating the sizing failure mode rather
+    than ever dropping a member."""
+    dim = spark.createDataFrame([(k,) for k in range(30)], "s_suppkey LONG")
+    fact = spark.createDataFrame(
+        [(k,) for k in range(100, 140)], "l_suppkey LONG"
+    )
+    row = bloom_semi_prune(fact, dim, "l_suppkey", "s_suppkey", m_bits=32).first()
+    bits = set().union(*[_pos(k, 32) for k in range(30)])
+    expect = sum(1 for k in range(100, 140) if _pos(k, 32) <= bits)
+    assert row.n_pass == expect
+    assert row.n_false_pos == expect  # no fact key is a member here
+
+
+def test_phrase_search_counts_and_positions(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "key agg row x key agg row"),  # matches at 0 and 4
+            (1, "agg row key agg nothing"),  # 'key agg' but no full phrase
+            (2, "prefix key agg row"),  # match at 1
+            (3, "key row agg"),  # right words, wrong order
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(docs, "key agg row").collect()
+    }
+    assert got == {0: (2, 0), 2: (1, 1)}
+
+
+def test_phrase_search_overlapping_matches(spark):
+    docs = spark.createDataFrame([(0, "a a a a")], "doc_id LONG, text STRING")
+    got = phrase_search(docs, "a a").collect()
+    assert len(got) == 1 and got[0].n_matches == 3 and got[0].first_pos == 0
+
+
+def test_ohlc_hand_values(spark):
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(i, minute, v):
+        return (i, t0.replace(minute=minute), 1, "m", float(v), "{}")
+
+    rows = [ev(1, 5, 3.0), ev(2, 10, 9.0), ev(3, 20, 1.0), ev(4, 50, 4.0)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    row = ohlc_bars(events).first()
+    assert row.n_events == 4
+    assert (row.open, row.high, row.low, row.close) == (3.0, 9.0, 1.0, 4.0)
+    assert row.bar_ts == int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+
+
+def test_ohlc_tie_breaks_on_event_id(spark):
+    """Two events at the identical timestamp: event_id decides which
+    is 'open' and which is 'close' deterministically."""
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    events = spark.createDataFrame(
+        [
+            (2, t0, 1, "m", 7.0, "{}"),
+            (1, t0, 1, "m", 5.0, "{}"),
+        ],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    row = ohlc_bars(events).first()
+    assert (row.open, row.close) == (5.0, 7.0)

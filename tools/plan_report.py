@@ -87,6 +87,9 @@ AUDIT = [
     ("ev_watermark_sizing", "watermark sizing curve: whole delay grid from ONE running-max sort + one aggregate"),
     ("doc_sliding_chunks", "sliding word-window chunking: JVM higher-order fns, zero shuffle, text never leaves the scan stage"),
     ("ev_heartbeat_gaps", "heartbeat-gap audit: one user-keyed window + one aggregate, no self-join"),
+    ("rel_bloom_prune", "Bloom runtime filter: 1-row bitmap broadcasts to the fact scan; fact side never shuffles before the final 1-row aggregate"),
+    ("doc_phrase_search", "positional phrase search: one pruned (doc_id, text) pass per query term filtered to that term's postings, then (doc_id, start) joins; landed term-bucketed postings make the probe scan-free"),
+    ("ev_ohlc_bars", "OHLC bars: ONE keyed hash aggregate with map-side combine, struct-extremum open/close"),
 ]
 
 
