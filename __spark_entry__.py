@@ -41,6 +41,7 @@ from community_detection_flink_spark.operators import dedup as D
 from community_detection_flink_spark.operators import similarity as S
 from community_detection_flink_spark.operators import textual as T
 from community_detection_flink_spark.operators import multimodal as M
+from community_detection_flink_spark.operators.layout import z_interleave_sql
 from community_detection_flink_spark.streaming import windows as W
 
 # ----------------------------------------------------------------------
@@ -3174,6 +3175,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return phrase_search(load_table(spark, sf, "documents"))
 
+    def emb_dup_threshold_curve(spark, sf):
+        """Near-dup census across a cosine-threshold GRID
+        (dedup.cosine_dup_threshold_curve, r8): the Σ per-block n²
+        cosine pass runs ONCE; every candidate cutoff
+        (0.2/0.3/0.35/0.4/0.5) is a conditional sum over the same
+        scored rows — the watermark_sizing pattern applied to dedup
+        threshold selection."""
+        return D.cosine_dup_threshold_curve(load_table(spark, sf, "embeddings"))
+
+    def rel_zorder_prune(spark, sf):
+        """Z-order vs linear layout pruning (layout.
+        zorder_pruning_stats, r8): would-be file assignment under
+        both layouts from pure div/mod arithmetic (the interleave SQL
+        is generated once and shared with the oracle), then one
+        aggregate reports how many of 16 files a 2-D box predicate
+        touches under each — the ZORDER BY effectiveness claim as a
+        hash-certified number."""
+        from community_detection_flink_spark.operators.layout import (
+            zorder_pruning_stats,
+        )
+
+        return zorder_pruning_stats(load_table(spark, sf, "orders"))
+
     def ev_ohlc_bars(spark, sf):
         """OHLC downsampling (temporal.ohlc_bars, r8): per event_type
         per hour, open/high/low/close/count with struct-extremum
@@ -3270,6 +3294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (exactness certified by its gate twin emb_ann_quality) —
         # moved below the cap per VERDICT r7 #2 so the gate can
         # read 50/50 zero-err.
+        # new in late r8, below the cap (r9 rotation candidates):
+        "emb_dup_threshold_curve": emb_dup_threshold_curve,
+        "rel_zorder_prune": rel_zorder_prune,
         "rel_scd2": rel_scd2,
         "ev_anomalies": ev_anomalies,
         "ev_topk_per_window": ev_topk_per_window,
@@ -5296,6 +5323,48 @@ SELECT event_type,
   (MAX(struct_pack(ts := ts, event_id := event_id,
                    value := value))).value AS close
 FROM events GROUP BY 1, 2""",
+        "emb_dup_threshold_curve": f"""
+WITH a AS (SELECT label AS blk, vec_id AS id_a, embedding AS va FROM embeddings),
+b AS (SELECT label AS blk, vec_id AS id_b, embedding AS vb FROM embeddings),
+scored AS (
+  SELECT id_a, id_b,
+    {_DOT.format(a='va', b='vb')} / (sqrt({_DOT.format(a='va', b='va')}) * sqrt({_DOT.format(a='vb', b='vb')})) AS cosine
+  FROM a JOIN b USING (blk) WHERE id_a < id_b
+),
+ex AS (
+  SELECT id_a AS id, cosine FROM scored
+  UNION ALL
+  SELECT id_b AS id, cosine FROM scored
+),
+t(threshold) AS (VALUES (CAST(0.2 AS DOUBLE)), (CAST(0.3 AS DOUBLE)),
+                        (CAST(0.35 AS DOUBLE)), (CAST(0.4 AS DOUBLE)),
+                        (CAST(0.5 AS DOUBLE)))
+SELECT threshold,
+  CAST(COUNT(CASE WHEN cosine >= threshold THEN 1 END) // 2 AS BIGINT)
+    AS n_pairs,
+  CAST(COUNT(DISTINCT CASE WHEN cosine >= threshold THEN id END) AS BIGINT)
+    AS n_vec_with_dup
+FROM ex, t GROUP BY threshold""",
+        "rel_zorder_prune": f"""
+WITH d AS (
+  SELECT o_custkey % 256 AS x,
+    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 256 AS y
+  FROM orders
+),
+dz AS (SELECT x, y, {z_interleave_sql('x', 'y', 8, '//')} AS z FROM d),
+m AS (
+  SELECT x, z,
+    (x BETWEEN 0 AND 127 AND y BETWEEN 16 AND 47) AS ok
+  FROM dz
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+  CAST(COUNT(DISTINCT CASE WHEN ok THEN z // 4096 END) AS BIGINT)
+    AS zorder_files_touched,
+  CAST(COUNT(DISTINCT CASE WHEN ok THEN x // 16 END) AS BIGINT)
+    AS linear_files_touched,
+  CAST(16 AS BIGINT) AS n_files
+FROM m""",
         "ev_heartbeat_gaps": """
 WITH g AS (
   SELECT user_id,

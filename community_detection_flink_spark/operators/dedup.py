@@ -826,3 +826,44 @@ def cdc_chunk_dedup(
         )
         .where(F.col("n_occurrences") >= min_count)
     )
+
+
+def cosine_dup_threshold_curve(
+    emb,
+    block_col: str = "label",
+    thresholds: tuple = (0.2, 0.3, 0.35, 0.4, 0.5),
+):
+    """Near-dup census across a THRESHOLD GRID from one pair pass (the
+    ``watermark_sizing`` pattern applied to embedding dedup): how many
+    block-internal pairs, and how many distinct vectors, sit above each
+    candidate cosine cutoff?
+
+    The expensive part — the Σ per-block n² cosine pass of
+    ``embedding_near_dups_blocked`` — runs ONCE with no threshold;
+    every grid point is a conditional sum over the same scored rows,
+    so answering "what would 0.4 cost instead of 0.35?" is free.  Each
+    pair explodes into exactly two id rows, so n_pairs is the
+    conditional row count div 2 and the distinct-vector count rides
+    the same aggregate.  One wide aggregate + a ``stack`` unpivot;
+    zero Python, and the only shuffles are the block join and the
+    1-row aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    pairs = embedding_near_dups_blocked(emb, block_col, threshold=-2.0)
+    ex = pairs.select(F.explode(F.array("id_a", "id_b")).alias("id"), "cosine")
+    aggs = []
+    for i, t in enumerate(thresholds):
+        over = F.col("cosine") >= F.lit(float(t))
+        aggs.append(
+            (F.sum(F.when(over, 1).otherwise(0)) / 2).cast("long").alias(f"np_{i}")
+        )
+        aggs.append(F.countDistinct(F.when(over, F.col("id"))).alias(f"nv_{i}"))
+    wide = ex.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({float(t)} AS DOUBLE), np_{i}, nv_{i}"
+        for i, t in enumerate(thresholds)
+    )
+    return wide.selectExpr(
+        f"stack({len(thresholds)}, {stack}) AS (threshold, n_pairs, n_vec_with_dup)"
+    )

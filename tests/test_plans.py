@@ -264,3 +264,32 @@ def test_round8_late_operators_plan_shape(spark):
     ohlc = qs["ev_ohlc_bars"](spark, SF)
     assert python_eval_nodes(ohlc) == []
     assert executed_exchange_count(ohlc) == 1  # the one keyed aggregate
+
+
+def test_zorder_and_threshold_curve_plan_shape(spark):
+    """Z-order stats: zero joins, zero Python — the interleave is a
+    scan-stage projection and the answer is ONE aggregate.  The
+    threshold curve shuffles only for the block pair join and its
+    1-row aggregate."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from community_detection_flink_spark.plans.explain import (
+        executed_exchange_count,
+    )
+
+    qs = entry_mod.queries()
+
+    zp = qs["rel_zorder_prune"](spark, SF)
+    assert python_eval_nodes(zp) == []
+    plan = zp._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # two COUNT(DISTINCT ...) over different keys → Spark's Expand +
+    # two-phase distinct aggregate = 2 exchanges, both over the
+    # tiny (bucket-id, flags) expansion — never the raw scan twice
+    assert executed_exchange_count(zp) <= 2
+
+    curve = qs["emb_dup_threshold_curve"](spark, SF)
+    assert python_eval_nodes(curve) == []
+    assert executed_exchange_count(curve) <= 2  # block join + 1-row agg

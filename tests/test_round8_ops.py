@@ -110,3 +110,95 @@ def test_ohlc_tie_breaks_on_event_id(spark):
     )
     row = ohlc_bars(events).first()
     assert (row.open, row.close) == (5.0, 7.0)
+
+
+def test_zorder_interleave_hand_values(spark):
+    """z(x=0b101, y=0b011) interleaves to y2x2 y1x1 y0x0 = 0b011011+
+    ... checked against a Python-side bit interleave for a sample."""
+    from community_detection_flink_spark.operators.layout import (
+        z_interleave_sql,
+    )
+
+    def z_py(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(x, y) for x in (0, 1, 5, 127, 255) for y in (0, 3, 64, 255)]
+    df = spark.createDataFrame(rows, "x LONG, y LONG").selectExpr(
+        "x", "y", f"{z_interleave_sql('x', 'y', 8, 'div')} AS z"
+    )
+    for r in df.collect():
+        assert r.z == z_py(r.x, r.y), (r.x, r.y)
+
+
+def test_zorder_pruning_beats_linear_on_box(spark):
+    """A dense 256x256 grid: the default box (x half-space, one
+    y-octave) must touch exactly 2 z-files vs 8 linear files."""
+    import datetime
+
+    from community_detection_flink_spark.operators.layout import (
+        zorder_pruning_stats,
+    )
+
+    epoch = datetime.datetime(1970, 1, 1)
+    rows = [
+        (i, x, "O", 1.0, epoch + datetime.timedelta(days=y), "P")
+        for i, (x, y) in enumerate(
+            (x, y) for x in range(0, 256, 16) for y in range(0, 256, 16)
+        )
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    )
+    r = zorder_pruning_stats(orders).first()
+    assert r.n_rows == 256
+    assert r.n_match == 8 * 2  # 8 x-samples in [0,127], 2 y in [16,47]
+    assert r.zorder_files_touched == 2
+    assert r.linear_files_touched == 8
+
+
+def test_threshold_curve_monotone_and_consistent(spark):
+    """Hand-built 4-vector block: counts must be monotone in the
+    threshold and match a NumPy replay exactly at each cutoff."""
+    import numpy as np
+
+    from community_detection_flink_spark.operators.dedup import (
+        cosine_dup_threshold_curve,
+    )
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.9, 0.1, 0.0],
+        2: [0.0, 1.0, 0.0],
+        3: [0.0, 0.95, 0.05],
+    }
+    emb = spark.createDataFrame(
+        [(k, "b", v) for k, v in vecs.items()],
+        "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r.threshold: (r.n_pairs, r.n_vec_with_dup)
+        for r in cosine_dup_threshold_curve(emb).collect()
+    }
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    pairs = [
+        (i, j, cos(vecs[i], vecs[j]))
+        for i in vecs
+        for j in vecs
+        if i < j
+    ]
+    for t in (0.2, 0.3, 0.35, 0.4, 0.5):
+        over = [(i, j) for i, j, c in pairs if c >= t]
+        nv = len({x for p in over for x in p})
+        assert got[t] == (len(over), nv), t
+    ns = [got[t][0] for t in (0.2, 0.3, 0.35, 0.4, 0.5)]
+    assert ns == sorted(ns, reverse=True)

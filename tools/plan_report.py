@@ -90,6 +90,8 @@ AUDIT = [
     ("rel_bloom_prune", "Bloom runtime filter: 1-row bitmap broadcasts to the fact scan; fact side never shuffles before the final 1-row aggregate"),
     ("doc_phrase_search", "positional phrase search: one pruned (doc_id, text) pass per query term filtered to that term's postings, then (doc_id, start) joins; landed term-bucketed postings make the probe scan-free"),
     ("ev_ohlc_bars", "OHLC bars: ONE keyed hash aggregate with map-side combine, struct-extremum open/close"),
+    ("emb_dup_threshold_curve", "threshold grid from ONE blocked cosine pair pass: conditional sums per cutoff, 1-row aggregate + stack unpivot"),
+    ("rel_zorder_prune", "Z-order vs linear pruning: pure div/mod interleave in the scan stage, one aggregate, zero joins"),
 ]
 
 
