@@ -202,3 +202,48 @@ def test_threshold_curve_monotone_and_consistent(spark):
         assert got[t] == (len(over), nv), t
     ns = [got[t][0] for t in (0.2, 0.3, 0.35, 0.4, 0.5)]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_ohlc_stream_matches_batch(spark):
+    """ohlc_bars on a readStream (complete mode, availableNow) must
+    emit exactly the batch answer — the operator is
+    streaming-transparent like the window aggregates."""
+    import tempfile
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (
+            i,
+            t0 + datetime.timedelta(minutes=11 * i),
+            i % 3,
+            "a" if i % 2 else "b",
+            float((i * 37) % 100) / 4.0,
+            "{}",
+        )
+        for i in range(60)
+    ]
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING"
+    )
+    events = spark.createDataFrame(rows, schema)
+    src = tempfile.mkdtemp(prefix="cdfs-ohlc-src-")
+    ckpt = tempfile.mkdtemp(prefix="cdfs-ohlc-ckpt-")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src).withWatermark(
+        "ts", "2 hours"
+    )
+    q = (
+        ohlc_bars(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_out")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ohlc_out").collect()))
+    want = sorted(map(tuple, ohlc_bars(events).collect()))
+    assert got == want and len(want) > 1
