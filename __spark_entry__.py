@@ -3198,6 +3198,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return zorder_pruning_stats(load_table(spark, sf, "orders"))
 
+    def rel_merge_upsert(spark, sf):
+        """MERGE INTO semantics (merge.merge_upsert, r8): a
+        deterministic CDC batch derived from orders itself (deletes:
+        key%13==0; updates: key%7==0 → totalprice+10; inserts:
+        key%17==0 re-keyed +10M) applies in ONE broadcast left join +
+        an insert union — the copy-on-write MERGE arithmetic of the
+        lakehouse write path, output = the exact post-MERGE table
+        with an action audit column."""
+        from community_detection_flink_spark.operators.merge import (
+            merge_upsert,
+        )
+
+        key = F.col("o_orderkey")
+        base = load_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        ch_d = base.where(key % 13 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit("D").alias("op"),
+        )
+        ch_u = base.where((key % 13 != 0) & (key % 7 == 0)).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+            F.lit("U").alias("op"),
+        )
+        ch_i = base.where(key % 17 == 0).select(
+            (key + 10000000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+            F.lit("I").alias("op"),
+        )
+        changes = ch_d.unionByName(ch_u).unionByName(ch_i)
+        return merge_upsert(
+            base,
+            changes,
+            "o_orderkey",
+            ["o_custkey", "o_orderstatus", "o_totalprice"],
+        )
+
     def ev_ohlc_bars(spark, sf):
         """OHLC downsampling (temporal.ohlc_bars, r8): per event_type
         per hour, open/high/low/close/count with struct-extremum
@@ -3297,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in late r8, below the cap (r9 rotation candidates):
         "emb_dup_threshold_curve": emb_dup_threshold_curve,
         "rel_zorder_prune": rel_zorder_prune,
+        "rel_merge_upsert": rel_merge_upsert,
         "rel_scd2": rel_scd2,
         "ev_anomalies": ev_anomalies,
         "ev_topk_per_window": ev_topk_per_window,
@@ -5345,6 +5391,28 @@ SELECT threshold,
   CAST(COUNT(DISTINCT CASE WHEN cosine >= threshold THEN id END) AS BIGINT)
     AS n_vec_with_dup
 FROM ex, t GROUP BY threshold""",
+        "rel_merge_upsert": """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+u AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+    o_totalprice + 10.0 AS o_totalprice
+  FROM base WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0
+)
+SELECT b.o_orderkey,
+  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey
+       ELSE b.o_custkey END AS o_custkey,
+  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+       ELSE b.o_orderstatus END AS o_orderstatus,
+  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+       ELSE b.o_totalprice END AS o_totalprice,
+  CASE WHEN u.o_orderkey IS NOT NULL THEN 'U' ELSE 'K' END AS action
+FROM base b LEFT JOIN u ON b.o_orderkey = u.o_orderkey
+WHERE b.o_orderkey % 13 <> 0
+UNION ALL
+SELECT o_orderkey + 10000000, o_custkey, 'N', CAST(100.0 AS DOUBLE), 'I'
+FROM base WHERE o_orderkey % 17 = 0""",
         "rel_zorder_prune": f"""
 WITH d AS (
   SELECT o_custkey % 256 AS x,

@@ -293,3 +293,20 @@ def test_zorder_and_threshold_curve_plan_shape(spark):
     curve = qs["emb_dup_threshold_curve"](spark, SF)
     assert python_eval_nodes(curve) == []
     assert executed_exchange_count(curve) <= 2  # block join + 1-row agg
+
+
+def test_merge_upsert_plan_shape(spark):
+    """The MERGE is ONE join (broadcast by default — the common
+    small-CDC-batch case) + a union; the target side never shuffles."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    m = qs["rel_merge_upsert"](spark, SF)
+    assert python_eval_nodes(m) == []
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0  # target never shuffles

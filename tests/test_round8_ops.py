@@ -247,3 +247,32 @@ def test_ohlc_stream_matches_batch(spark):
     got = sorted(map(tuple, spark.sql("SELECT * FROM ohlc_out").collect()))
     want = sorted(map(tuple, ohlc_bars(events).collect()))
     assert got == want and len(want) > 1
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE contract on a 4-row target: K / U / D / I each behave,
+    and the deleted key is absent from the output."""
+    from community_detection_flink_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k LONG, s STRING, v DOUBLE",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "U"),
+            (3, None, 0.0, "D"),
+            (9, "i", 90.0, "I"),
+        ],
+        "k LONG, s STRING, v DOUBLE, op STRING",
+    )
+    got = {
+        r.k: (r.s, r.v, r.action)
+        for r in merge_upsert(target, changes, "k", ["s", "v"]).collect()
+    }
+    assert got == {
+        1: ("a", 10.0, "K"),
+        2: ("b2", 21.0, "U"),
+        4: ("d", 40.0, "K"),
+        9: ("i", 90.0, "I"),
+    }

@@ -92,6 +92,7 @@ AUDIT = [
     ("ev_ohlc_bars", "OHLC bars: ONE keyed hash aggregate with map-side combine, struct-extremum open/close"),
     ("emb_dup_threshold_curve", "threshold grid from ONE blocked cosine pair pass: conditional sums per cutoff, 1-row aggregate + stack unpivot"),
     ("rel_zorder_prune", "Z-order vs linear pruning: pure div/mod interleave in the scan stage, one aggregate, zero joins"),
+    ("rel_merge_upsert", "MERGE upsert: ONE broadcast left join of target vs the non-insert changes + insert union — the copy-on-write MERGE arithmetic"),
 ]
 
 
