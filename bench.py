@@ -53,6 +53,13 @@ HEADLINE = [
     "doc_repeated_passages",  # sliding-window exact-substring dedup
     "doc_unigram_nll",        # unigram NLL quality scoring
     "emb_covariance",         # exact covariance matrix (DECIMAL sums)
+    # round-8 additions
+    "rel_bloom_prune",        # Bloom runtime filter, measured FPR
+    "doc_phrase_search",      # positional posting-list intersection
+    "ev_ohlc_bars",           # OHLC bar downsampling (1 keyed agg)
+    "rel_zorder_prune",       # Z-order vs linear layout pruning
+    "emb_dup_threshold_curve",# cosine cutoff grid from one pair pass
+    "rel_merge_upsert",       # MERGE upsert (broadcast join + union)
 ]
 
 # the round-1 HEADLINE (BENCH_r01.json): its subtotal is the
