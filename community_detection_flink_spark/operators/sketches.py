@@ -233,7 +233,10 @@ def bloom_semi_prune(
     )
     bm = words.agg(
         F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bm"),
-        F.sum(F.bit_count("mask")).cast("long").alias("n_bits_set"),
+        # empty dim set → SUM over zero rows is NULL, not 0
+        F.coalesce(F.sum(F.bit_count("mask")), F.lit(0))
+        .cast("long")
+        .alias("n_bits_set"),
     )
     member = (
         dim_keys.select(dk.alias("k")).distinct().withColumn("m", F.lit(1))
@@ -260,16 +263,24 @@ def bloom_semi_prune(
 
     is_member = F.col("m").isNotNull()
     passed = _bit_ok("p0") & _bit_ok("p1") & _bit_ok("p2")
+    # an empty fact side empties the crossJoin too, so every SUM/FIRST
+    # below needs a 0 default for the degenerate-input row
+    zero = F.lit(0).cast("long")
     agg = probe.agg(
         F.count("*").cast("long").alias("n_rows"),
-        F.sum(F.when(is_member, 1).otherwise(0)).cast("long").alias("n_member_rows"),
-        F.sum(F.when(passed, 1).otherwise(0)).cast("long").alias("n_pass"),
-        F.sum(F.when(passed & ~is_member, 1).otherwise(0))
+        F.coalesce(F.sum(F.when(is_member, 1).otherwise(0)), zero)
+        .cast("long")
+        .alias("n_member_rows"),
+        F.coalesce(F.sum(F.when(passed, 1).otherwise(0)), zero)
+        .cast("long")
+        .alias("n_pass"),
+        F.coalesce(F.sum(F.when(passed & ~is_member, 1).otherwise(0)), zero)
         .cast("long")
         .alias("n_false_pos"),
-        F.first("n_bits_set").alias("n_bits_set"),
     )
-    return agg.select(
+    # n_bits_set is a property of the FILTER, not the probe stream —
+    # joined onto the 1-row accounting so it survives an empty fact
+    return agg.crossJoin(F.broadcast(bm.select("n_bits_set"))).select(
         "n_rows",
         "n_member_rows",
         "n_pass",

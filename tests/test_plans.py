@@ -253,7 +253,9 @@ def test_round8_late_operators_plan_shape(spark):
     bloom = qs["rel_bloom_prune"](spark, SF)
     assert python_eval_nodes(bloom) == []
     plan = bloom._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastExchange") == 2  # bitmap row + member dim
+    # bitmap row + member dim + the 1-row n_bits_set join onto the
+    # finished accounting row (empty-fact robustness)
+    assert plan.count("BroadcastExchange") == 3
 
     phrase = qs["doc_phrase_search"](spark, SF)
     assert python_eval_nodes(phrase) == []

@@ -265,3 +265,157 @@ def test_transition_probabilities_sum_to_one(spark, evts):
         sums[r.from_type] = sums.get(r.from_type, 0.0) + r.p
     for s in sums.values():
         assert abs(s - 1.0) < 1e-9
+
+
+WORDS = st.lists(
+    st.sampled_from(["a", "b", "c", "key", "agg"]), min_size=0, max_size=20
+)
+
+
+@given(st.lists(WORDS, min_size=1, max_size=6), st.integers(1, 3))
+@FEW
+def test_phrase_search_vs_bruteforce(spark, docs_words, plen):
+    """Occurrence counts and first positions match a pure-Python
+    sliding-window scan for random docs and a random phrase."""
+    from community_detection_flink_spark.operators.search import phrase_search
+
+    phrase_words = ["key", "agg", "b"][:plen]
+    phrase = " ".join(phrase_words)
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, phrase).collect()
+    }
+    want = {}
+    for i, w in enumerate(docs_words):
+        # split(' ') on a joined-by-' ' string: empty word list round-
+        # trips to [''] — mirror the engine's tokenization exactly
+        toks = " ".join(w).split(" ")
+        hits = [
+            j
+            for j in range(len(toks) - plen + 1)
+            if toks[j : j + plen] == phrase_words
+        ]
+        if hits:
+            want[i] = (len(hits), hits[0])
+    assert got == want
+
+
+@given(
+    st.sets(st.integers(0, 50), min_size=0, max_size=10),
+    st.lists(st.integers(0, 60), min_size=0, max_size=30),
+)
+@FEW
+def test_bloom_prune_vs_model(spark, dim_keys, fact_keys):
+    """Accounting row equals the pure-Python filter replay for random
+    key sets; members always pass."""
+    from community_detection_flink_spark.operators.sketches import (
+        _BLOOM_HASHES,
+        _BLOOM_PRIME,
+        bloom_semi_prune,
+    )
+
+    def pos(k):
+        return {((k * a + b) % _BLOOM_PRIME) % 256 for a, b in _BLOOM_HASHES}
+
+    dim = spark.createDataFrame(
+        [(k,) for k in sorted(dim_keys)], "s_suppkey LONG"
+    )
+    fact = spark.createDataFrame([(k,) for k in fact_keys], "l_suppkey LONG")
+    row = bloom_semi_prune(fact, dim, "l_suppkey", "s_suppkey", m_bits=256).first()
+    bits = set().union(*[pos(k) for k in dim_keys]) if dim_keys else set()
+    n_pass = sum(1 for k in fact_keys if pos(k) <= bits)
+    assert row.n_rows == len(fact_keys)
+    assert row.n_pass == n_pass
+    assert row.n_member_rows == sum(1 for k in fact_keys if k in dim_keys)
+    assert row.n_false_pos == sum(
+        1 for k in fact_keys if pos(k) <= bits and k not in dim_keys
+    )
+    assert row.n_bits_set == len(bits)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 99), st.integers(0, 400)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    )
+)
+@FEW
+def test_ohlc_vs_model(spark, evts):
+    """open/high/low/close per (type, hour bucket) match a pure-Python
+    model with (ts, event_id) ordering."""
+    import datetime
+
+    from community_detection_flink_spark.operators.temporal import ohlc_bars
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            eid,
+            t0 + datetime.timedelta(minutes=m),
+            0,
+            f"t{ty}",
+            float(eid % 7),
+            "{}",
+        )
+        for ty, eid, m in evts
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    got = {
+        (r.event_type, r.bar_ts): (r.n_events, r.open, r.high, r.low, r.close)
+        for r in ohlc_bars(df).collect()
+    }
+    model = {}
+    for eid, ts, _, ty, v, _p in rows:
+        bar = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp()) // 3600 * 3600
+        model.setdefault((ty, bar), []).append((ts, eid, v))
+    want = {}
+    for k, items in model.items():
+        items.sort()
+        vals = [v for _, _, v in items]
+        want[k] = (len(items), items[0][2], max(vals), min(vals), items[-1][2])
+    assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 2)), min_size=0, max_size=25))
+@FEW
+def test_merge_upsert_vs_model(spark, change_spec):
+    """Random I/U/D change sets over a fixed 20-row target match a
+    dict-replay of the MERGE contract."""
+    from community_detection_flink_spark.operators.merge import merge_upsert
+
+    target_rows = [(k, float(k * 10)) for k in range(20)]
+    target = spark.createDataFrame(target_rows, "k LONG, v DOUBLE")
+    seen = set()
+    changes = []
+    for key, opi in change_spec:
+        op = "IUD"[opi]
+        if key in seen:
+            continue
+        if op == "I" and key < 20:
+            continue  # MERGE precondition: inserts must be new keys
+        if op in ("U", "D") and key >= 20:
+            continue  # updates/deletes must match existing keys
+        seen.add(key)
+        changes.append((key, float(key + 1000), op))
+    cdf = spark.createDataFrame(changes or [], "k LONG, v DOUBLE, op STRING")
+    got = {
+        r.k: (r.v, r.action)
+        for r in merge_upsert(target, cdf, "k", ["v"]).collect()
+    }
+    want = {k: (v, "K") for k, v in target_rows}
+    for key, payload, op in changes:
+        if op == "D":
+            want.pop(key, None)
+        elif op == "U":
+            want[key] = (payload, "U")
+        else:
+            want[key] = (payload, "I")
+    assert got == want
