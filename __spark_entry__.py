@@ -3228,12 +3228,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
             F.lit("U").alias("op"),
         )
-        ch_i = base.where(key % 17 == 0).select(
-            (key + 10000000).alias("o_orderkey"),
-            "o_custkey",
-            F.lit("N").alias("o_orderstatus"),
-            F.lit(100.0).alias("o_totalprice"),
-            F.lit("I").alias("op"),
+        # insert keys offset by max(o_orderkey): collision-proof at
+        # every SF (a fixed +10M offset collides with real orderkeys
+        # once max = 6M·SF crosses it, ADVICE r8); broadcast 1-row max
+        mx = base.agg(F.max("o_orderkey").alias("_mx"))
+        ch_i = (
+            base.where(key % 17 == 0)
+            .crossJoin(F.broadcast(mx))
+            .select(
+                (key + F.col("_mx")).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(100.0).alias("o_totalprice"),
+                F.lit("I").alias("op"),
+            )
         )
         changes = ch_d.unionByName(ch_u).unionByName(ch_i)
         return merge_upsert(
@@ -5295,7 +5303,7 @@ curve AS (
   FROM e, delays GROUP BY delay
 )
 SELECT delay_minutes, n_events, n_late,
-  (n_late * 10000) // n_events AS pct_late_bp
+  (n_late * 10000) // GREATEST(n_events, 1) AS pct_late_bp
 FROM curve""",
         "doc_sliding_chunks": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -5411,7 +5419,8 @@ SELECT b.o_orderkey,
 FROM base b LEFT JOIN u ON b.o_orderkey = u.o_orderkey
 WHERE b.o_orderkey % 13 <> 0
 UNION ALL
-SELECT o_orderkey + 10000000, o_custkey, 'N', CAST(100.0 AS DOUBLE), 'I'
+SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM base), o_custkey, 'N',
+  CAST(100.0 AS DOUBLE), 'I'
 FROM base WHERE o_orderkey % 17 = 0""",
         "rel_zorder_prune": f"""
 WITH d AS (

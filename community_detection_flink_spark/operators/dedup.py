@@ -855,8 +855,13 @@ def cosine_dup_threshold_curve(
     aggs = []
     for i, t in enumerate(thresholds):
         over = F.col("cosine") >= F.lit(float(t))
+        # coalesce: SUM over zero rows is NULL — a block layout with no
+        # same-block pair must yield a 0-count curve, not NULLs
+        # (ADVICE r8; same hardening as bloom_semi_prune's empty path)
         aggs.append(
-            (F.sum(F.when(over, 1).otherwise(0)) / 2).cast("long").alias(f"np_{i}")
+            (F.coalesce(F.sum(F.when(over, 1).otherwise(0)), F.lit(0)) / 2)
+            .cast("long")
+            .alias(f"np_{i}")
         )
         aggs.append(F.countDistinct(F.when(over, F.col("id"))).alias(f"nv_{i}"))
     wide = ex.agg(*aggs)

@@ -30,6 +30,7 @@ def merge_upsert(
     key: str,
     payload_cols: list[str],
     broadcast_changes: bool = True,
+    check_unique_keys: bool = False,
 ) -> DataFrame:
     """Apply ``changes`` (columns: ``key``, ``op`` ∈ {'I','U','D'},
     ``payload_cols``) to ``target``; returns the merged table with an
@@ -41,7 +42,22 @@ def merge_upsert(
     (standard MERGE contract: an 'I' whose key already exists in the
     target is the caller's constraint violation — this operator, like
     SQL MERGE, does not silently dedupe it).
+
+    CONTRACT (all ops): at most ONE change row per key.  A second
+    'U'/'D' row for the same key fans the left join out — the matched
+    target row would emit once per change row, silently duplicating
+    output (ANSI MERGE raises for exactly this reason).  Pass
+    ``check_unique_keys=True`` to enforce it eagerly: one tiny
+    aggregate over the change batch (it is broadcast-sized in the CDC
+    case), raising ``ValueError`` before any output is produced.
     """
+    if check_unique_keys:
+        dup = changes.groupBy(key).count().where(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"merge_upsert: duplicate change key {dup[0][0]!r} — "
+                "MERGE requires at most one change row per key"
+            )
     # changes are routinely derived from the target's own lineage
     # (CDC replay, self-tests) — explicit aliases keep the join
     # unambiguous regardless of shared attribute ids

@@ -237,7 +237,9 @@ def bloom_semi_prune(
         F.coalesce(F.sum(F.bit_count("mask")), F.lit(0))
         .cast("long")
         .alias("n_bits_set"),
-    )
+    ).persist()  # read by TWO broadcasts below (probe + accounting row);
+    # without the cache the dim scan + distinct + group-by subplan
+    # executes twice per run (ADVICE r8).  One cached row (~128 bytes).
     member = (
         dim_keys.select(dk.alias("k")).distinct().withColumn("m", F.lit(1))
     )

@@ -460,10 +460,11 @@ def resample_ffill(
     """
     ev = events.where(F.col("user_id") < max_user)
     # DATE-typed spine: to_date + a DATE sequence steps whole calendar
-    # days regardless of session timezone/DST, and day_s is derived
-    # from unix_date (days-since-epoch), so the output is identical to
-    # the oracle's naive-timestamp generate_series under ANY session
-    # timezone — not just the harness's UTC.
+    # days without DST hiccups, and day_s is derived from unix_date
+    # (days-since-epoch).  to_date(ts) on a TIMESTAMP_LTZ column still
+    # buckets in the SESSION timezone, which get_spark pins to UTC —
+    # under UTC sessions the output matches the oracle's
+    # naive-timestamp generate_series exactly.
     day = F.to_date(F.col("ts"))
     daily_last = (
         ev.groupBy("user_id", day.alias("day"))

@@ -34,6 +34,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Pin the session timezone: temporal operators bucket by
+        # to_date()/window() over TIMESTAMP_LTZ columns, and their
+        # DuckDB oracles compute over naive timestamps — identical
+        # results require a UTC session regardless of host TZ
+        # (ADVICE r8: resample_ffill's day bucketing).
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # catalog home for bucketed tables (sources/bucketed.py); kept
         # out of the repo tree — on a cluster this is the shared

@@ -267,8 +267,11 @@ def watermark_sizing(
     base = events.select(F.coalesce(disorder, F.lit(-1)).alias("_dis_us"))
     aggs = []
     for d in delays_minutes:
+        # coalesce: SUM over an empty events table is NULL, not 0
         aggs.append(
-            F.sum((F.col("_dis_us") > d * 60 * 1_000_000).cast("long"))
+            F.coalesce(
+                F.sum((F.col("_dis_us") > d * 60 * 1_000_000).cast("long")), F.lit(0)
+            )
             .cast("long")
             .alias(f"_late_{d}")
         )
@@ -291,5 +294,8 @@ def watermark_sizing(
         "r.delay_minutes",
         "r.n_events",
         "r.n_late",
-        F.expr("(r.n_late * 10000) div r.n_events").alias("pct_late_bp"),
+        # greatest(n,1): integral-div guard so an empty events table
+        # yields 0 bp instead of NULL (Spark) / a div-by-zero error
+        # (DuckDB oracle) — same pattern as bloom_semi_prune's fpr_bp
+        F.expr("(r.n_late * 10000) div greatest(r.n_events, 1L)").alias("pct_late_bp"),
     )

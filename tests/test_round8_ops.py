@@ -276,3 +276,28 @@ def test_merge_upsert_semantics(spark):
         4: ("d", 40.0, "K"),
         9: ("i", 90.0, "I"),
     }
+
+
+def test_merge_upsert_duplicate_change_key_guard(spark):
+    """VERDICT r8 #4: two change rows for one key violate the MERGE
+    contract (the left join would fan the matched target row out).
+    With check_unique_keys=True the operator raises eagerly; without
+    it the documented contract applies (caller's responsibility)."""
+    import pytest
+
+    from community_detection_flink_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "a", 10.0)], "k LONG, s STRING, v DOUBLE")
+    dup_changes = spark.createDataFrame(
+        [(1, "x", 1.0, "U"), (1, "y", 2.0, "U")],
+        "k LONG, s STRING, v DOUBLE, op STRING",
+    )
+    with pytest.raises(ValueError, match="duplicate change key"):
+        merge_upsert(target, dup_changes, "k", ["s", "v"], check_unique_keys=True)
+
+    # a unique batch passes the guard and merges normally
+    ok_changes = spark.createDataFrame(
+        [(1, "x", 1.0, "U")], "k LONG, s STRING, v DOUBLE, op STRING"
+    )
+    got = merge_upsert(target, ok_changes, "k", ["s", "v"], check_unique_keys=True)
+    assert [(r.k, r.s, r.v, r.action) for r in got.collect()] == [(1, "x", 1.0, "U")]
