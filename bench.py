@@ -466,6 +466,19 @@ def main() -> None:
         runs = []
         n_runs = 1 if name in no_repeat else REPEATS
         for _ in range(n_runs):
+            if name == "doc_minhash_lsh_pairs":
+                # VERDICT r8 "what's wrong" #1: this query's
+                # steady-state is an in-session-cached signature build
+                # (_PAIRS_CACHE via Materializer), so a warm median
+                # (0.07s in r8) measured cache placement, not the
+                # operator — while the r1 baseline it is compared to
+                # paid the build cold.  Evict the shared pairs cache
+                # before EVERY timed run (the wcc_communities pattern
+                # above) so the median is the real operator cost; the
+                # downstream consumers (doc_dedup_groups /
+                # doc_dedup_keep_best) still share run 3's cache
+                # exactly as they did in every prior round.
+                entry_mod._PAIRS_CACHE.pop(sf_dir, None)
             t0 = time.time()
             n = queries[name](spark, sf_dir).count()
             runs.append(time.time() - t0)
@@ -557,7 +570,10 @@ def main() -> None:
                 "to the single-run draws of earlier rounds; "
                 "wcc_cdc_stream_per_batch excludes the "
                 "startup-inflated batch 0 since r8 (kept under "
-                "wcc_cdc_stream_first_batch)",
+                "wcc_cdc_stream_first_batch); doc_minhash_lsh_pairs "
+                "evicts the shared signature cache before every run "
+                "since r9 (r8's 0.07s median timed a warm cache; not "
+                "comparable)",
                 "baseline_subtotal": baseline_subtotal,
                 "sf": sf_val,
                 **quality,
@@ -586,6 +602,14 @@ def main() -> None:
                 },
                 "wcc_communities_run2": timings.get("wcc_communities_run2"),
                 "wcc_incremental": timings.get("wcc_incremental"),
+                # VERDICT r8 #4: the incremental min-of-2 spread must
+                # survive the driver artifact's tail capture
+                "wcc_incremental_prepare_run2": timings.get(
+                    "wcc_incremental_prepare_run2"
+                ),
+                "wcc_incremental_delta_run2": timings.get(
+                    "wcc_incremental_delta_run2"
+                ),
                 "wcc_incremental_localized_clustered": timings.get(
                     "wcc_incremental_localized_clustered"
                 ),
