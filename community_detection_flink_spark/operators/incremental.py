@@ -45,7 +45,7 @@ from community_detection_flink_spark.operators.partition import initial_partitio
 from community_detection_flink_spark.operators.preprocess import preprocess
 from community_detection_flink_spark.operators.refinement import run_wcc
 from community_detection_flink_spark.operators.triangles import triangles
-from community_detection_flink_spark.plans.iteration import Materializer
+from community_detection_flink_spark.plans.iteration import Materializer, no_aqe
 from community_detection_flink_spark.sources.edges import symmetrize_edges
 
 INCREMENTAL_ROUNDS = 5  # IncrementalWCC.scala:382 (fixed, no convergence test)
@@ -285,6 +285,9 @@ def incremental_update(
     )
 
     all_verts = old_verts.unionByName(new_verts).distinct()
+    # both scalars (count + cc sum, IncrementalWCC.scala:109) ride the
+    # landing as an Observation — zero extra jobs
+    v_obs = Observation()
     vertices = mat(
         all_verts.join(state.vertices.drop("vt", "cc"), "vId", "left")
         .join(delta_t, "vId", "left")
@@ -295,15 +298,12 @@ def incremental_update(
             F.coalesce("vt_new", F.lit(0)).alias("vt"),
             F.coalesce("cId", F.col("vId")).alias("cId"),
         )
-        .withColumn("cc", cc_col(F.col("t"), F.col("vt"))),
+        .withColumn("cc", cc_col(F.col("t"), F.col("vt")))
+        .observe(v_obs, F.count(F.lit(1)).alias("n"), F.sum("cc").alias("s")),
         "inc-verts",
     )
-    # one job for both scalars (count + cc sum)
-    row = vertices.agg(
-        F.count("*").alias("n"), F.sum("cc").alias("s")
-    ).first()  # IncrementalWCC.scala:109
-    vertex_count = int(row["n"])
-    global_cc = float(row["s"] or 0.0) / vertex_count
+    vertex_count = int(v_obs.get["n"])
+    global_cc = float(v_obs.get["s"] or 0.0) / vertex_count
 
     # t changes exactly at corners of new triangles; vt changes at
     # endpoints of newly-cleaned edges — all of which are corners
@@ -312,7 +312,15 @@ def incremental_update(
         tri.select(F.explode(F.array("u", "v", "w")).alias("vId")).distinct()
     )
     if state.tri is not None:
-        tri_static = mat(state.tri.unionByName(tri.select("u", "v", "w")), "inc-tri-static")
+        # the delta is DISJOINT from the carried list (every new
+        # triangle has a new edge), so the union stays LAZY like
+        # edges/clean_edges — landing it would rewrite the ENTIRE
+        # O(|T|) triangle list every batch for no lineage benefit
+        # (both sides are parquet-backed); compacted on the same
+        # COMPACT_EVERY cadence as the edge sets
+        tri_static = state.tri.unionByName(tri.select("u", "v", "w"))
+        if compact:
+            tri_static = mat(tri_static, "inc-tri-static")
     else:
         tri_static = mat(triangles(clean_new, mat=mat), "inc-tri-static")
         mat.release()
@@ -388,12 +396,16 @@ def _elect_and_refine(
         keep = clean_all.join(
             affected_comms, "cId", "left_anti"
         ).select("vId", "t", "vt", "cc", "cId")
-        part = mat(local.unionByName(keep), "inc-part")
+        with no_aqe(vertices.sparkSession):
+            part = mat(local.unionByName(keep), "inc-part")
     else:
         # reference behavior (IncrementalWCC.scala:185-227): rerun the
         # election Pregel over the whole triangle subgraph
         clean_verts = clean_all.select("vId", "t", "vt", "cc")
-        part = mat(initial_partition(clean_verts, clean_new, mat=mat), "inc-part")
+        with no_aqe(vertices.sparkSession):
+            part = mat(
+                initial_partition(clean_verts, clean_new, mat=mat), "inc-part"
+            )
     mat.release()
 
     if (
@@ -421,66 +433,74 @@ def _elect_and_refine(
     # community-adjacency aggregate per labeling, LAZY per-round stats
     # over it (see refine_partition._eval), and the incrementally-
     # maintained static triangle list for the final WCC — no per-batch
-    # triangle re-enumeration.
+    # triangle re-enumeration.  The whole loop + tail runs non-adaptive
+    # (plans.no_aqe): every root is a landed parquet or a loop cache.
     loop_edges = clean_new.repartition("src").persist()  # see refine_partition
     cur = part
     n_rounds = 0
-    cur_vcd = community_adjacency(cur, loop_edges).persist()
-    # persisted but not forced: the first broadcast in best_movement
-    # materializes it; the second reads the cache (see refine_partition)
-    cur_cs = community_stats(cur, loop_edges, vcd=cur_vcd).persist()
-    for _ in range(rounds):
-        obs = Observation()
-        nxt = mat(
-            best_movement(
-                cur, loop_edges, cur_cs, global_cc, vertex_count,
-                mat=mat, vcd=cur_vcd, moves_observation=obs,
-            ),
-            "inc-mv",
-        )
-        mat.release()
-        n_rounds += 1
-        if obs.get["moves"] == 0:
-            # fixed point: the remaining fixed rounds are identity
-            # passes (IncrementalWCC.scala:382 runs them anyway); the
-            # carried vcd/cs caches are already those of this labeling
-            mat.drop(nxt)
-            break
-        cur_vcd.unpersist(False)
-        cur_cs.unpersist(False)
-        prev = cur
-        cur = nxt
+    with no_aqe(vertices.sparkSession):
         cur_vcd = community_adjacency(cur, loop_edges).persist()
+        # persisted but not forced: the first broadcast in best_movement
+        # materializes it; the second reads the cache (see refine_partition)
         cur_cs = community_stats(cur, loop_edges, vcd=cur_vcd).persist()
-        mat.drop(prev)     # superseded round state (no-op for `part`'s caller refs)
+        for _ in range(rounds):
+            obs = Observation()
+            nxt = mat(
+                best_movement(
+                    cur, loop_edges, cur_cs, global_cc, vertex_count,
+                    mat=mat, vcd=cur_vcd, moves_observation=obs,
+                ),
+                "inc-mv",
+            )
+            mat.release()
+            n_rounds += 1
+            if obs.get["moves"] == 0:
+                # fixed point: the remaining fixed rounds are identity
+                # passes (IncrementalWCC.scala:382 runs them anyway); the
+                # carried vcd/cs caches are already those of this labeling
+                mat.drop(nxt)
+                break
+            cur_vcd.unpersist(False)
+            cur_cs.unpersist(False)
+            prev = cur
+            cur = nxt
+            cur_vcd = community_adjacency(cur, loop_edges).persist()
+            cur_cs = community_stats(cur, loop_edges, vcd=cur_vcd).persist()
+            mat.drop(prev)     # superseded round state (no-op for `part`'s caller refs)
 
-    # per-community WCC sums (carried for the scoped path of future
-    # batches); their total over |V| is the batch's global WCC — same
-    # kernel ``global_wcc`` evaluates, summed per community first
-    new_wccv = mat(
-        wccv_by_community(cur, cur_cs, cur_vcd, tri_static), "inc-wccv"
-    )
-    wcc = float(new_wccv.agg(F.sum("s")).first()[0] or 0.0) / vertex_count
-    cached_cs = cur_cs
-    cur_cs = mat(cur_cs, "inc-cs")  # outlives the vcd cache it derives from
-    cached_cs.unpersist(False)
-    cur_vcd.unpersist(False)
-    loop_edges.unpersist(False)
-    if diag is not None:
-        diag["n_affected_comms"] = affected_comms.count()
-        diag["n_scope_vertices"] = None  # whole graph
-        diag["n_candidates"] = None
-        diag["refine_rounds"] = n_rounds
+        # per-community WCC sums (carried for the scoped path of future
+        # batches); their total over |V| is the batch's global WCC — same
+        # kernel ``global_wcc`` evaluates, summed per community first.
+        # The total rides the landing as an Observation (the scoped
+        # path's pattern) — no separate aggregation job
+        wccv_obs = Observation()
+        new_wccv = mat(
+            wccv_by_community(cur, cur_cs, cur_vcd, tri_static).observe(
+                wccv_obs, F.sum("s").alias("total")
+            ),
+            "inc-wccv",
+        )
+        wcc = float(wccv_obs.get["total"] or 0.0) / vertex_count
+        cached_cs = cur_cs
+        cur_cs = mat(cur_cs, "inc-cs")  # outlives the vcd cache it derives from
+        cached_cs.unpersist(False)
+        cur_vcd.unpersist(False)
+        loop_edges.unpersist(False)
+        if diag is not None:
+            diag["n_affected_comms"] = affected_comms.count()
+            diag["n_scope_vertices"] = None  # whole graph
+            diag["n_candidates"] = None
+            diag["refine_rounds"] = n_rounds
 
-    final_vertices = mat(
-        vertices.drop("cId")
-        .join(cur.select("vId", F.col("cId").alias("new_cId")), "vId", "left")
-        .select(
-            "vId", "t", "vt", "cc",
-            F.coalesce("new_cId", F.col("vId")).alias("cId"),
-        ),
-        "inc-final",
-    )
+        final_vertices = mat(
+            vertices.drop("cId")
+            .join(cur.select("vId", F.col("cId").alias("new_cId")), "vId", "left")
+            .select(
+                "vId", "t", "vt", "cc",
+                F.coalesce("new_cId", F.col("vId")).alias("cId"),
+            ),
+            "inc-final",
+        )
     return WCCState(
         edges=full_edges,
         clean_edges=clean_new,
@@ -641,92 +661,96 @@ def _refine_scoped(
 
     cur = vr
     n_rounds = 0
-    cur_vcd = _vcd(cur).persist()
-    cur_cs = community_stats(cur, scope_edges, vcd=cur_vcd).persist()
-    for _ in range(rounds):
-        obs = Observation()
-        moved_m = best_movement(
-            cur.join(m_ids, "vId", "left_semi"),
-            scope_edges, cur_cs, global_cc, vertex_count,
-            mat=mat,
-            vcd=cur_vcd.join(m_ids, "vId", "left_semi"),
-            moves_observation=obs,
-        )
-        nxt = mat(
-            cur.join(m_ids, "vId", "left_anti").unionByName(moved_m),
-            "inc-mv",
-        )
-        mat.release()
-        n_rounds += 1
-        if obs.get["moves"] == 0:
-            mat.drop(nxt)
-            break
-        cur_vcd.unpersist(False)
-        cur_cs.unpersist(False)
-        prev = cur
-        cur = nxt
+    # scoped rounds are neighborhood-sized over persisted scope_edges —
+    # non-adaptive planning (plans.no_aqe) keeps the per-round job
+    # count at the query count instead of the query-stage count
+    with no_aqe(vertices.sparkSession):
         cur_vcd = _vcd(cur).persist()
         cur_cs = community_stats(cur, scope_edges, vcd=cur_vcd).persist()
-        if prev is not vr:
-            mat.drop(prev)
+        for _ in range(rounds):
+            obs = Observation()
+            moved_m = best_movement(
+                cur.join(m_ids, "vId", "left_semi"),
+                scope_edges, cur_cs, global_cc, vertex_count,
+                mat=mat,
+                vcd=cur_vcd.join(m_ids, "vId", "left_semi"),
+                moves_observation=obs,
+            )
+            nxt = mat(
+                cur.join(m_ids, "vId", "left_anti").unionByName(moved_m),
+                "inc-mv",
+            )
+            mat.release()
+            n_rounds += 1
+            if obs.get["moves"] == 0:
+                mat.drop(nxt)
+                break
+            cur_vcd.unpersist(False)
+            cur_cs.unpersist(False)
+            prev = cur
+            cur = nxt
+            cur_vcd = _vcd(cur).persist()
+            cur_cs = community_stats(cur, scope_edges, vcd=cur_vcd).persist()
+            if prev is not vr:
+                mat.drop(prev)
 
-    # splice carried stats/WCC sums: drop every PRE-batch community
-    # with a member in V_R (complete communities — see docstring),
-    # splice in the freshly computed scoped tables.  ``vertices`` is
-    # the POST-batch labeling, so a community whose EVERY member
-    # reverted to t=0 in a delete batch (all its triangles died) has
-    # no member left in V_R and its old label is hidden behind the
-    # rebuilt cId=vId singletons — it would never be dropped and its
-    # stale (r,a,b,d)/(s,n) rows would poison every later splice.
-    # ``affected_comms`` carries the PRE-batch labels of all changed
-    # vertices, so unioning it in removes exactly those died-out
-    # communities (their fresh contribution is correctly absent from
-    # cur_cs/wccv_scope); affected communities with surviving clean
-    # members are already present via their V_R members, and on
-    # insert batches t never decreases, so the union adds nothing.
-    dropped_old = (
-        vertices.join(vr_ids, "vId", "left_semi")
-        .select("cId")
-        .unionByName(affected_comms.select("cId"))
-        .distinct()
-    )
-    new_stats = mat(
-        old_stats.select("cId", "r", "a", "b", "d")
-        .join(dropped_old, "cId", "left_anti")
-        .unionByName(cur_cs.select("cId", "r", "a", "b", "d")),
-        "inc-cs",
-    )
-    wccv_scope = wccv_by_community(
-        cur, cur_cs, cur_vcd, tri_static, tri_scope=vr_ids
-    )
-    # the WCC total rides the splice landing as an Observation — no
-    # separate aggregation job
-    wccv_obs = Observation()
-    new_wccv = mat(
-        old_wccv.select("cId", "s", "n")
-        .join(dropped_old, "cId", "left_anti")
-        .unionByName(wccv_scope.select("cId", "s", "n"))
-        .observe(wccv_obs, F.sum("s").alias("total")),
-        "inc-wccv",
-    )
-    wcc = float(wccv_obs.get["total"] or 0.0) / vertex_count
+        # splice carried stats/WCC sums: drop every PRE-batch community
+        # with a member in V_R (complete communities — see docstring),
+        # splice in the freshly computed scoped tables.  ``vertices`` is
+        # the POST-batch labeling, so a community whose EVERY member
+        # reverted to t=0 in a delete batch (all its triangles died) has
+        # no member left in V_R and its old label is hidden behind the
+        # rebuilt cId=vId singletons — it would never be dropped and its
+        # stale (r,a,b,d)/(s,n) rows would poison every later splice.
+        # ``affected_comms`` carries the PRE-batch labels of all changed
+        # vertices, so unioning it in removes exactly those died-out
+        # communities (their fresh contribution is correctly absent from
+        # cur_cs/wccv_scope); affected communities with surviving clean
+        # members are already present via their V_R members, and on
+        # insert batches t never decreases, so the union adds nothing.
+        dropped_old = (
+            vertices.join(vr_ids, "vId", "left_semi")
+            .select("cId")
+            .unionByName(affected_comms.select("cId"))
+            .distinct()
+        )
+        new_stats = mat(
+            old_stats.select("cId", "r", "a", "b", "d")
+            .join(dropped_old, "cId", "left_anti")
+            .unionByName(cur_cs.select("cId", "r", "a", "b", "d")),
+            "inc-cs",
+        )
+        wccv_scope = wccv_by_community(
+            cur, cur_cs, cur_vcd, tri_static, tri_scope=vr_ids
+        )
+        # the WCC total rides the splice landing as an Observation — no
+        # separate aggregation job
+        wccv_obs = Observation()
+        new_wccv = mat(
+            old_wccv.select("cId", "s", "n")
+            .join(dropped_old, "cId", "left_anti")
+            .unionByName(wccv_scope.select("cId", "s", "n"))
+            .observe(wccv_obs, F.sum("s").alias("total")),
+            "inc-wccv",
+        )
+        wcc = float(wccv_obs.get["total"] or 0.0) / vertex_count
 
-    # merge the refined scope back over the untouched remainder
-    part_final = part.join(r_comms, "cId", "left_anti").unionByName(cur)
-    final_vertices = mat(
-        vertices.drop("cId")
-        .join(part_final.select("vId", F.col("cId").alias("new_cId")), "vId", "left")
-        .select(
-            "vId", "t", "vt", "cc",
-            F.coalesce("new_cId", F.col("vId")).alias("cId"),
-        ),
-        "inc-final",
-    )
-    if diag is not None:
-        diag["n_affected_comms"] = affected_comms.count()
-        diag["n_scope_vertices"] = vr_ids.count()
-        diag["n_candidates"] = m_ids.count()
-        diag["refine_rounds"] = n_rounds
+        # merge the refined scope back over the untouched remainder
+        part_final = part.join(r_comms, "cId", "left_anti").unionByName(cur)
+        final_vertices = mat(
+            vertices.drop("cId")
+            .join(part_final.select("vId", F.col("cId").alias("new_cId")), "vId", "left")
+            .select(
+                "vId", "t", "vt", "cc",
+                F.coalesce("new_cId", F.col("vId")).alias("cId"),
+            ),
+            "inc-final",
+        )
+        if diag is not None:
+            diag["n_affected_comms"] = affected_comms.count()
+            diag["n_scope_vertices"] = vr_ids.count()
+            diag["n_candidates"] = m_ids.count()
+            diag["refine_rounds"] = n_rounds
 
     cur_vcd.unpersist(False)
     cur_cs.unpersist(False)

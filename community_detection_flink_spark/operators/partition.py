@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from community_detection_flink_spark.plans.iteration import Materializer
+from community_detection_flink_spark.plans.iteration import Materializer, no_aqe
 
 MAX_ITERATIONS = 50  # DistributedWCC.scala:143
 
@@ -68,12 +68,17 @@ def initial_partition(
     )
     # partitioned by src so each round's per-src aggregate is map-side
     # only (the tiny state side broadcasts; the join on dst preserves
-    # this layout)
+    # this layout).  force=False: the cache fills inside round 1's
+    # landing job instead of paying a separate count pass over the
+    # double label join — the loop's semi/anti joins don't depend on
+    # the cached size for their strategy (frontier sides only shrink;
+    # r9 A/B at sf0.1: election wall unchanged, one full-join job gone)
     higher = mat.cache(
         ew.where(_ord("cc_d", "vt_d", "dst") > _ord("cc_s", "vt_s", "src"))
         .select("src", "dst")
         .repartition("src"),
         "higher",
+        force=False,
     )
 
     # Frontier-shrinking schedule of the SAME fixed point: keep only
@@ -106,45 +111,52 @@ def initial_partition(
     # only after the final centers union is landed, because every
     # centers_new plan reads one of them.
     frontier = higher
-    undecided = mat(v.select("vId"), "mis-undec")
-    undec_files: list[DataFrame] = [undecided]
+    undec_files: list[DataFrame] = []
     frontier_caches: list[DataFrame] = []
     center_parts: list[DataFrame] = []
-    for _ in range(max_iterations):
-        blocked = frontier.select(F.col("src").alias("vId"))
-        centers_new = undecided.join(blocked, "vId", "left_anti")
-        center_parts.append(centers_new)
-        eliminated = frontier.join(
-            centers_new.withColumnsRenamed({"vId": "dst"}), "dst", "left_semi"
-        ).select(F.col("src").alias("vId"))
-        obs = Observation()
-        undecided = mat(
-            undecided.join(centers_new, "vId", "left_anti")
-            .join(eliminated, "vId", "left_anti")
-            .observe(obs, F.count(F.lit(1)).alias("undec")),
-            "mis-undec",
-        )
+    # per-round queries are loop-state-sized semi/anti joins over
+    # Materializer-landed roots and persisted frontiers — AQE only
+    # multiplies the driver-blocking job count here (see plans.no_aqe;
+    # r9 A/B at sf0.1: wall unchanged, per-round job count collapses)
+    with no_aqe(vertices.sparkSession):
+        undecided = mat(v.select("vId"), "mis-undec")
         undec_files.append(undecided)
-        if (obs.get["undec"] or 0) == 0:
-            break
-        frontier = (
-            frontier.join(
-                undecided.withColumnsRenamed({"vId": "src"}), "src", "left_semi"
+        for _ in range(max_iterations):
+            blocked = frontier.select(F.col("src").alias("vId"))
+            centers_new = undecided.join(blocked, "vId", "left_anti")
+            center_parts.append(centers_new)
+            eliminated = frontier.join(
+                centers_new.withColumnsRenamed({"vId": "dst"}), "dst", "left_semi"
+            ).select(F.col("src").alias("vId"))
+            obs = Observation()
+            undecided = mat(
+                undecided.join(centers_new, "vId", "left_anti")
+                .join(eliminated, "vId", "left_anti")
+                .observe(obs, F.count(F.lit(1)).alias("undec")),
+                "mis-undec",
             )
-            .join(undecided.withColumnsRenamed({"vId": "dst"}), "dst", "left_semi")
-            .persist()
-        )
-        frontier_caches.append(frontier)
+            undec_files.append(undecided)
+            if (obs.get["undec"] or 0) == 0:
+                break
+            frontier = (
+                frontier.join(
+                    undecided.withColumnsRenamed({"vId": "src"}), "src", "left_semi"
+                )
+                .join(undecided.withColumnsRenamed({"vId": "dst"}), "dst", "left_semi")
+                .persist()
+            )
+            frontier_caches.append(frontier)
 
-    # Assign communities: join each vertex's center neighbors, take the
-    # highest-ordered one; adopt it iff it outranks the vertex itself
-    # (DistributedWCC.scala:187-198).  Centers fall through to vId.
-    centers = center_parts[0]
-    for part in center_parts[1:]:
-        centers = centers.unionByName(part)
-    # land the union while the frontier caches and undecided files its
-    # plan reads are alive, then free all of them
-    centers = mat(centers, "mis-centers")
+        # Assign communities: join each vertex's center neighbors, take
+        # the highest-ordered one; adopt it iff it outranks the vertex
+        # itself (DistributedWCC.scala:187-198).  Centers fall through
+        # to vId.
+        centers = center_parts[0]
+        for part in center_parts[1:]:
+            centers = centers.unionByName(part)
+        # land the union while the frontier caches and undecided files
+        # its plan reads are alive, then free all of them
+        centers = mat(centers, "mis-centers")
     for df in frontier_caches:
         df.unpersist(False)
     for df in undec_files:

@@ -24,8 +24,34 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
+
+
+@contextmanager
+def no_aqe(spark):
+    """Disable adaptive query execution for queries COMPILED inside
+    the block (physical planning only — results are unchanged).
+
+    AQE earns its keep by discovering runtime sizes of big scans; in
+    the engine's fixed-point loops every input is either a
+    Materializer-landed parquet (TRUE file-size stats, the exact
+    information AQE exists to recover) or a persisted loop temporary,
+    and the per-round state is small.  There AQE only splits each tiny
+    landing into one Spark job per query stage — measured on the
+    incremental path: ~200 driver-blocking jobs per micro-batch, ~2×
+    the non-adaptive count — so the scheduling floor, not the data,
+    dominates per-round cost.  Scope this tightly: batch-scale scans
+    (triangle enumeration, bulk joins) keep AQE.
+    """
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 class Materializer:
@@ -71,7 +97,7 @@ class Materializer:
         if entry is not None and entry[1].startswith("/") and os.path.isdir(entry[1]):
             shutil.rmtree(entry[1], ignore_errors=True)
 
-    def cache(self, df: DataFrame, name: str = "tmp") -> DataFrame:
+    def cache(self, df: DataFrame, name: str = "tmp", force: bool = True) -> DataFrame:
         """In-memory materialization for WITHIN-round temporaries.
 
         Cheaper than the parquet round-trip and safe against the stats
@@ -79,9 +105,17 @@ class Materializer:
         actual cached sizes, and the entry is dropped at the next
         ``release()`` (call it once per loop round, after the round's
         state has been parquet-materialized).
+
+        ``force=False`` skips the count job: the cache fills lazily
+        inside the first consumer's job.  Use it when the first
+        consumer runs before any plan decision that needs the cached
+        size (a forced count exists to hand Catalyst REAL stats for
+        downstream join planning — keep the default where that
+        matters).
         """
         df = df.persist()
-        df.count()
+        if force:
+            df.count()
         self._ephemeral.append(df)
         return df
 

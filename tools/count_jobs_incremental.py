@@ -42,6 +42,7 @@ def main():
     e, _, _ = entry_mod._graph(spark, sf_dir)
     tri_full = entry_mod._TRI_CACHE[sf_dir]
     mat = Materializer(spark)
+    max_vertex = int(e.agg(F.max(F.greatest("src", "dst"))).first()[0])
     bulk, stream, split = split_bulk_stream(e, 0.8)
     tri_bulk = tri_full.where(
         (F.col("u") < split) & (F.col("v") < split) & (F.col("w") < split)
@@ -61,7 +62,9 @@ def main():
     state, _, _ = run_group("prepare", lambda: prepare(bulk, mat=mat, tri=tri_bulk))
 
     totals = {"jobs": 0, "wall": 0.0}
-    for i, batch in enumerate(micro_batches(stream, n_batches)):
+    for i, batch in enumerate(
+        micro_batches(stream, split, max_vertex, n_batches)
+    ):
         state, nj, dt = run_group(
             f"batch-{i}",
             lambda b=batch, s=state: incremental_update(s, b, mat=mat),
