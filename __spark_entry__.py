@@ -3268,17 +3268,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ------------------------------------------------------------------
     return {
-        # --- r8 prefix-50 (the driver gate certifies the first 50;
-        # composition per VERDICT r7 #2) ---
+        # --- r9 prefix-50 (the driver gate certifies the first 50;
+        # composition per VERDICT r8 #7) ---
         # anchors: round-over-round continuity, certified every round
         "g_edges": g_edges,
         "wcc_invariants": wcc_invariants,
         "ev_funnel": ev_funnel,
         "cdc_invariants": cdc_invariants,
         "emb_ann_quality": emb_ann_quality,
-        # first driver certification: the 9 r7-new operators
-        # (judge-certified only until now) + mm_gif_frames (new in
-        # r8: real LZW GIF decode)
+        # first driver hash-certification: the three late-r8 operators
+        # plus the three ANN paths, rows-only through r8 and carrying
+        # full differential SQL oracles since r9 (pinned hyperplanes /
+        # landed IVF index replayed in DuckDB)
+        "emb_dup_threshold_curve": emb_dup_threshold_curve,
+        "rel_zorder_prune": rel_zorder_prune,
+        "rel_merge_upsert": rel_merge_upsert,
+        "emb_lsh_ann": emb_lsh_ann,
+        "emb_ivf_ann": emb_ivf_ann,
+        "emb_ivfpq_ann": emb_ivfpq_ann,
+        # named r9 rotation block: all 22 entries whose newest driver
+        # artifact was CORRECTNESS_r05
+        "rel_scd2": rel_scd2,
+        "ev_anomalies": ev_anomalies,
+        "ev_topk_per_window": ev_topk_per_window,
+        "emb_centroid_assign": emb_centroid_assign,
+        "rel_window_distribution": rel_window_distribution,
+        "ev_partition_pruned": ev_partition_pruned,
+        "rel_bucketed_join": rel_bucketed_join,
+        "mm_wav_roundtrip": mm_wav_roundtrip,
+        "mm_bmp_roundtrip": mm_bmp_roundtrip,
+        "rel_sketch_quality": rel_sketch_quality,
+        "rel_q3_shipping_priority": rel_q3_shipping_priority,
+        "rel_q18_large_orders": rel_q18_large_orders,
+        "rel_pivot_status": rel_pivot_status,
+        "rel_unpivot_prices": rel_unpivot_prices,
+        "rel_snapshot_diff": rel_snapshot_diff,
+        "rel_csv_roundtrip": rel_csv_roundtrip,
+        "rel_json_roundtrip": rel_json_roundtrip,
+        "rel_grouping_sets": rel_grouping_sets,
+        "doc_pii_scrub": doc_pii_scrub,
+        "doc_quality_sample": doc_quality_sample,
+        "doc_dup_ratio_by_source": doc_dup_ratio_by_source,
+        "doc_normalize": doc_normalize,
+        # oldest remainder: r6-certified entries NOT re-certified by
+        # the r8 judge sweep (the 50-slot cap cannot reach the whole
+        # r6 cohort; the rest stays covered by the committed
+        # full-registry sweeps at sf0.01 + sf0.1 every round)
+        "g_centrality_approx": g_centrality_approx,
+        "rel_q8_market_share": rel_q8_market_share,
+        "rel_q5_local_supplier": rel_q5_local_supplier,
+        "rel_q10_returned_items": rel_q10_returned_items,
+        "rel_orc_roundtrip": rel_orc_roundtrip,
+        "g_link_scores": g_link_scores,
+        "g_assortativity": g_assortativity,
+        "ev_transitions": ev_transitions,
+        "doc_repeated_passages": doc_repeated_passages,
+        "emb_norm_stats": emb_norm_stats,
+        "rel_q7_volume_shipping": rel_q7_volume_shipping,
+        "g_label_propagation": g_label_propagation,
+        "emb_covariance": emb_covariance,
+        "g_sssp_weighted": g_sssp_weighted,
+        "g_random_walks": g_random_walks,
+        "doc_minhash_quality": doc_minhash_quality,
+        "rel_q4_order_priority": rel_q4_order_priority,
+        # --- below the driver cap (covered by the committed
+        # full-registry sweeps at sf0.01 + sf0.1 every round; the r8
+        # prefix entries rotated out are all r8-gate-green) ---
         "doc_cdc_chunks": doc_cdc_chunks,
         "doc_cdc_chunk_dedup": doc_cdc_chunk_dedup,
         "emb_jl_projection": emb_jl_projection,
@@ -3295,8 +3350,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_bloom_prune": rel_bloom_prune,
         "doc_phrase_search": doc_phrase_search,
         "ev_ohlc_bars": ev_ohlc_bars,
-        # the named r8 rotation block: the 9 entries whose newest
-        # driver artifact was CORRECTNESS_r03
         "rel_pricing_summary": rel_pricing_summary,
         "rel_top_orders": rel_top_orders,
         "rel_window_top_customers": rel_window_top_customers,
@@ -3306,13 +3359,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_skewed_agg": rel_skewed_agg,
         "rel_percentiles": rel_percentiles,
         "rel_profile_orders": rel_profile_orders,
-        # re-certification rotation: 23 of the 42 entries whose
-        # newest driver artifact is CORRECTNESS_r05 (42 r5 + the 9
-        # r3 above exceed the 50-slot cap minus anchors/new — the
-        # 19 r5 leftovers are the named r9 rotation block below;
-        # rel_scd2 / ev_anomalies / ev_topk_per_window were displaced
-        # late in r8 by the three operators new in this round:
-        # rel_bloom_prune, doc_phrase_search, ev_ohlc_bars)
         "doc_pack_chunks": doc_pack_chunks,
         "doc_contamination": doc_contamination,
         "doc_cross_dedup": doc_cross_dedup,
@@ -3333,33 +3379,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25": doc_bm25,
         "ev_retention": ev_retention,
         "doc_tfidf": doc_tfidf,
-        # --- below the driver cap (covered by the committed
-        # full-registry sweeps at sf0.01 + sf0.1 every round) ---
-        # r9 rotation block (r5-certified; bring into the prefix
-        # next round): rel_scd2, ev_anomalies, ev_topk_per_window,
-        # emb_centroid_assign, rel_window_distribution,
-        # ev_partition_pruned, rel_bucketed_join, mm_wav_roundtrip,
-        # mm_bmp_roundtrip, rel_sketch_quality,
-        # rel_q3_shipping_priority, rel_q18_large_orders,
-        # rel_pivot_status, rel_unpivot_prices, rel_snapshot_diff,
-        # rel_csv_roundtrip, rel_json_roundtrip, rel_grouping_sets,
-        # doc_pii_scrub, doc_quality_sample, doc_dup_ratio_by_source,
-        # doc_normalize (the last three displaced from the r8 prefix
-        # by the three operators new in r8: ev_watermark_sizing,
-        # doc_sliding_chunks, ev_heartbeat_gaps).  emb_ivfpq_ann was
-        # rows-only through r8; since r9 it carries a full
-        # differential oracle (_ivfpq_ann_sql) like the rest of the
-        # ANN family.
-        # new in late r8, below the cap (r9 rotation candidates):
-        "emb_dup_threshold_curve": emb_dup_threshold_curve,
-        "rel_zorder_prune": rel_zorder_prune,
-        "rel_merge_upsert": rel_merge_upsert,
-        "rel_scd2": rel_scd2,
-        "ev_anomalies": ev_anomalies,
-        "ev_topk_per_window": ev_topk_per_window,
-        "doc_quality_sample": doc_quality_sample,
-        "doc_dup_ratio_by_source": doc_dup_ratio_by_source,
-        "doc_normalize": doc_normalize,
         "rel_q12_late_priority": rel_q12_late_priority,
         "rel_q13_customer_distribution": rel_q13_customer_distribution,
         "rel_q19_discounted_revenue": rel_q19_discounted_revenue,
@@ -3368,7 +3387,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment": doc_containment,
         "doc_winnowing": doc_winnowing,
         "ev_cep_strict": ev_cep_strict,
-        "emb_ivfpq_ann": emb_ivfpq_ann,
         "rel_q2_min_cost_supplier": rel_q2_min_cost_supplier,
         "rel_q9_product_profit": rel_q9_product_profit,
         "rel_q11_important_stock": rel_q11_important_stock,
@@ -3405,25 +3423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_customers_without_orders": rel_customers_without_orders,
         "rel_nation_revenue": rel_nation_revenue,
         "rel_parts_in_lineitem": rel_parts_in_lineitem,
-        "g_centrality_approx": g_centrality_approx,
-        "rel_q8_market_share": rel_q8_market_share,
-        "rel_q5_local_supplier": rel_q5_local_supplier,
-        "rel_q10_returned_items": rel_q10_returned_items,
-        "rel_orc_roundtrip": rel_orc_roundtrip,
-        "g_link_scores": g_link_scores,
-        "g_assortativity": g_assortativity,
-        "ev_transitions": ev_transitions,
-        "doc_repeated_passages": doc_repeated_passages,
-        "emb_norm_stats": emb_norm_stats,
-        "rel_q7_volume_shipping": rel_q7_volume_shipping,
-        "g_label_propagation": g_label_propagation,
-        "emb_covariance": emb_covariance,
         "ev_interval_join": ev_interval_join,
         "doc_unigram_nll": doc_unigram_nll,
-        "g_sssp_weighted": g_sssp_weighted,
-        "g_random_walks": g_random_walks,
-        "doc_minhash_quality": doc_minhash_quality,
-        "rel_q4_order_priority": rel_q4_order_priority,
         "rel_q6_forecast_revenue": rel_q6_forecast_revenue,
         "ev_rolling_features": ev_rolling_features,
         "g_landmark_distances": g_landmark_distances,
@@ -3448,25 +3449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_community_stats": g_community_stats,
         "g_adjacency": g_adjacency,
         "rel_distinct_counts": rel_distinct_counts,
-        "emb_lsh_ann": emb_lsh_ann,
-        "emb_ivf_ann": emb_ivf_ann,
-        "emb_centroid_assign": emb_centroid_assign,
-        "rel_window_distribution": rel_window_distribution,
-        "ev_partition_pruned": ev_partition_pruned,
-        "rel_bucketed_join": rel_bucketed_join,
-        "mm_wav_roundtrip": mm_wav_roundtrip,
-        "mm_bmp_roundtrip": mm_bmp_roundtrip,
-        "rel_sketch_quality": rel_sketch_quality,
-        "rel_q3_shipping_priority": rel_q3_shipping_priority,
-        "rel_q18_large_orders": rel_q18_large_orders,
-        "rel_pivot_status": rel_pivot_status,
-        "rel_unpivot_prices": rel_unpivot_prices,
-        "rel_snapshot_diff": rel_snapshot_diff,
         "wcc_incremental_localized": wcc_incremental_localized,
-        "rel_csv_roundtrip": rel_csv_roundtrip,
-        "rel_json_roundtrip": rel_json_roundtrip,
-        "rel_grouping_sets": rel_grouping_sets,
-        "doc_pii_scrub": doc_pii_scrub,
         "wcc_communities": wcc_communities,
         "wcc_stats": wcc_stats,
         "wcc_incremental": wcc_incremental,
