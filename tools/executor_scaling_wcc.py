@@ -136,4 +136,4 @@ if __name__ == "__main__":
     if sys.argv[1] == "build":
         build()
     else:
-        run(int(sys.argv[1]), int(sys.argv[2]) if len(sys.argv) > 2 else 6)
+        run(int(sys.argv[2]), int(sys.argv[3]) if len(sys.argv) > 3 else 6)
