@@ -1534,6 +1534,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(SK.cms_heavy_hitters_within(li, "l_partkey"))
         )
 
+    def ev_cms_heavy_hitters(spark, sf):
+        """Engine-portable Count-Min sketch audit (r9,
+        sketches.cms_portable_topk): explicit universal hashes (the
+        Bloom-filter pattern from r8 applied to the frequency
+        sketch), exact-vs-estimate rows for the 20 heaviest users —
+        overcount >= 0 always, fully replayed by the DuckDB oracle.
+        One corpus pass builds the <=512-counter sketch; the probe is
+        a broadcast join."""
+        from community_detection_flink_spark.operators import sketches as SK
+
+        return SK.cms_portable_topk(
+            load_table(spark, sf, "events"), "user_id", k=20, width=128
+        ).withColumnRenamed("key", "user_id")
+
+    def doc_mixture_sample(spark, sf):
+        """Deterministic dataset-mixture sampling (r9,
+        textual.mixture_sample): per-source quotas from srcN-derived
+        weights and a half-corpus budget, membership a pure int64
+        function of doc_id (restart/cluster/engine-stable — no RNG
+        state). Sources too small for their quota saturate and the
+        shortfall stays visible."""
+        from community_detection_flink_spark.operators.textual import (
+            mixture_sample,
+        )
+
+        return mixture_sample(load_table(spark, sf, "documents"))
+
     def g_pagerank_weighted(spark, sf):
         """Weighted PageRank over the co-purchase graph with edge
         weight = number of orders the pair co-occurs in (derived here,
@@ -3449,6 +3476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_community_stats": g_community_stats,
         "g_adjacency": g_adjacency,
         "rel_distinct_counts": rel_distinct_counts,
+        # new in r9, below the cap (r10 rotation candidates)
+        "ev_cms_heavy_hitters": ev_cms_heavy_hitters,
+        "doc_mixture_sample": doc_mixture_sample,
         "wcc_incremental_localized": wcc_incremental_localized,
         "wcc_communities": wcc_communities,
         "wcc_stats": wcc_stats,
@@ -4806,6 +4836,55 @@ UNION ALL SELECT 'approx_p50_l_extendedprice_within_5pct', true
 UNION ALL SELECT 'hll_merged_l_partkey_by_l_returnflag_within_5pct', true
 UNION ALL SELECT 'kll_p50_l_extendedprice_within_5pct', true
 UNION ALL SELECT 'cms_top5_l_partkey_within_eps', true""",
+        # full differential replay of the portable CMS: same universal
+        # hash family ((k%P)*a+b)%P%w, same d=4 rows, same top-20 order
+        "ev_cms_heavy_hitters": """
+WITH h(i, a, b) AS (VALUES (0, 2654435761, 97), (1, 40503, 12345),
+                           (2, 2246822519, 7919), (3, 1366127, 101159)),
+keyed AS (SELECT CAST(user_id AS BIGINT) AS k FROM events),
+sketch AS (
+  SELECT i, (((k % 2147483647) * a + b) % 2147483647) % 128 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM keyed CROSS JOIN h GROUP BY 1, 2
+),
+topk AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_n FROM keyed GROUP BY 1
+  ORDER BY exact_n DESC, k ASC LIMIT 20
+),
+est AS (
+  SELECT t.k, t.exact_n, MIN(s.cnt) AS cms_n
+  FROM topk t CROSS JOIN h
+  JOIN sketch s
+    ON s.i = h.i
+   AND s.bucket = (((t.k % 2147483647) * h.a + h.b) % 2147483647) % 128
+  GROUP BY 1, 2
+)
+SELECT k AS user_id, exact_n, cms_n, cms_n - exact_n AS overcount FROM est""",
+        # integer-exact replay of the deterministic mixture sampler:
+        # srcN weights, half-corpus budget, accept iff
+        # (doc_id*2654435761 mod 2^20)*n_s < quota_s*2^20
+        "doc_mixture_sample": """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) + 1 AS w
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS n_total, SUM(w) AS w_total FROM counts),
+quotas AS (
+  SELECT source, n_docs, ((n_total * 5000 // 10000) * w) // w_total AS quota
+  FROM counts CROSS JOIN tot
+),
+flagged AS (
+  SELECT d.source, q.n_docs, q.quota, d.n_chars,
+         ((d.doc_id * 2654435761) % 1048576) * q.n_docs
+           < q.quota * 1048576 AS accept
+  FROM documents d JOIN quotas q USING (source)
+)
+SELECT source, n_docs, quota,
+       CAST(COALESCE(SUM(CASE WHEN accept THEN 1 END), 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(SUM(CASE WHEN accept THEN n_chars END), 0) AS BIGINT)
+         AS chars_sampled
+FROM flagged GROUP BY 1, 2, 3""",
         "rel_q3_shipping_priority": """
 SELECT l_orderkey,
   epoch_us(o_orderdate) AS o_orderdate_us,

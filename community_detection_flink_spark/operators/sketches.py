@@ -292,3 +292,93 @@ def bloom_semi_prune(
         ).alias("fpr_bp"),
         "n_bits_set",
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable Count-Min sketch (explicit universal hashes)
+# ---------------------------------------------------------------------------
+
+#: (a, b) rows of the CMS hash family — same construction as
+#: ``_BLOOM_HASHES`` but with the Mersenne prime 2^31−1, so
+#: ``((key % P) * a + b) % P`` stays inside int64 for ANY long key
+#: ((2^31)·(2^31) < 2^63) and both engines replay the sketch
+#: bit-for-bit.  Spark's builtin ``count_min_sketch`` (see
+#: ``cms_heavy_hitters_within`` above) hashes with Murmur3 that DuckDB
+#: cannot reproduce — this variant trades two multiplications per key
+#: for a fully differential-testable sketch.
+_CMS_HASHES = ((2654435761, 97), (40503, 12345), (2246822519, 7919), (1366127, 101159))
+_CMS_PRIME = 2147483647  # 2^31 − 1
+
+
+def _cms_bucket(key, a: int, b: int, width: int):
+    return (((key % F.lit(_CMS_PRIME)) * F.lit(a) + F.lit(b)) % F.lit(_CMS_PRIME)) % F.lit(width)
+
+
+def cms_portable_topk(
+    df: DataFrame, col: str, k: int = 20, width: int = 128
+) -> DataFrame:
+    """Count-Min heavy-hitter audit: exact count vs CMS estimate for
+    the ``k`` heaviest keys of ``col`` (non-negative integral keys).
+
+    Build: ONE pass over the rows — each key explodes into ``d=4``
+    ``(row, bucket)`` pairs and a single aggregate yields the whole
+    sketch (≤ ``4·width`` counter rows; 512 for the default — always
+    broadcastable, mergeable across partitions/streams by addition,
+    the properties that make CMS the 100 TB frequency structure).
+    Probe: the exact top-k (the audit baseline, not the data path)
+    joins the broadcast sketch on its 4 bucket positions; the estimate
+    is the row-wise MIN.
+
+    Output: ``(key, exact_n, cms_n, overcount)`` — CMS never
+    under-counts, so ``overcount ≥ 0`` always, and E[overcount] ≤
+    N/width per hash row (Cormode & Muthukrishnan 2005), minimized
+    over the 4 rows.  Every number is exact int64 arithmetic —
+    hash-comparable against a DuckDB replay of the same hashes.
+    """
+    key = F.col(col).cast("long")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), _cms_bucket(key, a, b, width).alias("bucket")
+            )
+            for i, (a, b) in enumerate(_CMS_HASHES)
+        ]
+    )
+    sketch = (
+        df.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    top = (
+        df.groupBy(key.alias("key"))
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("key").asc())
+        .limit(int(k))
+    )
+    tk = F.col("key")
+    probes = top.select(
+        "key",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket(tk, a, b, width).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(_CMS_HASHES)
+                ]
+            )
+        ).alias("e"),
+    ).select("key", "exact_n", F.col("e.i").alias("i"), F.col("e.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("key", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+        .select(
+            "key",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        )
+    )

@@ -645,3 +645,72 @@ def sliding_word_chunks(
         F.size(chunk).cast("long").alias("n_words"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    budget_frac_bp: int = 5000,
+    key: str = "source",
+) -> DataFrame:
+    """Deterministic dataset-mixture sampling — the pretraining
+    data-mixing primitive: given per-source target WEIGHTS and a total
+    document budget, accept a stable hash-defined subset of each
+    source sized to its quota.
+
+    Weights here derive from the source name (``srcN`` → weight N+1,
+    normalized over the sources present) so the target mixture is
+    skewed and reproducible without a side input; ``budget_frac_bp``
+    is the total budget in basis points of the corpus (5000 = half).
+
+    Membership is a pure integer function of ``doc_id`` — no RNG
+    state, so retries, restarts, and other engines agree row-for-row
+    (the same property as ``sample_split``/``stratified_sample``):
+    accept ⟺ ``(doc_id·2654435761 mod 2^20) · n_s < quota_s · 2^20``,
+    all int64-exact (n_s may reach 2^42 before overflow).  Expected
+    sample size per source is quota_s ± binomial noise; a source too
+    small for its quota saturates (threshold ≥ 1 accepts everything)
+    and the shortfall is visible in the output — the real-world
+    mixing failure this operator exists to surface.
+
+    Plan shape: one scan for per-source counts (tiny result,
+    broadcast), one scan to flag membership, one aggregate — no
+    shuffle of the corpus itself.  Output per source:
+    ``(source, n_docs, quota, n_sampled, chars_sampled)``.
+    """
+    m = 1 << 20
+    counts = docs.groupBy(key).agg(F.count("*").cast("long").alias("n_docs"))
+    idx = (F.regexp_extract(F.col(key), r"(\d+)$", 1).cast("long") + 1).alias("w")
+    weighted = counts.select(key, "n_docs", idx)
+    totals = weighted.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.sum("w").cast("long").alias("w_total"),
+    )
+    quotas = (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            key,
+            "n_docs",
+            # integer-exact: budget = n_total·bp div 10^4, then the
+            # source's weight share of it
+            F.expr(
+                f"(n_total * {int(budget_frac_bp)} div 10000) * w div w_total"
+            ).cast("long").alias("quota"),
+        )
+    )
+    h = (F.col("doc_id").cast("long") * F.lit(2654435761)) % F.lit(m)
+    flagged = (
+        docs.join(F.broadcast(quotas), key)
+        .withColumn("accept", h * F.col("n_docs") < F.col("quota") * F.lit(m))
+    )
+    return (
+        flagged.groupBy(key, "n_docs", "quota")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("accept"), 1)), F.lit(0))
+            .cast("long")
+            .alias("n_sampled"),
+            F.coalesce(F.sum(F.when(F.col("accept"), F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias("chars_sampled"),
+        )
+        .select(F.col(key).alias("source"), "n_docs", "quota", "n_sampled", "chars_sampled")
+    )
