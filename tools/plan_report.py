@@ -93,6 +93,9 @@ AUDIT = [
     ("emb_dup_threshold_curve", "threshold grid from ONE blocked cosine pair pass: conditional sums per cutoff, 1-row aggregate + stack unpivot"),
     ("rel_zorder_prune", "Z-order vs linear pruning: pure div/mod interleave in the scan stage, one aggregate, zero joins"),
     ("rel_merge_upsert", "MERGE upsert: ONE broadcast left join of target vs the non-insert changes + insert union — the copy-on-write MERGE arithmetic"),
+    # round 9
+    ("ev_cms_heavy_hitters", "portable Count-Min audit: one corpus pass builds the ≤512-counter sketch (map-side combine), top-20 probe joins it broadcast"),
+    ("doc_mixture_sample", "mixture sampling: per-source quotas broadcast onto the corpus scan, membership a pure int64 map — corpus never shuffles"),
 ]
 
 
