@@ -1561,6 +1561,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return mixture_sample(load_table(spark, sf, "documents"))
 
+    def emb_semantic_dedup(spark, sf):
+        """SemDeDup semantic deduplication (r9b,
+        similarity.semantic_dedup — Abbas et al. 2023): Voronoi-cell
+        partition (md5-sampled centroids, exact JVM-fold assignment),
+        within-cell cosine >= tau marks the larger vec_id a duplicate
+        of the smaller.  tau=0.3 exercises a real kept/dup mix on
+        this synthetic corpus (in-cell cosines top out ~0.47).  No
+        numpy anywhere, so the DuckDB oracle replays every assignment
+        and every >= tau verdict bit-for-bit."""
+        return S.semantic_dedup(load_table(spark, sf, "embeddings"), tau=0.3)
+
+    def emb_knn_graph(spark, sf):
+        """Cell-blocked approximate kNN graph (r9b,
+        similarity.knn_graph): exact cosine top-3 within each Voronoi
+        cell — the kNN-graph pass that seeds graph clustering and
+        connected-component semantic dedup.  One shuffle on cell, one
+        window; full-precision cosines hash-match the oracle's
+        identical left-folds."""
+        return S.knn_graph(load_table(spark, sf, "embeddings"), k=3)
+
+    def ev_hll_distinct(spark, sf):
+        """Engine-portable HyperLogLog (r9b, sketches.hll_portable):
+        64 max-rank registers from an explicit universal hash over
+        event_id, merged by MAX, plus the raw alpha*m^2/sum(2^-M)
+        estimate audited against the exact distinct count.  All
+        terms dyadic-exact (1.0/shiftleft, no pow/ln), so even the
+        estimate hash-matches at full precision."""
+        from community_detection_flink_spark.operators import sketches as SK
+
+        return SK.hll_portable(load_table(spark, sf, "events"), "event_id", p=6)
+
+    def rel_fuzzy_part_match(spark, sf):
+        """Blocked fuzzy record linkage (r9b,
+        linkage.fuzzy_join_blocked): part-name pairs within
+        (p_brand, p_size) equality blocks at Levenshtein distance
+        <= 2, with the length-band necessary-condition filter pruning
+        before the O(len^2) DP.  Both engines run unit-cost
+        Wagner-Fischer, so the match set is hash-exact."""
+        from community_detection_flink_spark.operators.linkage import (
+            fuzzy_join_blocked,
+        )
+
+        return fuzzy_join_blocked(
+            load_table(spark, sf, "part"),
+            "p_partkey",
+            "p_name",
+            ["p_brand", "p_size"],
+            max_dist=2,
+        )
+
     def g_pagerank_weighted(spark, sf):
         """Weighted PageRank over the co-purchase graph with edge
         weight = number of orders the pair co-occurs in (derived here,
@@ -3479,6 +3529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r9, below the cap (r10 rotation candidates)
         "ev_cms_heavy_hitters": ev_cms_heavy_hitters,
         "doc_mixture_sample": doc_mixture_sample,
+        "emb_semantic_dedup": emb_semantic_dedup,
+        "emb_knn_graph": emb_knn_graph,
+        "ev_hll_distinct": ev_hll_distinct,
+        "rel_fuzzy_part_match": rel_fuzzy_part_match,
         "wcc_incremental_localized": wcc_incremental_localized,
         "wcc_communities": wcc_communities,
         "wcc_stats": wcc_stats,
@@ -4033,6 +4087,70 @@ def _cc_minlabel_sql(rounds: int = 30) -> str:
         "WITH " + ",\n".join(parts)
         + f"\nSELECT CAST(vId AS BIGINT) AS vId, CAST(lab AS BIGINT) AS component FROM l{rounds}"
     )
+
+
+def _cells_sql() -> str:
+    """Shared Voronoi-cell CTE prefix for the r9b similarity
+    operators: replays ``similarity.assign_cells`` — md5-sampled
+    centroids (GREATEST(4, floor(sqrt(n))) of them, seed 42) and the
+    exact squared-euclidean argmin with (d2, cid) tie-break — ending
+    in ``assign(vec_id, cell, embedding)``.  Unlike `_ivf_route_sql`
+    (whose Spark twin assigns through a numpy matmul), BOTH sides
+    here are the identical left-fold, so assignment parity is
+    bit-exact by construction, not by measured margin."""
+    d2 = (
+        "list_reduce(list_prepend(0.0, list_transform(range(len(e.embedding)), "
+        "i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.cvec[i+1] AS DOUBLE)) "
+        "* (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.cvec[i+1] AS DOUBLE)))), "
+        "(x, y) -> x + y)"
+    )
+    return f"""cs AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ',42'))
+    <= GREATEST(4, CAST(FLOOR(SQRT(CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE))) AS BIGINT))
+),
+assign AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT e.vec_id, c.cid AS cell, e.embedding,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+    FROM embeddings e, cs c) WHERE rn = 1
+)"""
+
+
+_PAIR_COS = (
+    _DOT.format(a="a.embedding", b="b.embedding")
+    + " / (sqrt(" + _DOT.format(a="a.embedding", b="a.embedding")
+    + ") * sqrt(" + _DOT.format(a="b.embedding", b="b.embedding") + "))"
+)
+
+
+def _semantic_dedup_sql(tau: float = 0.3) -> str:
+    """emb_semantic_dedup differential oracle: cell assignment +
+    within-cell >= tau pair scan + keep-lowest-id verdict."""
+    return f"""
+WITH {_cells_sql()},
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_PAIR_COS} >= {tau!r}
+)
+SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS is_dup
+FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id"""
+
+
+def _knn_graph_sql(k: int = 3) -> str:
+    """emb_knn_graph differential oracle: cell assignment + exact
+    within-cell cosine top-k with (cosine desc, nb_id) tie-break."""
+    return f"""
+WITH {_cells_sql()},
+scored AS (
+  SELECT a.vec_id, b.vec_id AS nb_id, {_PAIR_COS} AS cosine
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, nb_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nb_id) AS rn
+  FROM scored) WHERE rn <= {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4885,6 +5003,44 @@ SELECT source, n_docs, quota,
        CAST(COALESCE(SUM(CASE WHEN accept THEN n_chars END), 0) AS BIGINT)
          AS chars_sampled
 FROM flagged GROUP BY 1, 2, 3""",
+        "emb_semantic_dedup": _semantic_dedup_sql(0.3),
+        "emb_knn_graph": _knn_graph_sql(3),
+        "ev_hll_distinct": """
+WITH h AS (
+  SELECT ((event_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
+  FROM events
+),
+regs AS (
+  SELECT h % 64 AS register,
+    CASE WHEN h // 64 = 0 THEN 26
+         ELSE 26 - length(bin(h // 64)) END AS rank
+  FROM h
+),
+br AS (
+  SELECT register, CAST(MAX(rank) AS BIGINT) AS max_rank
+  FROM regs GROUP BY register
+),
+summ AS (
+  SELECT CAST(64 AS BIGINT) AS m,
+    CAST(64 - COUNT(*) AS BIGINT) AS n_zero_regs,
+    2904.064 / (SUM(1.0 / CAST((CAST(1 AS BIGINT) << CAST(max_rank AS INTEGER))
+                               AS DOUBLE))
+                + CAST(64 - COUNT(*) AS DOUBLE)) AS hll_est
+  FROM br
+),
+ex AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_exact FROM events)
+SELECT br.register, br.max_rank, s.m, s.n_zero_regs, ex.n_exact, s.hll_est,
+  CAST(FLOOR(ABS(s.hll_est - ex.n_exact) * 10000.0
+             / GREATEST(ex.n_exact, 1)) AS BIGINT) AS err_bp
+FROM br, summ s, ex""",
+        "rel_fuzzy_part_match": """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_brand, a.p_size,
+  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+  AND a.p_partkey < b.p_partkey
+  AND ABS(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2""",
         "rel_q3_shipping_priority": """
 SELECT l_orderkey,
   epoch_us(o_orderdate) AS o_orderdate_us,

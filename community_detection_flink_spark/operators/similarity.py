@@ -1380,3 +1380,147 @@ def truncated_cosine_recall(
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Voronoi cell assignment, SemDeDup, and k-NN graph (r9b)
+# ---------------------------------------------------------------------------
+
+
+def assign_cells(
+    emb: DataFrame,
+    n_cells: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact Voronoi-cell assignment carrying the vector along:
+    ``(vec_id, embedding, cell)`` where ``cell`` is the vec_id of the
+    nearest md5-sampled centroid (``ivf_centroids``; squared-euclidean
+    argmin, ties → smallest centroid id — the same rule as
+    ``nearest_centroid``, which stays the assignment-only twin).
+
+    All-JVM: the ≤√n centroid rows broadcast, every corpus partition
+    streams past them (crossJoin preserves locality, so the
+    per-vector argmin collapses map-side and the groupBy shuffles n
+    rows, not n·k).  The carried vector means downstream per-cell
+    operators (SemDeDup, k-NN graph) need NO join back to the corpus
+    — at 100 TB the assignment is one scan + one n-row shuffle keyed
+    ready for per-cell work.
+    """
+    if n_cells is None:
+        n_cells = max(4, math.isqrt(emb.count()))
+    cents = F.broadcast(
+        ivf_centroids(emb, n_cells, seed).select(
+            F.col(id_col).alias("_cid"), F.col("embedding").alias("_cvec")
+        )
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("_cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.select(id_col, "embedding").crossJoin(cents).select(
+        id_col, "embedding", F.col("_cid"), diff2.alias("_d2")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.first("embedding").alias("embedding"),
+        F.min(F.struct(F.col("_d2"), F.col("_cid").alias("cell"))).alias("_b"),
+    )
+    return best.select(id_col, "embedding", F.col("_b.cell").alias("cell"))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    tau: float = 0.3,
+    n_cells: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    corpus into Voronoi cells, form pairs ONLY within a cell, and mark
+    a vector as a semantic duplicate when some same-cell vector with a
+    SMALLER id has cosine ≥ ``tau`` — the deterministic
+    keep-the-lowest-id reading of "keep one point per ε-ball".
+
+    Output: ``(vec_id, cell, is_dup)`` for every corpus vector.  The
+    100 TB shape is the SemDeDup paper's own argument: the only
+    quadratic step is per-cell (≈√n·n total pair-cosines for √n
+    balanced cells; a cell-size cap bounds the worst case), pairs
+    never leave their cell's partition, and the verdict join back is
+    a broadcast/semi of the (small) duplicate-id set.  On this
+    synthetic corpus in-cell cosines top out near 0.47, so the
+    registry query pins ``tau`` low (0.3) to exercise a real
+    kept/dup mix — production embeddings would use 0.95+.
+
+    Fully oracle-exact: assignment and cosine are the same left-folds
+    DuckDB replays bit-for-bit (no numpy anywhere), so the ≥ tau
+    verdicts carry no float-margin caveat.
+    """
+    v = assign_cells(emb, n_cells, seed, id_col).persist()
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(cos >= F.lit(float(tau)))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        v.join(F.broadcast(dup_ids), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce("_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    n_cells: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor graph: exact cosine top-``k``
+    WITHIN each Voronoi cell (``assign_cells``) — the cell-blocked
+    kNN-graph construction that seeds graph clustering and
+    connected-component semantic dedup at corpus scale.
+
+    Output: ``(vec_id, nb_id, cosine, rank)``; vectors in singleton
+    cells emit no rows, vectors in cells smaller than ``k+1`` emit
+    what exists — recall is bounded by cell routing exactly as in IVF
+    (probe>1 via ``ann_topk_ivf`` is the recall lever; this operator
+    is the bulk all-vectors pass, one shuffle on cell, one window).
+    Cosines are fold-ordered and returned at full precision — the
+    DuckDB oracle reproduces them bit-for-bit.
+    """
+    v = assign_cells(emb, n_cells, seed, id_col)
+    a, b = v.alias("a"), v.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias(id_col),
+        F.col(f"b.{id_col}").alias("nb_id"),
+        cosine_col(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("nb_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(id_col, "nb_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -382,3 +382,94 @@ def cms_portable_topk(
             (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable HyperLogLog (explicit universal hash, dyadic-exact sums)
+# ---------------------------------------------------------------------------
+
+#: single (a, b) universal hash for the HLL register stream — same
+#: Mersenne-prime construction as ``_CMS_HASHES``: h(key) =
+#: ((key % P)·a + b) % P is a 31-bit value both engines compute in
+#: exact int64 arithmetic, so every register is bit-reproducible
+#: (Spark's builtin ``approx_count_distinct`` HLL++ hashes with
+#: xxHash64 that DuckDB cannot replay — see ``distinct_within`` for
+#: that variant's quality-contract gate).
+_HLL_A, _HLL_B = 1103515245, 12345
+
+#: alpha_m bias constants (Flajolet et al. 2007, Fig. 3)
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_portable(df: DataFrame, col: str, p: int = 6) -> DataFrame:
+    """Engine-portable HyperLogLog distinct-count sketch over a
+    non-negative integral column: ``m = 2^p`` max-rank registers from
+    an explicit universal hash, plus the raw HLL estimate audited
+    against the exact distinct count.
+
+    Register split of the 31-bit hash: low ``p`` bits pick the
+    register, the remaining ``31−p`` bits supply the rank
+    (leading-zero count + 1, via ``length(bin(w))`` — pure integer in
+    both engines).  Registers merge by MAX — the property that makes
+    HLL the 100 TB distinct structure: per-partition (or per-day,
+    per-shard) register sets combine map-side, the shuffle carries at
+    most ``m`` rows per partition, and the raw estimate
+    ``α_m·m²/Σ2^−M`` never re-touches the data.
+
+    Every output value is hash-comparable at FULL precision: the
+    ``2^−M`` terms are dyadic rationals built as ``1.0 /
+    shiftleft(1, M)`` (exact in IEEE754, no ``pow`` libm variance),
+    their ≤ m-term sum spans < 53 bits so ANY summation order is
+    exact, and the single α·m²/S division is deterministic IEEE — so
+    the estimate needs no rounding.  The raw estimator is emitted
+    as-is (no small-range linear-counting branch — ``ln`` libm
+    variance would break bit-parity; ``n_zero_regs`` is emitted so a
+    consumer can apply the correction downstream).
+
+    Output: one row per NON-EMPTY register ``(register, max_rank)``
+    crossed with the one-row audit ``(m, n_zero_regs, n_exact,
+    hll_est, err_bp)``.
+    """
+    m = 1 << p
+    alpha = _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+    key = F.col(col).cast("long")
+    h = ((key % _CMS_PRIME) * F.lit(_HLL_A) + F.lit(_HLL_B)) % F.lit(_CMS_PRIME)
+    width = 31 - p  # rank bits
+    # two-step select so the hash evaluates once per row
+    regs = df.select(h.alias("_h")).select(
+        (F.col("_h") % m).alias("register"),
+        F.expr(f"_h div {m}").alias("_w"),
+    ).select(
+        "register",
+        F.when(F.col("_w") == 0, F.lit(width + 1))
+        .otherwise(F.lit(width + 1) - F.length(F.bin("_w")))
+        .cast("long")
+        .alias("rank"),
+    )
+    by_reg = regs.groupBy("register").agg(F.max("rank").alias("max_rank"))
+    term = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(max_rank AS INT)) AS DOUBLE)"
+    )
+    summary = by_reg.agg(
+        F.count("*").cast("long").alias("_n_set"),
+        F.sum(term).alias("_s_set"),
+    ).select(
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.col("_n_set")).cast("long").alias("n_zero_regs"),
+        (
+            F.lit(float(alpha * m * m))
+            / (F.col("_s_set") + (F.lit(m) - F.col("_n_set")).cast("double"))
+        ).alias("hll_est"),
+    )
+    exact = df.agg(F.countDistinct(col).cast("long").alias("n_exact"))
+    audit = summary.crossJoin(exact).select(
+        "m",
+        "n_zero_regs",
+        "n_exact",
+        "hll_est",
+        F.expr(
+            "CAST(floor(abs(hll_est - n_exact) * 10000.0 "
+            "/ greatest(n_exact, 1)) AS BIGINT)"
+        ).alias("err_bp"),
+    )
+    return by_reg.crossJoin(F.broadcast(audit))

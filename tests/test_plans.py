@@ -312,3 +312,50 @@ def test_merge_upsert_plan_shape(spark):
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 0  # target never shuffles
+
+
+def test_round9b_operators_plan_shape(spark):
+    """HLL: no joins in the data path (the 1-row audit crossJoins are
+    broadcast), registers collapse map-side.  Semantic dedup / kNN
+    graph: the quadratic step shuffles ONLY on cell; centroid
+    assignment broadcasts the <=sqrt(n) centroid rows and the corpus
+    never shuffles for it.  Fuzzy join: ONE shuffle pair on the block
+    key, the levenshtein never runs before the block+band filters."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from community_detection_flink_spark.plans.explain import (
+        executed_exchange_count,
+    )
+
+    qs = entry_mod.queries()
+
+    hll = qs["ev_hll_distinct"](spark, SF)
+    assert python_eval_nodes(hll) == []
+    plan = hll._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan  # audit joins are broadcast-only
+    # register agg (1) + audit single-partition row (1) + the exact
+    # countDistinct audit baseline's two-phase distinct (2); every
+    # shuffle moves <=m register rows or distinct keys, never raw rows
+    assert executed_exchange_count(hll) <= 4
+
+    sd = qs["emb_semantic_dedup"](spark, SF)
+    assert python_eval_nodes(sd) == []
+    sd_plan = sd._jdf.queryExecution().executedPlan().toString()
+    # centroids and the dup-id verdict set travel by broadcast
+    assert sd_plan.count("BroadcastExchange") >= 2
+
+    knn = qs["emb_knn_graph"](spark, SF)
+    assert python_eval_nodes(knn) == []
+    # assignment agg + cell self-join + per-vector window
+    assert executed_exchange_count(knn) <= 4
+
+    fz = qs["rel_fuzzy_part_match"](spark, SF)
+    assert python_eval_nodes(fz) == []
+    fz_plan = fz._jdf.queryExecution().executedPlan().toString()
+    # the self-join keys on the block columns (hash-shuffled or
+    # broadcast at this SF) and levenshtein appears only in the join
+    # condition/filter, never as a crossJoin over unblocked pairs
+    assert "CartesianProduct" not in fz_plan
+    assert executed_exchange_count(fz) <= 2

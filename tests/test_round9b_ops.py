@@ -1,0 +1,211 @@
+"""Round-9b operators: portable HLL, SemDeDup, kNN graph, fuzzy join.
+
+Property coverage beyond the gate oracles: HLL register mergeability
+and pinned deterministic estimates, SemDeDup keep-lowest-id semantics
+on hand-built vectors, kNN-graph exactness within a cell, fuzzy-join
+blocking semantics, degenerate inputs, and JVM-only plan pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from community_detection_flink_spark.operators.linkage import fuzzy_join_blocked
+from community_detection_flink_spark.operators.similarity import (
+    assign_cells,
+    knn_graph,
+    semantic_dedup,
+)
+from community_detection_flink_spark.operators.sketches import hll_portable
+from community_detection_flink_spark.plans.explain import python_eval_nodes
+
+
+# ---------------------------------------------------------------------------
+# hll_portable
+# ---------------------------------------------------------------------------
+
+
+def _keys(spark, n):
+    return spark.range(n).select(F.col("id").alias("k"))
+
+
+def test_hll_single_key(spark):
+    out = hll_portable(_keys(spark, 1), "k").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_exact"] == 1 and r["m"] == 64 and r["n_zero_regs"] == 63
+    assert 1 <= r["max_rank"] <= 26
+
+
+def test_hll_estimate_deterministic_and_bounded(spark):
+    # 10k distinct keys, m=64: sigma ~ 1.04/sqrt(64) = 13%; the hash
+    # is fixed so the estimate is a constant — pin the error bound at
+    # 3 sigma and determinism across runs
+    a = hll_portable(_keys(spark, 10000), "k").collect()
+    b = hll_portable(_keys(spark, 10000), "k").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert a[0]["err_bp"] <= 3900
+    assert a[0]["n_zero_regs"] == 0  # 10k keys saturate 64 registers
+
+
+def test_hll_registers_merge_by_max(spark):
+    # the 100 TB property: per-shard register sets MAX-merge to the
+    # global registers (build on two disjoint halves, merge, compare)
+    full = hll_portable(_keys(spark, 2000), "k").select(
+        "register", "max_rank"
+    )
+    lo = hll_portable(_keys(spark, 1000), "k").select("register", "max_rank")
+    hi = hll_portable(
+        spark.range(1000, 2000).select(F.col("id").alias("k")), "k"
+    ).select("register", "max_rank")
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_hll_rank_bounds(spark):
+    rows = hll_portable(_keys(spark, 5000), "k").collect()
+    assert all(1 <= r["max_rank"] <= 26 for r in rows)
+    assert all(0 <= r["register"] < 64 for r in rows)
+
+
+def test_hll_empty_input(spark):
+    # no keys -> no registers -> no rows (documented: the sketch of
+    # nothing is empty, not a zero-estimate row)
+    assert hll_portable(_keys(spark, 0), "k").count() == 0
+
+
+def test_hll_stays_jvm_side(spark):
+    assert python_eval_nodes(hll_portable(_keys(spark, 10), "k")) == []
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup / knn_graph
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    # 0 and 1 identical (cos=1), 2 orthogonal; one cell so the pair
+    # is guaranteed to meet
+    df = _vecs(spark, [(0, [1, 0]), (1, [1, 0]), (2, [0, 1])])
+    out = {r["vec_id"]: r["is_dup"] for r in
+           semantic_dedup(df, tau=0.95, n_cells=1).collect()}
+    assert out == {0: False, 1: True, 2: False}
+
+
+def test_semantic_dedup_tau_respected(spark):
+    # cos(v0, v1) = 0.8 exactly — below tau=0.9, above tau=0.7
+    df = _vecs(spark, [(0, [1, 0]), (1, [0.8, 0.6])])
+    hi = {r["vec_id"]: r["is_dup"] for r in
+          semantic_dedup(df, tau=0.9, n_cells=1).collect()}
+    lo = {r["vec_id"]: r["is_dup"] for r in
+          semantic_dedup(df, tau=0.7, n_cells=1).collect()}
+    assert hi == {0: False, 1: False}
+    assert lo == {0: False, 1: True}
+
+
+def test_semantic_dedup_cell_blocking_is_real(spark):
+    # identical vectors forced into different Voronoi cells never
+    # pair: with centroids = the two far apart anchor points, the
+    # near-anchor copies assign apart.  (Blocking bounds recall — the
+    # documented approximation.)
+    df = _vecs(
+        spark,
+        [(0, [10, 0]), (1, [0, 10]), (2, [10, 0.1]), (3, [0.1, 10])],
+    )
+    cells = {r["vec_id"]: r["cell"] for r in assign_cells(df, 2).collect()}
+    assert cells[0] != cells[1]  # anchors split
+    out = semantic_dedup(df, tau=0.99, n_cells=2).collect()
+    assert {r["vec_id"]: r["is_dup"] for r in out} == {
+        0: False, 1: False, 2: True, 3: True,
+    }
+
+
+def test_knn_graph_exact_within_cell(spark):
+    # one cell, 4 vectors at known angles: neighbors rank by cosine
+    df = _vecs(
+        spark,
+        [(0, [1, 0]), (1, [1, 0.1]), (2, [1, 0.5]), (3, [0, 1])],
+    )
+    out = knn_graph(df, k=2, n_cells=1)
+    got = {
+        (r["vec_id"], r["rank"]): r["nb_id"] for r in out.collect()
+    }
+    # vec 0's nearest is 1 (smallest angle), then 2
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2
+    # vec 3's nearest is 2 (closest angle to y-axis), then 1
+    assert got[(3, 1)] == 2 and got[(3, 2)] == 1
+
+
+def test_knn_graph_small_cell_emits_what_exists(spark):
+    df = _vecs(spark, [(0, [1, 0]), (1, [0, 1])])
+    out = knn_graph(df, k=5, n_cells=1).collect()
+    assert len(out) == 2  # each vector has exactly one neighbor
+    assert all(r["rank"] == 1 for r in out)
+
+
+def test_similarity_ops_stay_jvm_side(spark):
+    df = _vecs(spark, [(i, [float(i), 1.0]) for i in range(6)])
+    assert python_eval_nodes(semantic_dedup(df, n_cells=2)) == []
+    assert python_eval_nodes(knn_graph(df, k=2, n_cells=2)) == []
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join_blocked
+# ---------------------------------------------------------------------------
+
+
+def _parts(spark, rows):
+    return spark.createDataFrame(
+        rows, "p_partkey LONG, p_name STRING, p_brand STRING, p_size INT"
+    )
+
+
+def test_fuzzy_join_matches_within_block(spark):
+    df = _parts(
+        spark,
+        [
+            (1, "golden rod", "B1", 5),
+            (2, "golden rid", "B1", 5),     # dist 1, same block
+            (3, "golden rod", "B2", 5),     # identical text, other brand
+            (4, "silver bolt", "B1", 5),    # far
+            (5, "golden rodXY", "B1", 5),   # dist 2 via 2 inserts
+        ],
+    )
+    out = fuzzy_join_blocked(df, "p_partkey", "p_name", ["p_brand", "p_size"], 2)
+    got = {(r["key_a"], r["key_b"]): r["dist"] for r in out.collect()}
+    # exact expectations: (1,2) dist 1; (1,5) dist 2; (2,5) dist 3 -> excluded
+    assert got[(1, 2)] == 1
+    assert got[(1, 5)] == 2
+    assert (2, 5) not in got          # distance 3 exceeds the cap
+    assert all(a < b for a, b in got)  # ordered keys, no mirrored pairs
+    assert not any(3 in p or 4 in p for p in got)  # blocked / far rows
+
+
+def test_fuzzy_join_length_band_never_false_prunes(spark):
+    # dist <= 2 implies |len diff| <= 2: a 2-insert pair sits exactly
+    # on the band edge and must survive
+    df = _parts(spark, [(1, "abcd", "B", 1), (2, "abcdxy", "B", 1)])
+    out = fuzzy_join_blocked(df, "p_partkey", "p_name", ["p_brand", "p_size"], 2)
+    assert [(r["key_a"], r["key_b"], r["dist"]) for r in out.collect()] == [
+        (1, 2, 2)
+    ]
+
+
+def test_fuzzy_join_empty_and_jvm(spark):
+    df = _parts(spark, [])
+    out = fuzzy_join_blocked(df, "p_partkey", "p_name", ["p_brand", "p_size"], 2)
+    assert out.count() == 0
+    assert python_eval_nodes(out) == []
