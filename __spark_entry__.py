@@ -1611,6 +1611,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_dist=2,
         )
 
+    def ev_daily_hll_users(spark, sf):
+        """Per-day portable-HLL distinct-user estimates (r9b,
+        sketches.hll_by_group): ONE pass builds every day's 64
+        registers (one (day, register) aggregate, map-side combine),
+        exact per-day countDistinct rides along as the audit.  This
+        is the shape the sketch exists for at 100 TB — per-shard
+        registers MAX-merge without re-touching data."""
+        from community_detection_flink_spark.operators import sketches as SK
+
+        ev = load_table(spark, sf, "events").select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+        )
+        return SK.hll_by_group(ev, "user_id", ["day"])
+
+    def doc_char_entropy(spark, sf):
+        """Per-document character-distribution Shannon entropy (r9b,
+        textual.char_entropy) — the Gopher-rules-style repetition/
+        quality axis.  One char explode + one (doc, char) aggregate;
+        -p*ln p terms round to 9 decimals and sum through
+        DECIMAL(28,9) (the unigram_nll exactness contract)."""
+        return T.char_entropy(load_table(spark, sf, "documents"))
+
+    def emb_kmeans_refine(spark, sf):
+        """Two deterministic Lloyd k-means steps from the md5-sampled
+        init (r9b, similarity.kmeans_lloyd, k=8): components quantize
+        to int64 once, so recentered means are exact integer sums
+        divided once in double — an ITERATIVE algorithm whose final
+        (vec_id, cluster) assignment still hash-matches an unrolled
+        SQL oracle bit-for-bit."""
+        return S.kmeans_lloyd(load_table(spark, sf, "embeddings"), k=8, iters=2)
+
     def g_pagerank_weighted(spark, sf):
         """Weighted PageRank over the co-purchase graph with edge
         weight = number of orders the pair co-occurs in (derived here,
@@ -3533,6 +3564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_graph": emb_knn_graph,
         "ev_hll_distinct": ev_hll_distinct,
         "rel_fuzzy_part_match": rel_fuzzy_part_match,
+        "ev_daily_hll_users": ev_daily_hll_users,
+        "doc_char_entropy": doc_char_entropy,
+        "emb_kmeans_refine": emb_kmeans_refine,
         "wcc_incremental_localized": wcc_incremental_localized,
         "wcc_communities": wcc_communities,
         "wcc_stats": wcc_stats,
@@ -4151,6 +4185,56 @@ scored AS (
 SELECT vec_id, nb_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nb_id) AS rn
   FROM scored) WHERE rn <= {k}"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """emb_kmeans_refine differential oracle: the Lloyd iterations
+    unrolled as CTEs — quantize once, assign (d2 argmin, (d2, cid)
+    tie-break), recenter as exact int64 sums / count, reassign.
+    Bit-exact against ``similarity.kmeans_lloyd`` because every
+    float op is the identical fold / single division on both sides."""
+    d2 = (
+        "list_reduce(list_prepend(0.0, list_transform(range(len(e.dv)), "
+        "i -> (e.dv[i+1] - c.cvec[i+1]) * (e.dv[i+1] - c.cvec[i+1]))), "
+        "(x, y) -> x + y)"
+    )
+    parts = [
+        (
+            "q0 AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv "
+            "FROM embeddings)"
+        ),
+        (
+            "qd AS (SELECT vec_id, qv, "
+            "list_transform(qv, x -> CAST(x AS DOUBLE)) AS dv FROM q0)"
+        ),
+        (
+            "c0 AS (SELECT vec_id AS cid, dv AS cvec FROM qd "
+            "QUALIFY ROW_NUMBER() OVER (ORDER BY "
+            f"md5(CAST(vec_id AS VARCHAR) || ',42')) <= {k})"
+        ),
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""a{it} AS (SELECT vec_id, qv, dv, cell FROM (
+  SELECT e.vec_id, e.qv, e.dv, c.cid AS cell,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+  FROM qd e, c{it - 1} c) WHERE rn = 1)"""
+        )
+        if it < iters:
+            parts.append(
+                f"""c{it} AS (SELECT cell AS cid, list(v ORDER BY dim) AS cvec FROM (
+  SELECT a.cell, CAST(r.i AS BIGINT) AS dim,
+    CAST(SUM(a.qv[CAST(r.i AS INTEGER) + 1]) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS v
+  FROM a{it} a, UNNEST(range(len(a.qv))) r(i)
+  GROUP BY a.cell, r.i) GROUP BY cell)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, CAST(cell AS BIGINT) AS cluster FROM a{iters}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5041,6 +5125,53 @@ FROM part a JOIN part b
   AND a.p_partkey < b.p_partkey
   AND ABS(length(a.p_name) - length(b.p_name)) <= 2
 WHERE levenshtein(a.p_name, b.p_name) <= 2""",
+        "ev_daily_hll_users": """
+WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+    ((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
+  FROM events
+),
+regs AS (
+  SELECT day, h % 64 AS register,
+    CASE WHEN h // 64 = 0 THEN 26
+         ELSE 26 - length(bin(h // 64)) END AS rank
+  FROM h
+),
+br AS (
+  SELECT day, register, MAX(rank) AS max_rank
+  FROM regs GROUP BY day, register
+),
+est AS (
+  SELECT day,
+    2904.064 / (SUM(1.0 / CAST((CAST(1 AS BIGINT) << CAST(max_rank AS INTEGER))
+                               AS DOUBLE))
+                + CAST(64 - COUNT(*) AS DOUBLE)) AS hll_est
+  FROM br GROUP BY day
+),
+ex AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY day
+)
+SELECT e.day, x.n_exact, e.hll_est,
+  CAST(FLOOR(ABS(e.hll_est - x.n_exact) * 10000.0
+             / GREATEST(x.n_exact, 1)) AS BIGINT) AS err_bp
+FROM est e JOIN ex x USING (day)""",
+        "doc_char_entropy": """
+WITH ch AS (
+  SELECT doc_id, length(text) AS n,
+    substring(text, CAST(r.i AS INTEGER), 1) AS c
+  FROM documents, UNNEST(range(1, length(text) + 1)) r(i)
+  WHERE length(text) >= 1
+),
+cnt AS (SELECT doc_id, n, c, COUNT(*) AS k FROM ch GROUP BY doc_id, n, c)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+  CAST(COUNT(*) AS BIGINT) AS n_unique_chars,
+  CAST(SUM(CAST(ROUND(-(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                AS DECIMAL(28,9))) AS DOUBLE) AS entropy
+FROM cnt GROUP BY doc_id, n""",
+        "emb_kmeans_refine": _kmeans_sql(8, 2),
         "rel_q3_shipping_priority": """
 SELECT l_orderkey,
   epoch_us(o_orderdate) AS o_orderdate_us,

@@ -1524,3 +1524,104 @@ def knn_graph(
         .where(F.col("rank") <= int(k))
         .select(id_col, "nb_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    seed: int = 42,
+    scale_bits: int = 20,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic distributed k-means: ``iters`` Lloyd assignment
+    steps (with a mean-recenter between each) from the md5-sampled
+    initialization (``ivf_centroids``), returning the final
+    ``(vec_id, cluster)`` assignment — cluster ids are the initial
+    centroids' vec_ids, carried through recentering.
+
+    Exactness is by construction, not tolerance: components quantize
+    once to integers (``floor(x·2^scale_bits)`` — exact for |x| < 2³¹⁻ˢ
+    since scaling by a power of two and floor are both exact IEEE
+    ops), so recentered means are exact int64 sums divided ONCE in
+    double — bit-identical in any engine and under any partitioning /
+    summation order.  That makes an iterative, data-dependent
+    algorithm fully hash-comparable against an unrolled SQL oracle —
+    the same trick the WCC pipeline cannot use (its per-round state is
+    float) and the reason this operator gets an exact oracle while
+    ``wcc_communities`` needs a differential one.
+
+    Scale shape per iteration: one broadcast of k centroid rows (the
+    corpus NEVER shuffles for assignment — argmin collapses map-side,
+    the groupBy moves n rows), one ``posexplode`` to (cell, dim)
+    partial sums (map-side combine; shuffle ≤ k·d rows).  Clusters
+    that lose all members vanish, as in any Lloyd implementation.
+    """
+    scale = float(1 << scale_bits)
+
+    def _quantize(col: Column) -> Column:
+        return F.transform(
+            col, lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long")
+        )
+
+    q = emb.select(
+        id_col, _quantize(F.col("embedding")).alias("qv")
+    ).withColumn("dv", F.transform("qv", lambda v: v.cast("double")))
+    cur = ivf_centroids(emb, k, seed).select(
+        F.col(id_col).alias("_cid"),
+        F.transform(
+            _quantize(F.col("embedding")), lambda v: v.cast("double")
+        ).alias("_cvec"),
+    )
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("dv"), F.col("_cvec"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = q.crossJoin(F.broadcast(cents)).select(
+            id_col, "qv", F.col("_cid"), d2.alias("_d2")
+        )
+        return scored.groupBy(id_col).agg(
+            F.first("qv").alias("qv"),
+            F.min(F.struct(F.col("_d2"), F.col("_cid").alias("cell"))).alias(
+                "_b"
+            ),
+        ).select(
+            id_col,
+            "qv",
+            F.transform("qv", lambda v: v.cast("double")).alias("dv"),
+            F.col("_b.cell").alias("cell"),
+        )
+
+    assigned = _assign(cur)
+    for _ in range(int(iters) - 1):
+        per_dim = (
+            assigned.select("cell", F.posexplode("qv").alias("dim", "_qc"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("_qc").alias("_s"), F.count("*").alias("_c"))
+        )
+        cur = (
+            per_dim.select(
+                "cell",
+                "dim",
+                (F.col("_s").cast("double") / F.col("_c").cast("double")).alias(
+                    "_v"
+                ),
+            )
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "_v"))).alias("_a")
+            )
+            .select(
+                F.col("cell").alias("_cid"),
+                F.transform("_a", lambda s: s["_v"]).alias("_cvec"),
+            )
+        )
+        assigned = _assign(cur)
+    return assigned.select(
+        id_col, F.col("cell").cast("long").alias("cluster")
+    )

@@ -473,3 +473,66 @@ def hll_portable(df: DataFrame, col: str, p: int = 6) -> DataFrame:
         ).alias("err_bp"),
     )
     return by_reg.crossJoin(F.broadcast(audit))
+
+
+def hll_by_group(
+    df: DataFrame, col: str, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Per-group engine-portable HLL estimates — the shape the sketch
+    exists for at 100 TB: one pass builds every group's ``m = 2^p``
+    registers simultaneously (ONE ``(group, register)`` aggregate with
+    map-side combine; the shuffle carries ≤ m rows per group per
+    partition), then a per-group fold yields the raw estimate.  A
+    per-group exact ``countDistinct`` rides along as the audit
+    baseline (the check, not the data path — at scale you'd drop it).
+
+    Same bit-reproducibility argument as :func:`hll_portable` (single
+    universal hash, dyadic-exact ``1/shiftleft`` terms, no libm).
+    Output: one row per group ``(<group cols>, n_exact, hll_est,
+    err_bp)``.
+    """
+    m = 1 << p
+    alpha = _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+    width = 31 - p
+    key = F.col(col).cast("long")
+    h = ((key % _CMS_PRIME) * F.lit(_HLL_A) + F.lit(_HLL_B)) % F.lit(_CMS_PRIME)
+    regs = df.select(*group_cols, h.alias("_h")).select(
+        *group_cols,
+        (F.col("_h") % m).alias("register"),
+        F.expr(f"_h div {m}").alias("_w"),
+    ).select(
+        *group_cols,
+        "register",
+        F.when(F.col("_w") == 0, F.lit(width + 1))
+        .otherwise(F.lit(width + 1) - F.length(F.bin("_w")))
+        .cast("long")
+        .alias("rank"),
+    )
+    by_reg = regs.groupBy(*group_cols, "register").agg(
+        F.max("rank").alias("max_rank")
+    )
+    term = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(max_rank AS INT)) AS DOUBLE)"
+    )
+    est = by_reg.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("_n_set"),
+        F.sum(term).alias("_s_set"),
+    ).select(
+        *group_cols,
+        (
+            F.lit(float(alpha * m * m))
+            / (F.col("_s_set") + (F.lit(m) - F.col("_n_set")).cast("double"))
+        ).alias("hll_est"),
+    )
+    exact = df.groupBy(*group_cols).agg(
+        F.countDistinct(col).cast("long").alias("n_exact")
+    )
+    return est.join(exact, group_cols).select(
+        *group_cols,
+        "n_exact",
+        "hll_est",
+        F.expr(
+            "CAST(floor(abs(hll_est - n_exact) * 10000.0 "
+            "/ greatest(n_exact, 1)) AS BIGINT)"
+        ).alias("err_bp"),
+    )

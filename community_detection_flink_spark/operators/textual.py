@@ -714,3 +714,40 @@ def mixture_sample(
         )
         .select(F.col(key).alias("source"), "n_docs", "quota", "n_sampled", "chars_sampled")
     )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (in
+    nats) — the classic cheap quality/repetition signal: natural prose
+    sits near the language's ~3-nat ceiling, boilerplate and
+    mode-collapsed generations sit far below it (a Gopher-rules-style
+    filter axis alongside ``quality_score`` and ``repetition_stats``).
+
+    One char-level explode (``n_chars`` total rows), one
+    ``(doc_id, char)`` hash aggregate with map-side combine, one
+    per-doc fold — the document length rides along so no join back is
+    needed.  Exactness contract (the ``unigram_nll`` pattern): each
+    ``−p·ln p`` term rounds to 9 decimals (libm ulp differences sit
+    at ~1e-15) and sums through DECIMAL(28,9) — order-independent and
+    oracle-hashable.  Empty documents emit no row.
+
+    Output: ``(doc_id, n_chars, n_unique_chars, entropy)``.
+    """
+    chars = docs.where(F.length("text") >= 1).select(
+        "doc_id",
+        F.length("text").alias("_n"),
+        F.expr(
+            "explode(transform(sequence(1, length(text)),"
+            " i -> substring(text, i, 1)))"
+        ).alias("_c"),
+    )
+    counts = chars.groupBy("doc_id", "_n", "_c").agg(
+        F.count("*").alias("_k")
+    )
+    p = F.col("_k").cast("double") / F.col("_n").cast("double")
+    term = F.round(-p * F.log(p), 9).cast("decimal(28,9)")
+    return counts.groupBy("doc_id").agg(
+        F.first("_n").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_unique_chars"),
+        F.sum(term).cast("double").alias("entropy"),
+    )

@@ -359,3 +359,35 @@ def test_round9b_operators_plan_shape(spark):
     # condition/filter, never as a crossJoin over unblocked pairs
     assert "CartesianProduct" not in fz_plan
     assert executed_exchange_count(fz) <= 2
+
+
+def test_round9b_late_operators_plan_shape(spark):
+    """Grouped HLL: no sort-merge joins (the per-group audit join may
+    broadcast), bounded shuffles of register rows.  Char entropy: the
+    explode feeds ONE (doc, char) aggregate — no join anywhere (doc
+    length rides along).  k-means: the corpus assignment never
+    sort-merges — centroids always broadcast."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from community_detection_flink_spark.plans.explain import (
+        executed_exchange_count,
+    )
+
+    qs = entry_mod.queries()
+
+    dh = qs["ev_daily_hll_users"](spark, SF)
+    assert python_eval_nodes(dh) == []
+    assert executed_exchange_count(dh) <= 5
+
+    ce = qs["doc_char_entropy"](spark, SF)
+    assert python_eval_nodes(ce) == []
+    ce_plan = ce._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in ce_plan
+    assert executed_exchange_count(ce) <= 2  # (doc,char) agg + per-doc agg
+
+    km = qs["emb_kmeans_refine"](spark, SF)
+    assert python_eval_nodes(km) == []
+    km_plan = km._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in km_plan  # centroids broadcast every pass

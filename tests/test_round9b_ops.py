@@ -209,3 +209,93 @@ def test_fuzzy_join_empty_and_jvm(spark):
     out = fuzzy_join_blocked(df, "p_partkey", "p_name", ["p_brand", "p_size"], 2)
     assert out.count() == 0
     assert python_eval_nodes(out) == []
+
+
+# ---------------------------------------------------------------------------
+# hll_by_group / char_entropy / kmeans_lloyd
+# ---------------------------------------------------------------------------
+
+
+def test_hll_by_group_consistent_with_global(spark):
+    from community_detection_flink_spark.operators.sketches import hll_by_group
+
+    df = (
+        spark.range(1000)
+        .select(F.col("id").alias("k"))
+        .withColumn("g", F.when(F.col("k") < 400, "a").otherwise("b"))
+    )
+    rows = {r["g"]: r for r in hll_by_group(df, "k", ["g"]).collect()}
+    assert rows["a"]["n_exact"] == 400 and rows["b"]["n_exact"] == 600
+    # the estimate for group a must equal hll_portable run on group a
+    # alone (same registers, same fold)
+    from community_detection_flink_spark.operators.sketches import hll_portable
+
+    solo = hll_portable(df.where(F.col("g") == "a"), "k").first()
+    assert rows["a"]["hll_est"] == solo["hll_est"]
+    assert all(r["err_bp"] >= 0 for r in rows.values())
+
+
+def test_hll_by_group_stays_jvm(spark):
+    from community_detection_flink_spark.operators.sketches import hll_by_group
+
+    df = spark.range(10).select(F.col("id").alias("k"), F.lit("g").alias("g"))
+    assert python_eval_nodes(hll_by_group(df, "k", ["g"])) == []
+
+
+def _docs_text(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from community_detection_flink_spark.operators.textual import char_entropy
+
+    out = {
+        r["doc_id"]: r
+        for r in char_entropy(
+            _docs_text(spark, [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "")])
+        ).collect()
+    }
+    assert out[1]["entropy"] == 0.0 and out[1]["n_unique_chars"] == 1
+    assert abs(out[2]["entropy"] - math.log(2)) < 1e-8
+    assert abs(out[3]["entropy"] - math.log(4)) < 1e-8
+    assert out[3]["n_chars"] == 4 and out[3]["n_unique_chars"] == 4
+    assert 4 not in out  # empty doc emits no row
+
+
+def test_char_entropy_stays_jvm(spark):
+    from community_detection_flink_spark.operators.textual import char_entropy
+
+    assert python_eval_nodes(char_entropy(_docs_text(spark, [(1, "xy")]))) == []
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from community_detection_flink_spark.operators.similarity import kmeans_lloyd
+
+    df = _vecs(
+        spark,
+        [(0, [0, 0]), (1, [0.1, 0]), (2, [10, 10]), (3, [10.1, 10])],
+    )
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd(df, k=2, iters=2).collect()}
+    # whatever the md5 init picked, after one recenter the second
+    # assignment must split the two tight clusters cleanly
+    assert out[0] == out[1] and out[2] == out[3] and out[0] != out[2]
+
+
+def test_kmeans_partitioning_invariant(spark):
+    # the exact-integer-mean contract: the result is bit-identical
+    # under any physical partitioning / summation order
+    from community_detection_flink_spark.operators.similarity import kmeans_lloyd
+
+    df = _vecs(spark, [(i, [(i * 7 % 13) / 3.0, (i * 5 % 11) / 2.0]) for i in range(40)])
+    a = sorted(map(tuple, kmeans_lloyd(df, k=4, iters=3).collect()))
+    b = sorted(map(tuple, kmeans_lloyd(df.repartition(7), k=4, iters=3).collect()))
+    assert a == b
+
+
+def test_kmeans_stays_jvm(spark):
+    from community_detection_flink_spark.operators.similarity import kmeans_lloyd
+
+    df = _vecs(spark, [(i, [float(i), 1.0]) for i in range(8)])
+    assert python_eval_nodes(kmeans_lloyd(df, k=2, iters=2)) == []
