@@ -1642,6 +1642,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         SQL oracle bit-for-bit."""
         return S.kmeans_lloyd(load_table(spark, sf, "embeddings"), k=8, iters=2)
 
+    def ev_histogram_quantiles(spark, sf):
+        """Mergeable equi-width histogram quantiles (r9b,
+        sketches.histogram_quantiles): p50/p90/p99 of event value from
+        a 256-bin histogram whose counts ADD across shards — the
+        engine-portable quantile path next to the KLL quality
+        contract.  Every float op is deterministic IEEE, so the bin
+        edges hash-match with no rounding."""
+        from community_detection_flink_spark.operators import sketches as SK
+
+        return SK.histogram_quantiles(load_table(spark, sf, "events"), "value")
+
+    def emb_dup_clusters(spark, sf):
+        """End-to-end semantic dedup clusters (r9b): thresholded
+        cell-blocked kNN edges (similarity.knn_graph, cosine >= 0.25)
+        transitively closed by star-contraction connected components
+        (components.connected_components) — the full pipeline from
+        raw embeddings to dedup group ids with sizes, every stage
+        reused from certified operators.  Oracle: the same kNN CTEs +
+        30 unrolled min-label rounds (>= diameter at gate scale)."""
+        from community_detection_flink_spark.operators import components as CC
+
+        emb = load_table(spark, sf, "embeddings")
+        g = S.knn_graph(emb, k=3)
+        pairs = g.where(F.col("cosine") >= 0.25).select("vec_id", "nb_id")
+        comp = CC.connected_components(pairs, vertices=emb.select("vec_id"))
+        assign = comp.select(
+            F.col("vId").alias("vec_id"), F.col("comp").alias("cluster_id")
+        )
+        sizes = assign.groupBy("cluster_id").agg(
+            F.count("*").cast("long").alias("cluster_size")
+        )
+        return assign.join(sizes, "cluster_id").select(
+            "vec_id", "cluster_id", "cluster_size"
+        )
+
     def g_pagerank_weighted(spark, sf):
         """Weighted PageRank over the co-purchase graph with edge
         weight = number of orders the pair co-occurs in (derived here,
@@ -3567,6 +3602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_daily_hll_users": ev_daily_hll_users,
         "doc_char_entropy": doc_char_entropy,
         "emb_kmeans_refine": emb_kmeans_refine,
+        "ev_histogram_quantiles": ev_histogram_quantiles,
+        "emb_dup_clusters": emb_dup_clusters,
         "wcc_incremental_localized": wcc_incremental_localized,
         "wcc_communities": wcc_communities,
         "wcc_stats": wcc_stats,
@@ -4185,6 +4222,50 @@ scored AS (
 SELECT vec_id, nb_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nb_id) AS rn
   FROM scored) WHERE rn <= {k}"""
+
+
+def _dup_clusters_sql(k: int = 3, tau: float = 0.25, rounds: int = 30) -> str:
+    """emb_dup_clusters exact oracle: the kNN CTEs (cells + within-cell
+    top-k + cosine threshold), symmetric closure, then ``rounds``
+    unrolled min-label propagations (idempotent past the fixed point —
+    the ``_cc_minlabel_sql`` trick; knn-cluster diameters at gate
+    scale are far below 30, and a too-low round count would show up as
+    a hash mismatch, not a silent wrong answer)."""
+    parts = [
+        f"""knn AS MATERIALIZED (
+  SELECT vec_id, nb_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, nb_id) AS rn
+    FROM scored) WHERE rn <= {k} AND cosine >= {tau!r}
+)""",
+        """e AS MATERIALIZED (
+  SELECT vec_id AS src, nb_id AS dst FROM knn
+  UNION SELECT nb_id, vec_id FROM knn
+)""",
+        "l0 AS MATERIALIZED (SELECT src AS vId, MIN(LEAST(src, dst)) AS lab"
+        " FROM e GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT e.src AS vId,"
+            f" MIN(LEAST(a.lab, b.lab)) AS lab"
+            f" FROM e JOIN l{i-1} a ON a.vId = e.src"
+            f" JOIN l{i-1} b ON b.vId = e.dst GROUP BY e.src)"
+        )
+    return f"""
+WITH {_cells_sql()},
+scored AS (
+  SELECT a.vec_id, b.vec_id AS nb_id, {_PAIR_COS} AS cosine
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+),
+{",".join(parts)},
+comp AS (
+  SELECT em.vec_id, COALESCE(l.lab, em.vec_id) AS cluster_id
+  FROM embeddings em LEFT JOIN l{rounds} l ON l.vId = em.vec_id
+)
+SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM comp"""
 
 
 def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
@@ -5172,6 +5253,38 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
                 AS DECIMAL(28,9))) AS DOUBLE) AS entropy
 FROM cnt GROUP BY doc_id, n""",
         "emb_kmeans_refine": _kmeans_sql(8, 2),
+        "ev_histogram_quantiles": """
+WITH s AS (
+  SELECT MIN(CAST(value AS DOUBLE)) AS lo, MAX(CAST(value AS DOUBLE)) AS hi,
+         CAST(COUNT(value) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL
+  HAVING COUNT(value) > 0
+),
+b AS (
+  SELECT CASE WHEN s.hi = s.lo THEN 0
+              ELSE LEAST(CAST(FLOOR((CAST(e.value AS DOUBLE) - s.lo)
+                                    / ((s.hi - s.lo) / 256.0)) AS BIGINT), 255)
+         END AS bin
+  FROM events e, s WHERE e.value IS NOT NULL
+),
+hist AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS k FROM b GROUP BY bin),
+cum AS (
+  SELECT bin, SUM(k) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM hist
+),
+qv AS (SELECT CAST(x AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) t(x)),
+hit AS (
+  SELECT q, bin, cum_n, ROW_NUMBER() OVER (PARTITION BY q ORDER BY bin) AS rn
+  FROM cum, qv, s WHERE CAST(cum_n AS DOUBLE) >= q * CAST(s.n AS DOUBLE)
+)
+SELECT h.q, h.bin,
+  s.lo + CAST(h.bin AS DOUBLE)
+    * (CASE WHEN s.hi = s.lo THEN 0.0 ELSE (s.hi - s.lo) / 256.0 END) AS bin_lo,
+  s.lo + CAST(h.bin + 1 AS DOUBLE)
+    * (CASE WHEN s.hi = s.lo THEN 0.0 ELSE (s.hi - s.lo) / 256.0 END) AS bin_hi,
+  CAST(h.cum_n AS BIGINT) AS cum_n, s.n
+FROM hit h, s WHERE h.rn = 1""",
+        "emb_dup_clusters": _dup_clusters_sql(3, 0.25, 30),
         "rel_q3_shipping_priority": """
 SELECT l_orderkey,
   epoch_us(o_orderdate) AS o_orderdate_us,

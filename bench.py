@@ -60,6 +60,18 @@ HEADLINE = [
     "rel_zorder_prune",       # Z-order vs linear layout pruning
     "emb_dup_threshold_curve",# cosine cutoff grid from one pair pass
     "rel_merge_upsert",       # MERGE upsert (broadcast join + union)
+    # round-9 additions
+    "ev_cms_heavy_hitters",   # portable Count-Min heavy-hitter audit
+    "doc_mixture_sample",     # deterministic mixture sampling
+    "emb_semantic_dedup",     # SemDeDup within Voronoi cells
+    "emb_knn_graph",          # cell-blocked kNN graph
+    "ev_hll_distinct",        # portable HLL registers + estimate
+    "rel_fuzzy_part_match",   # blocked Levenshtein linkage
+    "ev_daily_hll_users",     # per-day HLL distinct estimates
+    "doc_char_entropy",       # char-distribution entropy scoring
+    "emb_kmeans_refine",      # 2 deterministic Lloyd k-means steps
+    "ev_histogram_quantiles", # mergeable 256-bin quantiles
+    "emb_dup_clusters",       # kNN edges -> CC dedup clusters
 ]
 
 # the round-1 HEADLINE (BENCH_r01.json): its subtotal is the

@@ -536,3 +536,82 @@ def hll_by_group(
             "/ greatest(n_exact, 1)) AS BIGINT)"
         ).alias("err_bp"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 256,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable equi-width-histogram quantiles — the engine-portable
+    complement to the KLL quality contract (``kll_quantile_within``):
+    bin counts ADD across partitions/shards/days, so at 100 TB the
+    histogram is a ≤``n_bins``-row mergeable state and the quantile
+    read never re-touches the data.
+
+    One (min, max, count) pass broadcasts as a 1-row bound; binning is
+    a pure projection (``floor((x − lo)/w)``, top bin clamped); the
+    quantile answer for each ``q`` is the first bin whose cumulative
+    count reaches ``q·n`` — rank error ≤ one bin width by
+    construction.  Every float op (the single width division, the
+    per-row bin, the bin edges) is deterministic IEEE on identical
+    inputs, so the output hash-matches a SQL replay with no rounding.
+
+    Output: one row per ``q`` — ``(q, bin, bin_lo, bin_hi, cum_n,
+    n)``; a constant column (min == max) degenerates to bin 0 with
+    width 0.  Empty/all-NULL input emits no rows.
+    """
+    v = F.col(col).cast("double")
+    stats = df.where(v.isNotNull()).agg(
+        F.min(v).alias("_lo"),
+        F.max(v).alias("_hi"),
+        F.count(v).cast("long").alias("n"),
+    ).where(F.col("n") > 0).persist()
+    # ^ one cached row, read by TWO broadcasts (binning + the quantile
+    # threshold join) — without the cache the raw min/max scan would
+    # execute twice (the bloom_semi_prune ADVICE r8 pattern)
+    w = F.when(F.col("_hi") == F.col("_lo"), F.lit(0.0)).otherwise(
+        (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    )
+    binned = df.where(v.isNotNull()).crossJoin(F.broadcast(stats)).select(
+        F.when(w == 0.0, F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor((v - F.col("_lo")) / w), F.lit(n_bins - 1).cast("long")
+            )
+        )
+        .alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").cast("long").alias("k"))
+    from pyspark.sql import Window
+
+    cum = hist.withColumn(
+        "cum_n",
+        F.sum("k").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    qdf = F.broadcast(
+        df.sparkSession.range(1).select(
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+        )
+    )
+    hit = (
+        cum.crossJoin(qdf)
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("cum_n").cast("double") >= F.col("q") * F.col("n").cast("double"))
+    )
+    from pyspark.sql.window import Window as W
+
+    first = hit.withColumn(
+        "_rn", F.row_number().over(W.partitionBy("q").orderBy("bin"))
+    ).where(F.col("_rn") == 1)
+    return first.select(
+        "q",
+        "bin",
+        (F.col("_lo") + F.col("bin").cast("double") * w).alias("bin_lo"),
+        (F.col("_lo") + (F.col("bin") + 1).cast("double") * w).alias("bin_hi"),
+        F.col("cum_n").cast("long").alias("cum_n"),
+        "n",
+    )

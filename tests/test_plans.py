@@ -391,3 +391,31 @@ def test_round9b_late_operators_plan_shape(spark):
     assert python_eval_nodes(km) == []
     km_plan = km._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in km_plan  # centroids broadcast every pass
+
+
+def test_histogram_and_dup_clusters_plan_shape(spark):
+    """Histogram quantiles: the raw scan feeds ONE bin aggregate; the
+    bounds/quantile machinery is all broadcast over <=256-row state.
+    Dup clusters: no cartesian anywhere; the kNN stage keys on cell,
+    the CC rounds are materialized star contractions."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from community_detection_flink_spark.plans.explain import (
+        executed_exchange_count,
+    )
+
+    qs = entry_mod.queries()
+
+    hq = qs["ev_histogram_quantiles"](spark, SF)
+    assert python_eval_nodes(hq) == []
+    plan = hq._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # stats agg + bin agg + 256-row cumsum window + per-q rank window
+    assert executed_exchange_count(hq) <= 4
+
+    dc = qs["emb_dup_clusters"](spark, SF)
+    assert python_eval_nodes(dc) == []
+    dc_plan = dc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in dc_plan

@@ -299,3 +299,87 @@ def test_kmeans_stays_jvm(spark):
 
     df = _vecs(spark, [(i, [float(i), 1.0]) for i in range(8)])
     assert python_eval_nodes(kmeans_lloyd(df, k=2, iters=2)) == []
+
+
+# ---------------------------------------------------------------------------
+# histogram_quantiles / dup clusters composition
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantiles_uniform(spark):
+    from community_detection_flink_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.range(1000).select((F.col("id").cast("double")).alias("v"))
+    out = {r["q"]: r for r in histogram_quantiles(df, "v").collect()}
+    assert set(out) == {0.5, 0.9, 0.99}
+    # uniform 0..999 into 256 bins: the q-quantile bin's span must
+    # bracket the true quantile (rank error <= one bin width)
+    for q, r in out.items():
+        true = q * 999
+        assert r["bin_lo"] <= true <= r["bin_hi"] + (999 / 256.0)
+        assert r["n"] == 1000
+        assert r["cum_n"] >= q * 1000
+    assert out[0.99]["bin"] > out[0.5]["bin"]
+
+
+def test_histogram_quantiles_bins_merge_by_addition(spark):
+    # the mergeable contract: histograms of two halves ADD to the
+    # whole (bin function depends only on global lo/hi, which a
+    # shard-merge pipeline computes first — model that here by
+    # checking quantile answers agree between one pass and a union)
+    from community_detection_flink_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    a = spark.range(500).select(F.col("id").cast("double").alias("v"))
+    b = spark.range(500, 1000).select(F.col("id").cast("double").alias("v"))
+    whole = spark.range(1000).select(F.col("id").cast("double").alias("v"))
+    u = histogram_quantiles(a.unionByName(b), "v").collect()
+    w = histogram_quantiles(whole, "v").collect()
+    assert sorted(map(tuple, u)) == sorted(map(tuple, w))
+
+
+def test_histogram_quantiles_degenerate(spark):
+    from community_detection_flink_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    const = spark.range(10).select(F.lit(7.5).alias("v"))
+    rows = histogram_quantiles(const, "v").collect()
+    assert all(r["bin"] == 0 and r["bin_lo"] == 7.5 for r in rows)
+    empty = spark.createDataFrame([], "v DOUBLE")
+    assert histogram_quantiles(empty, "v").count() == 0
+
+
+def test_histogram_quantiles_stays_jvm(spark):
+    from community_detection_flink_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.range(50).select(F.col("id").cast("double").alias("v"))
+    assert python_eval_nodes(histogram_quantiles(df, "v")) == []
+
+
+def test_dup_clusters_transitive_closure(spark):
+    # A~B and B~C above tau but A!~C: all three must land in ONE
+    # cluster (the transitivity the pair operators alone can't give)
+    from community_detection_flink_spark.operators import components as CC
+    from community_detection_flink_spark.operators.similarity import knn_graph
+
+    df = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.4358898943540673]),   # cos(0,1) ~ 0.9
+            (2, [0.62, 0.7846018098373213]),  # cos(1,2) ~ 0.9, cos(0,2) ~ 0.62
+            (3, [-1.0, 0.05]),                # far from everything
+        ],
+    )
+    g = knn_graph(df, k=3, n_cells=1)
+    pairs = g.where(F.col("cosine") >= 0.85).select("vec_id", "nb_id")
+    comp = CC.connected_components(pairs, vertices=df.select("vec_id"))
+    got = {r["vId"]: r["comp"] for r in comp.collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == 3  # isolated vertex keeps its own id

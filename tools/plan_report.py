@@ -96,6 +96,16 @@ AUDIT = [
     # round 9
     ("ev_cms_heavy_hitters", "portable Count-Min audit: one corpus pass builds the ≤512-counter sketch (map-side combine), top-20 probe joins it broadcast"),
     ("doc_mixture_sample", "mixture sampling: per-source quotas broadcast onto the corpus scan, membership a pure int64 map — corpus never shuffles"),
+    # round 9b
+    ("emb_semantic_dedup", "SemDeDup: ≤√n centroids broadcast (corpus never shuffles for assignment), pairs form ONLY within a cell, dup-id verdict set broadcast back"),
+    ("emb_knn_graph", "cell-blocked kNN graph: one cell-keyed self-join + one per-vector window, centroids broadcast"),
+    ("ev_hll_distinct", "portable HLL: register aggregate collapses map-side (≤64 rows shuffle), audit row assembled by broadcast crossJoins"),
+    ("ev_daily_hll_users", "per-day HLL: ONE (day, register) aggregate builds every day's registers, per-day fold + audit join"),
+    ("rel_fuzzy_part_match", "blocked fuzzy linkage: self-join keyed on (brand, size), length band prunes before the levenshtein DP, no cartesian"),
+    ("doc_char_entropy", "char entropy: one char explode feeding one (doc, char) aggregate — doc length rides along, zero joins"),
+    ("emb_kmeans_refine", "deterministic Lloyd k-means: centroids broadcast every pass (corpus never shuffles for assignment), recenter is a ≤k·d-row partial-sum shuffle"),
+    ("ev_histogram_quantiles", "mergeable histogram quantiles: raw scan feeds ONE bin aggregate; bounds + quantile ranks all broadcast over ≤256-row state"),
+    ("emb_dup_clusters", "thresholded kNN edges transitively closed by star-contraction CC: cell-keyed joins only, no cartesian, rounds parquet-materialized"),
 ]
 
 
