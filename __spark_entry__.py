@@ -3429,6 +3429,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_ann": emb_lsh_ann,
         "emb_ivf_ann": emb_ivf_ann,
         "emb_ivfpq_ann": emb_ivfpq_ann,
+        # first driver hash-certification: the eleven r9b operators
+        # (all hash-green at sf0.001/0.01/0.1 in the committed local
+        # sweeps before entering the gate) — they displace the last
+        # 11 re-certification rows of the r9 rotation below the cap,
+        # which keep per-round local-sweep evidence
+        "emb_semantic_dedup": emb_semantic_dedup,
+        "emb_knn_graph": emb_knn_graph,
+        "emb_kmeans_refine": emb_kmeans_refine,
+        "emb_dup_clusters": emb_dup_clusters,
+        "ev_hll_distinct": ev_hll_distinct,
+        "ev_daily_hll_users": ev_daily_hll_users,
+        "ev_histogram_quantiles": ev_histogram_quantiles,
+        "ev_cms_heavy_hitters": ev_cms_heavy_hitters,
+        "doc_mixture_sample": doc_mixture_sample,
+        "doc_char_entropy": doc_char_entropy,
+        "rel_fuzzy_part_match": rel_fuzzy_part_match,
         # named r9 rotation block: all 22 entries whose newest driver
         # artifact was CORRECTNESS_r05
         "rel_scd2": rel_scd2,
@@ -3592,18 +3608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_community_stats": g_community_stats,
         "g_adjacency": g_adjacency,
         "rel_distinct_counts": rel_distinct_counts,
-        # new in r9, below the cap (r10 rotation candidates)
-        "ev_cms_heavy_hitters": ev_cms_heavy_hitters,
-        "doc_mixture_sample": doc_mixture_sample,
-        "emb_semantic_dedup": emb_semantic_dedup,
-        "emb_knn_graph": emb_knn_graph,
-        "ev_hll_distinct": ev_hll_distinct,
-        "rel_fuzzy_part_match": rel_fuzzy_part_match,
-        "ev_daily_hll_users": ev_daily_hll_users,
-        "doc_char_entropy": doc_char_entropy,
-        "emb_kmeans_refine": emb_kmeans_refine,
-        "ev_histogram_quantiles": ev_histogram_quantiles,
-        "emb_dup_clusters": emb_dup_clusters,
+        # (the 11 r9/r9b operators moved INTO the gate prefix above
+        # for their first driver certification)
         "wcc_incremental_localized": wcc_incremental_localized,
         "wcc_communities": wcc_communities,
         "wcc_stats": wcc_stats,

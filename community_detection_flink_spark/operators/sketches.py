@@ -602,10 +602,8 @@ def histogram_quantiles(
         .crossJoin(F.broadcast(stats))
         .where(F.col("cum_n").cast("double") >= F.col("q") * F.col("n").cast("double"))
     )
-    from pyspark.sql.window import Window as W
-
     first = hit.withColumn(
-        "_rn", F.row_number().over(W.partitionBy("q").orderBy("bin"))
+        "_rn", F.row_number().over(Window.partitionBy("q").orderBy("bin"))
     ).where(F.col("_rn") == 1)
     return first.select(
         "q",
