@@ -383,3 +383,60 @@ def test_dup_clusters_transitive_closure(spark):
     got = {r["vId"]: r["comp"] for r in comp.collect()}
     assert got[0] == got[1] == got[2] == 0
     assert got[3] == 3  # isolated vertex keeps its own id
+
+
+def test_hll_registers_stream_merge_matches_batch(spark):
+    """The mergeability contract under Structured Streaming: registers
+    built per micro-batch (foreachBatch over a multi-file parquet
+    source, one file per trigger) and MAX-merged across batches must
+    equal the batch registers.  The per-batch build re-derives the
+    register expressions independently of sketches.hll_portable."""
+    import tempfile
+
+    keys = spark.range(5000).select((F.col("id") * 37 % 100000).alias("k"))
+    src = tempfile.mkdtemp(prefix="cdfs-hll-src-")
+    ckpt = tempfile.mkdtemp(prefix="cdfs-hll-ckpt-")
+    keys.repartition(4).write.mode("overwrite").parquet(src)
+
+    merged: dict[int, int] = {}
+
+    def _regs(df):
+        h = ((F.col("k") % 2147483647) * 1103515245 + 12345) % 2147483647
+        return (
+            df.select(h.alias("_h"))
+            .select((F.col("_h") % 64).alias("r"), F.expr("_h div 64").alias("w"))
+            .select(
+                "r",
+                F.when(F.col("w") == 0, F.lit(26))
+                .otherwise(F.lit(26) - F.length(F.bin("w")))
+                .alias("rank"),
+            )
+            .groupBy("r")
+            .agg(F.max("rank").alias("m"))
+        )
+
+    n_batches = []
+
+    def _merge(batch_df, batch_id):
+        n_batches.append(batch_id)
+        for row in _regs(batch_df).collect():
+            merged[row["r"]] = max(merged.get(row["r"], 0), row["m"])
+
+    q = (
+        spark.readStream.schema("k LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(n_batches) >= 2  # the merge actually spanned shards
+
+    from community_detection_flink_spark.operators.sketches import hll_portable
+
+    want = {
+        r["register"]: r["max_rank"] for r in hll_portable(keys, "k").collect()
+    }
+    assert merged == want
