@@ -440,3 +440,48 @@ def test_hll_registers_stream_merge_matches_batch(spark):
         r["register"]: r["max_rank"] for r in hll_portable(keys, "k").collect()
     }
     assert merged == want
+
+
+def test_histogram_bins_stream_add_matches_batch(spark):
+    """The histogram's merge rule is ADDITION of bin counts under
+    fixed global bounds (a shard pipeline computes lo/hi first, then
+    bins shards independently): per-micro-batch bin counts summed
+    across a one-file-per-trigger stream must equal the batch bins."""
+    import tempfile
+
+    vals = spark.range(2000).select((F.col("id") % 997).cast("double").alias("v"))
+    src = tempfile.mkdtemp(prefix="cdfs-hist-src-")
+    ckpt = tempfile.mkdtemp(prefix="cdfs-hist-ckpt-")
+    vals.repartition(4).write.mode("overwrite").parquet(src)
+    lo, hi = 0.0, 996.0
+    w = (hi - lo) / 256.0
+
+    def _bins(df):
+        return (
+            df.select(
+                F.least(
+                    F.floor((F.col("v") - F.lit(lo)) / F.lit(w)), F.lit(255)
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias("k"))
+        )
+
+    acc: dict[int, int] = {}
+
+    def _merge(batch_df, _):
+        for r in _bins(batch_df).collect():
+            acc[r["bin"]] = acc.get(r["bin"], 0) + r["k"]
+
+    q = (
+        spark.readStream.schema("v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = {r["bin"]: r["k"] for r in _bins(vals).collect()}
+    assert acc == want
