@@ -1550,8 +1550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_mixture_sample(spark, sf):
         """Deterministic dataset-mixture sampling (r9,
-        textual.mixture_sample): per-source quotas from srcN-derived
-        weights and a half-corpus budget, membership a pure int64
+        textual.mixture_sample): per-source quotas from
+        lexicographic-rank weights (regexp-free, r10 env-proofing) and
+        a half-corpus budget, membership a pure int64
         function of doc_id (restart/cluster/engine-stable — no RNG
         state). Sources too small for their quota saturate and the
         shortfall stays visible."""
@@ -5150,22 +5151,27 @@ est AS (
 )
 SELECT k AS user_id, exact_n, cms_n, cms_n - exact_n AS overcount FROM est""",
         # integer-exact replay of the deterministic mixture sampler:
-        # srcN weights, half-corpus budget, accept iff
-        # (doc_id*2654435761 mod 2^20)*n_s < quota_s*2^20
+        # lexicographic-rank weights (no regexp — DuckDB-version-proof),
+        # half-corpus budget, accept iff
+        # (doc_id*2654435761 mod 2^20)*n_s < quota_s*2^20.
+        # Every intermediate is CAST to BIGINT so no HUGEINT (whose
+        # client-side conversion is version-sensitive) ever surfaces.
         "doc_mixture_sample": """
 WITH counts AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) + 1 AS w
+         CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) AS w
   FROM documents GROUP BY source
 ),
-tot AS (SELECT SUM(n_docs) AS n_total, SUM(w) AS w_total FROM counts),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+               CAST(SUM(w) AS BIGINT) AS w_total FROM counts),
 quotas AS (
-  SELECT source, n_docs, ((n_total * 5000 // 10000) * w) // w_total AS quota
+  SELECT source, n_docs,
+         CAST(((n_total * 5000 // 10000) * w) // w_total AS BIGINT) AS quota
   FROM counts CROSS JOIN tot
 ),
 flagged AS (
   SELECT d.source, q.n_docs, q.quota, d.n_chars,
-         ((d.doc_id * 2654435761) % 1048576) * q.n_docs
+         ((CAST(d.doc_id AS BIGINT) * 2654435761) % 1048576) * q.n_docs
            < q.quota * 1048576 AS accept
   FROM documents d JOIN quotas q USING (source)
 )
