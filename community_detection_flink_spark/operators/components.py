@@ -72,6 +72,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_rounds: int = MAX_ROUNDS,
     mat: Materializer | None = None,
+    rounds_per_landing: int = 2,
 ) -> DataFrame:
     """Component assignment ``(vId, comp)`` — comp = min vertex id of
     the component (deterministic canonical label).
@@ -84,7 +85,18 @@ def connected_components(
     per-edge hash checksum) is monotone under both stars, so two
     identical consecutive checksums mean a fixed point (collision odds
     2^-64 per round; the fixed point itself is a forest of depth-1
-    stars, which small-star leaves bit-identical).
+    stars, which BOTH stars leave bit-identical — large-star keeps
+    every (child > root) edge attached to the root, small-star
+    re-emits it — so overshooting the fixed point never changes the
+    answer).
+
+    ``rounds_per_landing`` (r10): contraction rounds chained per
+    parquet materialization.  The per-landing write+read+schedule
+    floor (~1.6 s at sf0.1) dominated `emb_dup_clusters` (5 landings
+    for a 5-round converge — VERDICT r9 #5); chaining 2 rounds halves
+    the landings while plan depth stays O(rounds_per_landing) off a
+    fresh scan, and fixed-point idempotence (above) makes the ≤1
+    overshot round output-identical.
     """
     spark = edges.sparkSession
     mat = mat or Materializer(spark)
@@ -104,12 +116,16 @@ def connected_components(
 
     e = mat(e, "cc-edges")
     prev_sig = None
-    for _ in range(max_rounds):
+    batch = max(1, int(rounds_per_landing))
+    for _ in range(0, max_rounds, batch):
         prev_e = e
         obs = Observation()
+        nxt = e
+        for _r in range(batch):
+            nxt = _small_star(_large_star(nxt))
         # checksum terms are bounded to [0, 2^31) so the ANSI sum can't
         # overflow long before ~4e9 edges per partition-tree
-        nxt = _small_star(_large_star(e)).observe(
+        nxt = nxt.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2147483647))).alias("h"),

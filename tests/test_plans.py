@@ -343,8 +343,12 @@ def test_round9b_operators_plan_shape(spark):
     sd = qs["emb_semantic_dedup"](spark, SF)
     assert python_eval_nodes(sd) == []
     sd_plan = sd._jdf.queryExecution().executedPlan().toString()
-    # centroids and the dup-id verdict set travel by broadcast
-    assert sd_plan.count("BroadcastExchange") >= 2
+    # centroids travel by broadcast; the dup-id verdict join carries NO
+    # forced broadcast since r10 (dup set is O(n) on dup-heavy corpora
+    # — AQE picks broadcast at runtime only when it is actually small;
+    # VERDICT r9 #4), so only the centroid side is pinned here
+    assert sd_plan.count("BroadcastExchange") >= 1
+    assert "CartesianProduct" not in sd_plan
 
     knn = qs["emb_knn_graph"](spark, SF)
     assert python_eval_nodes(knn) == []
