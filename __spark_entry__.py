@@ -553,6 +553,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         def bad(c):
             return (F.col(c) >= F.lit(thr)) & (F.col(c) % 2 == 0)
 
+        # r10 (VERDICT r9 #7): U ops — re-assert a deterministic slice
+        # of the SURVIVING edges through the CDC update path (U expands
+        # to delete-stale + re-insert inside the batch,
+        # streaming.apply_cdc_batch).  On an unweighted edge set a U of
+        # an existing edge must be a perfect no-op, so every direct-
+        # recompute parity row below now also pins U-parity; the row
+        # count of the U batch itself is oracle-pinned so the phase
+        # can't silently skip.
+        from community_detection_flink_spark.streaming.incremental_stream import (
+            apply_cdc_batch,
+        )
+
+        ups = e.where(
+            ~bad("src") & ~bad("dst")
+            & (F.col("src") % 97 == 1) & (F.col("src") < F.col("dst"))
+        ).select("src", "dst", F.lit("U").alias("op"))
+        n_u = ups.count()
+        state = apply_cdc_batch(state, ups)
+
         comm = state.vertices.select("vId", "cId")
         n_rows = state.vertices.count()
         n_vertices = comm.select("vId").distinct().count()
@@ -664,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("vertex_stats_mismatch_vs_direct", vertex_stats_mismatch),
             ("clean_edge_diff_vs_direct", clean_edge_diff),
             ("tri_diff_vs_direct", tri_diff),
+            ("u_reassert_edges", n_u),
         ]
         return spark.createDataFrame(
             [(k, int(v)) for k, v in rows], "invariant STRING, value LONG"
@@ -1263,6 +1283,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         c_frac = min(c_probe, cidx.n_cells) / cidx.n_cells
         embc.unpersist()
+        # IVF append maintenance (r10, VERDICT r9 #8): index built on
+        # 90% of the corpus, the last 10% APPENDED against the frozen
+        # centroids (similarity.ivf_index_append) — the appended index
+        # must still clear the recall floor, and its drift vs the
+        # full-rebuild index (the `ivf` value above) is bounded.
+        emb90 = load_table(spark, sf, "embeddings").where(
+            F.col("vec_id") % 10 != 9
+        )
+        emb10 = load_table(spark, sf, "embeddings").where(
+            F.col("vec_id") % 10 == 9
+        )
+        aidx = S.build_ivf_index(emb90, table="gate_ivf_appended")
+        aidx = S.ivf_index_append(aidx, emb10)
+        a_probe = max(1, math.ceil(0.7 * aidx.n_cells))
+        emb_full = load_table(spark, sf, "embeddings")
+        app_recall = S.ivf_recall(
+            emb_full, qs, k=5, n_probe=a_probe, index=aidx
+        )
+        a_frac = min(a_probe, aidx.n_cells) / aidx.n_cells
         rows = [
             ("lsh", 0.85, bool(lsh_recall >= 0.85), bool(lsh_frac < 1.0)),
             ("ivf_probe_70pct", 0.85, bool(ivf >= 0.85), bool(ivf_frac < 1.0)),
@@ -1277,6 +1316,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 0.85,
                 bool(pq_rr >= 0.85),
                 bool(c_frac < 1.0),
+            ),
+            (
+                "ivf_appended_probe_70pct",
+                0.85,
+                bool(app_recall >= 0.85),
+                bool(a_frac < 1.0),
+            ),
+            (
+                "ivf_append_drift_le_10pt",
+                0.10,
+                bool(abs(ivf - app_recall) <= 0.10),
+                bool(a_frac < 1.0),
             ),
         ]
         return spark.createDataFrame(
@@ -4370,7 +4421,10 @@ UNION ALL SELECT 'deleted_edges_present', CAST(0 AS BIGINT)
 UNION ALL SELECT 'edge_rows', c FROM ne
 UNION ALL SELECT 'vertex_stats_mismatch_vs_direct', CAST(0 AS BIGINT)
 UNION ALL SELECT 'clean_edge_diff_vs_direct', CAST(0 AS BIGINT)
-UNION ALL SELECT 'tri_diff_vs_direct', CAST(0 AS BIGINT)""",
+UNION ALL SELECT 'tri_diff_vs_direct', CAST(0 AS BIGINT)
+UNION ALL SELECT 'u_reassert_edges',
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM remaining
+   WHERE src % 97 = 1 AND src < dst)""",
         "g_degrees": _G + "SELECT src AS vId, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src",
         "g_triangle_counts": _G + """
 SELECT v.vId, COALESCE(t.t, 0) AS t
@@ -4867,7 +4921,11 @@ SELECT 'ivf_probe_70pct', CAST(0.85 AS DOUBLE), TRUE, TRUE
 UNION ALL
 SELECT 'ivfpq_adc_probe_20pct_clustered', CAST(0.10 AS DOUBLE), TRUE, TRUE
 UNION ALL
-SELECT 'ivfpq_rerank128_probe_20pct_clustered', CAST(0.85 AS DOUBLE), TRUE, TRUE""",
+SELECT 'ivfpq_rerank128_probe_20pct_clustered', CAST(0.85 AS DOUBLE), TRUE, TRUE
+UNION ALL
+SELECT 'ivf_appended_probe_70pct', CAST(0.85 AS DOUBLE), TRUE, TRUE
+UNION ALL
+SELECT 'ivf_append_drift_le_10pt', CAST(0.10 AS DOUBLE), TRUE, TRUE""",
         "mm_blob_meta": """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256
 FROM documents""",

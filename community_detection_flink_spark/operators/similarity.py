@@ -367,6 +367,7 @@ class IVFIndex:
     n_cells: int
     seed: int
     Cn: Any = field(repr=False)  # (n_cells, dim) float64, row-normalized
+    n_buckets: int = 0  # bucket spec of the persisted table (0 = look up)
 
     def corpus(self, spark: SparkSession) -> DataFrame:
         """The indexed corpus ``(vec_id, embedding, cell)``."""
@@ -415,8 +416,52 @@ def build_ivf_index(
     )
     dim = Cn.shape[1]
     est_bytes = n * (dim * 4 + 16)  # float32 vectors + ids/overhead
-    write_bucketed(corpus, table, ["cell"], bucket_count(est_bytes), sort_keys=["cell"])
-    return IVFIndex(table=table, n_cells=n_cells, seed=seed, Cn=Cn)
+    nb = bucket_count(est_bytes)
+    write_bucketed(corpus, table, ["cell"], nb, sort_keys=["cell"])
+    return IVFIndex(table=table, n_cells=n_cells, seed=seed, Cn=Cn, n_buckets=nb)
+
+
+def ivf_index_append(index: IVFIndex, new_emb: DataFrame) -> IVFIndex:
+    """Append new vectors to a PERSISTED IVF index (VERDICT r9 #8): a
+    100 TB corpus appends continuously, and a full rebuild is a
+    whole-corpus pass — this is one pass over the delta instead.
+
+    New vectors are assigned to the EXISTING cells (the index's frozen
+    centroid matrix — no re-sample, no corpus re-scan) and written
+    into the bucketed table with the SAME bucket spec, so downstream
+    cell-keyed reads stay exchange-free.  The cost of freezing the
+    centroids: cell balance drifts as the appended distribution
+    shifts, degrading probe recall over time — measured, not assumed:
+    ``emb_ann_quality`` carries an append-vs-rebuild recall-drift row,
+    and the production answer past tolerable drift is a rebuild (the
+    standard IVF maintenance policy).
+
+    Returns the same handle (the table is mutated in place).
+    """
+    spark = new_emb.sparkSession
+    assign = _ivf_cell_udf(index.Cn, 1)
+    delta = new_emb.select(
+        "vec_id",
+        "embedding",
+        F.element_at(assign(F.col("embedding")), 1).cast("int").alias("cell"),
+    )
+    nb = index.n_buckets
+    if not nb:
+        # index handle from an earlier session: bucket spec rides the
+        # catalog entry
+        desc = spark.sql(f"DESCRIBE EXTENDED {index.table}").collect()
+        nb = int(next(r["data_type"] for r in desc if r["col_name"] == "Num Buckets"))
+    (
+        delta.write.mode("append")
+        .format("parquet")
+        .bucketBy(nb, "cell")
+        .sortBy("cell")
+        .saveAsTable(index.table)
+    )
+    return IVFIndex(
+        table=index.table, n_cells=index.n_cells, seed=index.seed,
+        Cn=index.Cn, n_buckets=nb,
+    )
 
 
 def _ivf_corpus_and_probe(

@@ -142,3 +142,49 @@ def test_cdc_stream_applies_inserts_then_deletes(spark, golden_edges, tmp_path):
     )
     assert _stats_map(got) == _stats_map(want)
     assert got.tri.count() == want.tri.count()
+
+
+def test_cdc_stream_update_ops_as_delete_plus_insert(spark, golden_edges, tmp_path):
+    """run_stream(cdc=True) with U ops (r10, VERDICT r9 #7): a U of an
+    existing edge is a no-op, a U of a never-seen edge is an insert,
+    and a U followed by a D of the same edge within one batch nets to
+    absent — the final state matches applying the expansion directly."""
+    import os
+
+    from community_detection_flink_spark.streaming.incremental_stream import (
+        run_stream,
+    )
+
+    src = str(tmp_path / "cdc-u-src")
+    ckpt = str(tmp_path / "cdc-u-ckpt")
+    # batch 1: grow a clique so there is something to update
+    b1 = [(7, 10, "I"), (7, 11, "I"), (7, 12, "I"),
+          (10, 11, "I"), (10, 12, "I"), (11, 12, "I")]
+    # batch 2: U existing (no-op), U brand-new (insert), U then D of
+    # the same edge (absent — deletes apply last)
+    b2 = [(7, 10, "U"), (20, 21, "U"), (11, 12, "U"), (11, 12, "D")]
+    schema = "src LONG, dst LONG, op STRING"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        os.path.join(src, "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        os.path.join(src, "b2"))
+
+    state0 = prepare(symmetrize_edges(golden_edges))
+    handle = run_stream(spark, os.path.join(src, "*"), state0, ckpt, cdc=True)
+    handle.await_termination(240)
+    got = handle.state
+
+    pair = lambda df: spark.createDataFrame(df, "src LONG, dst LONG")
+    want = prepare(symmetrize_edges(golden_edges))
+    want = incremental_update(want, pair([r[:2] for r in b1]))
+    # the U expansion, written out by hand in batch order
+    want = incremental_delete(want, pair([(7, 10), (20, 21), (11, 12)]))
+    want = incremental_update(want, pair([(7, 10), (20, 21), (11, 12)]))
+    want = incremental_delete(want, pair([(11, 12)]))
+
+    assert _stats_map(got) == _stats_map(want)
+    assert _clean_set(got) == _clean_set(want)
+    edges_got = {(r.src, r.dst) for r in got.edges.collect()}
+    assert (20, 21) in edges_got and (21, 20) in edges_got
+    assert (11, 12) not in edges_got and (12, 11) not in edges_got
+    assert (7, 10) in edges_got

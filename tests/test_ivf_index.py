@@ -73,3 +73,52 @@ def test_index_table_is_bucketed_by_cell(spark, emb):
     assert idx_rows.mn >= 0
     assert idx_rows.mx < idx.n_cells
     assert idx_rows.n == emb.count()
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+def test_ivf_index_append(spark, emb):
+    """ivf_index_append (r10): new vectors land in the EXISTING cells
+    (frozen centroids — assignments must equal what the build-time UDF
+    would produce), the table gains exactly the delta rows, and a
+    full-probe query over the appended index equals the exact top-k
+    over the full corpus (probe=all cells ⇒ no routing loss)."""
+    from pyspark.sql import functions as F
+
+    old = emb.where("vec_id % 10 != 9")
+    new = emb.where("vec_id % 10 = 9")
+    n_old, n_new = old.count(), new.count()
+    assert n_new > 0
+
+    idx = S.build_ivf_index(old, table="t_ivf_idx_append")
+    idx = S.ivf_index_append(idx, new)
+
+    tbl = spark.table("t_ivf_idx_append")
+    assert tbl.count() == n_old + n_new
+    # appended rows were assigned against the frozen centroid matrix
+    assign = S._ivf_cell_udf(idx.Cn, 1)
+    want = {
+        r["vec_id"]: r["c"]
+        for r in new.select(
+            "vec_id",
+            F.element_at(assign(F.col("embedding")), 1).cast("int").alias("c"),
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in tbl.join(new.select("vec_id"), "vec_id").collect()
+    }
+    assert got == want
+
+    # full-probe ANN over the appended index == exact top-k
+    qs = emb.where("vec_id < 8")
+    approx = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in S.ann_topk_ivf(
+            emb, qs, k=5, n_probe=idx.n_cells, index=idx
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in S.cosine_topk(emb, qs, k=5).collect()
+    }
+    assert approx == exact
