@@ -3462,9 +3462,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ohlc_bars(load_table(spark, sf, "events"))
 
     # ------------------------------------------------------------------
-    return {
-        # --- r9 prefix-50 (the driver gate certifies the first 50;
-        # composition per VERDICT r8 #7) ---
+    _registry = {
+        # --- registry in r9 order; the ACTUAL gate prefix is
+        # _R10_PREFIX below (VERDICT r9 #6 rotation) — the return
+        # statement reorders so those 50 come first, everything else
+        # keeps this order ---
         # anchors: round-over-round continuity, certified every round
         "g_edges": g_edges,
         "wcc_invariants": wcc_invariants,
@@ -3668,6 +3670,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_incremental": wcc_incremental,
         "wcc_cdc": wcc_cdc,
     }
+    # --- r10 gate prefix (the driver certifies the FIRST 50 entries;
+    # composition per VERDICT r9 #6): 5 anchors; the env-proofed
+    # doc_mixture_sample (the r9 red, re-gated); the 4 operators whose
+    # CODE changed this round (cell cap / de-broadcast / batched CC /
+    # kmeans landing — re-certified, not just locally swept); the 18
+    # judge-sweep-green entries with no driver artifact since r6/r7;
+    # and the 22 remaining oldest (r6) entries — which empties the r6
+    # cohort except the 12 listed at the end of the registry above,
+    # left for the r11 rotation.  Everything rotated below the cap is
+    # r8/r9-gate-green and keeps per-round full-sweep evidence. ---
+    _R10_PREFIX = [
+        "g_edges", "wcc_invariants", "ev_funnel", "cdc_invariants",
+        "emb_ann_quality",
+        "doc_mixture_sample",
+        "emb_semantic_dedup", "emb_knn_graph", "emb_dup_clusters",
+        "emb_kmeans_refine",
+        "rel_q2_min_cost_supplier", "rel_q9_product_profit",
+        "rel_q11_important_stock", "rel_q16_supplier_part_counts",
+        "rel_q20_potential_promotion", "doc_winnow_pairs",
+        "doc_cdc_chunk_dedup", "doc_simhash_near_dups",
+        "emb_jl_projection", "emb_truncation_recall",
+        "ev_resample_ffill", "ev_attribution", "ev_late_audit",
+        "ev_cep_strict", "ev_heartbeat_gaps", "g_sssp_weighted",
+        "g_random_walks", "g_rich_club",
+        "g_assortativity", "ev_transitions", "doc_repeated_passages",
+        "emb_norm_stats", "rel_q7_volume_shipping",
+        "g_label_propagation", "emb_covariance", "doc_minhash_quality",
+        "rel_q4_order_priority", "ev_interval_join", "doc_unigram_nll",
+        "rel_q6_forecast_revenue", "ev_rolling_features",
+        "g_landmark_distances", "emb_pq_ann", "ev_debounce",
+        "g_snapshot_edges", "g_graph_summary", "rel_q14_promo_revenue",
+        "rel_q17_small_qty_revenue", "g_ktruss", "rel_q15_top_supplier",
+    ]
+    assert len(_R10_PREFIX) == 50 and len(set(_R10_PREFIX)) == 50
+    return {**{k: _registry[k] for k in _R10_PREFIX}, **_registry}
 
 
 # ----------------------------------------------------------------------

