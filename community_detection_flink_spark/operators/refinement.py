@@ -32,7 +32,11 @@ from community_detection_flink_spark.operators.community import (
 from community_detection_flink_spark.operators.partition import initial_partition
 from community_detection_flink_spark.operators.preprocess import preprocess
 from community_detection_flink_spark.operators.triangles import triangles
-from community_detection_flink_spark.plans.iteration import Materializer, no_aqe
+from community_detection_flink_spark.plans.iteration import (
+    Materializer,
+    no_aqe,
+    scoped_shuffle_partitions,
+)
 
 THRESHOLD = 0.01  # DistributedWCC.scala:28
 MAX_RETRIES = 5  # DistributedWCC.scala:30
@@ -120,7 +124,17 @@ def refine_partition(
         mat = mat or Materializer(vertices.sparkSession)
         tri = mat(triangles(clean_edges, mat=mat), "tri-static")
         mat.release()
-    with no_aqe(vertices.sparkSession):
+    spark = vertices.sparkSession
+    # loop-width sizing (r10): the loop shuffles the SAME known-size
+    # state every round; the session width is sized for batch scans
+    # and over-splits it into task-launch overhead.  ~300k edge rows
+    # per partition (order-controlled A/B at sf0.1, 2.37M clean edge
+    # rows: width 8 = 57–68 s vs width 32 = 75 s, identical results),
+    # clamped at the session value so cluster-scale runs keep their
+    # width — this only ever SHRINKS small-state loops.
+    session_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_sp = max(4, min(session_sp, clean_edges.count() // 300_000 + 1))
+    with no_aqe(spark), scoped_shuffle_partitions(spark, loop_sp):
         return _refine_partition_impl(
             vertices, clean_edges, vertex_count, max_retries, threshold,
             mat, tri, history, materialize_every, moves_history,
