@@ -3222,6 +3222,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             },
         )
 
+    # ---------------- round-10 additions ----------------
+
+    def doc_source_caps(spark, sf):
+        """Per-source frequency capping (r10, textual.source_caps —
+        the RefinedWeb/CCNet domain-cap pipeline stage): keep at most
+        10 docs per source in stable Knuth-hash order.  Exact oracle:
+        the identical ROW_NUMBER arithmetic."""
+        return T.source_caps(load_table(spark, sf, "documents"), cap=10)
+
+    def doc_minhash_store_pairs(spark, sf):
+        """LSH pairs from the PERSISTED banded-signature store (r10,
+        dedup.build_minhash_store / minhash_store_append /
+        minhash_pairs_from_store — the dedup twin of the IVF index
+        maintenance path): store built on 90% of the corpus, the last
+        10% APPENDED (one scan over the delta only), pairs read
+        bucketed and exchange-free.  Signatures are a pure per-doc
+        function, so the append is EXACT: the oracle is the full-
+        corpus recompute, and a hash match proves build+append ==
+        rebuild bit-for-bit."""
+        docs = load_table(spark, sf, "documents")
+        store = D.build_minhash_store(
+            docs.where(F.col("doc_id") % 10 != 9), table="gate_minhash_store"
+        )
+        store = D.minhash_store_append(
+            store, docs.where(F.col("doc_id") % 10 == 9)
+        )
+        return D.minhash_pairs_from_store(spark, store)
+
     # ------------------------------------------------------------------
     # ORDER MATTERS: the driver's correctness gate records exactly the
     # FIRST 50 dict entries.  ROUND 6 executes the rotation VERDICT r4/
@@ -3662,6 +3690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_community_stats": g_community_stats,
         "g_adjacency": g_adjacency,
         "rel_distinct_counts": rel_distinct_counts,
+        # r10 additions (below the cap this round; local-sweep +
+        # pinned-test evidence, r11 rotation candidates)
+        "doc_source_caps": doc_source_caps,
+        "doc_minhash_store_pairs": doc_minhash_store_pairs,
         # (the 11 r9/r9b operators moved INTO the gate prefix above
         # for their first driver certification)
         "wcc_incremental_localized": wcc_incremental_localized,
@@ -4653,6 +4685,26 @@ banded AS (
 SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_bands
 FROM banded a JOIN banded b2 USING (b, bucket)
 WHERE a.doc_id < b2.doc_id GROUP BY 1, 2""",
+        # r10: store-built pairs must equal the FULL-corpus recompute —
+        # signatures are a pure per-doc function, so build(90%) +
+        # append(10%) is exact, and this oracle (identical to
+        # doc_minhash_lsh_pairs') proves it by hash
+        "doc_minhash_store_pairs": _minhash_sig_sql(8) + """,
+banded AS (
+  SELECT doc_id, b, md5(array_to_string(sig[b*2+1 : b*2+2], ',')) AS bucket
+  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
+)
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+FROM banded a JOIN banded b2 USING (b, bucket)
+WHERE a.doc_id < b2.doc_id GROUP BY 1, 2""",
+        "doc_source_caps": """
+SELECT doc_id, source, pick_rank, pick_rank <= 10 AS kept FROM (
+  SELECT doc_id, source,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY (CAST(doc_id AS BIGINT) * 2654435761) % 1048576, doc_id
+    ) AS BIGINT) AS pick_rank
+  FROM documents)""",
         "doc_simhash": _simhash_sql(32),
         "doc_simhash_near_dups": f"""
 WITH s AS ({_simhash_sql(32)})

@@ -45,7 +45,11 @@ from community_detection_flink_spark.operators.partition import initial_partitio
 from community_detection_flink_spark.operators.preprocess import preprocess
 from community_detection_flink_spark.operators.refinement import run_wcc
 from community_detection_flink_spark.operators.triangles import triangles
-from community_detection_flink_spark.plans.iteration import Materializer, no_aqe
+from community_detection_flink_spark.plans.iteration import (
+    Materializer,
+    no_aqe,
+    scoped_shuffle_partitions,
+)
 from community_detection_flink_spark.sources.edges import symmetrize_edges
 
 INCREMENTAL_ROUNDS = 5  # IncrementalWCC.scala:382 (fixed, no convergence test)
@@ -438,7 +442,14 @@ def _elect_and_refine(
     loop_edges = clean_new.repartition("src").persist()  # see refine_partition
     cur = part
     n_rounds = 0
-    with no_aqe(vertices.sparkSession):
+    # loop-width sizing, same rule as refine_partition (r10): ~300k
+    # edge rows per partition, clamped at the session width — the
+    # per-batch loop shuffles fixed-size state and the session width
+    # over-splits it (measured there: 8 vs 32 = 57-68s vs 75s)
+    _spark = vertices.sparkSession
+    _session_sp = int(_spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    _loop_sp = max(4, min(_session_sp, clean_new.count() // 300_000 + 1))
+    with no_aqe(_spark), scoped_shuffle_partitions(_spark, _loop_sp):
         cur_vcd = community_adjacency(cur, loop_edges).persist()
         # persisted but not forced: the first broadcast in best_movement
         # materializes it; the second reads the cache (see refine_partition)

@@ -724,6 +724,39 @@ def mixture_sample(
     )
 
 
+def source_caps(
+    docs: DataFrame, cap: int = 10, key: str = "source"
+) -> DataFrame:
+    """Per-source frequency capping (r10) — the RefinedWeb/CCNet-style
+    domain cap: keep at most ``cap`` documents per source, chosen in a
+    STABLE pseudo-random order (the same Knuth-hash membership function
+    as ``mixture_sample``, so retries, restarts, and other engines keep
+    the identical subset) rather than by position, which would bias
+    toward crawl order.
+
+    One shuffle on the source key, one rank window.  Skew note for
+    100 TB: a window over a mega-source serializes that source through
+    one partition — the standard mitigation is a two-pass pre-prune
+    (per-source hash quantile bounds the top-``cap`` candidates before
+    the exact window); at ``cap`` ≪ source sizes the pre-prune keeps
+    ~cap·ε rows per source.  Not pre-pruned here because the exactness
+    contract (hash-ranked top-cap) is the oracle-pinned semantics and
+    the gate corpora are far from the skew regime — the docstring is
+    the documented lever, as with ``rel_fuzzy_part_match``'s blocks.
+
+    Output: ``(doc_id, source, pick_rank, kept)`` for every document.
+    """
+    from pyspark.sql import Window
+
+    h = F.pmod(F.col("doc_id").cast("long") * F.lit(2654435761), F.lit(1 << 20))
+    w = Window.partitionBy(key).orderBy(h.asc(), F.col("doc_id").asc())
+    return docs.select(
+        "doc_id",
+        F.col(key).alias("source"),
+        F.row_number().over(w).cast("long").alias("pick_rank"),
+    ).withColumn("kept", F.col("pick_rank") <= int(cap))
+
+
 def char_entropy(docs: DataFrame) -> DataFrame:
     """Per-document Shannon entropy of the character distribution (in
     nats) — the classic cheap quality/repetition signal: natural prose

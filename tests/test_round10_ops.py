@@ -98,3 +98,63 @@ def test_connected_components_batched_matches_single_round(spark):
         + [(999, 999)]
     )
     assert got1 == want and got2 == want and got3 == want
+
+
+def test_minhash_store_append_is_exact(spark):
+    """The persisted signature store's pairs after build(90%) +
+    append(10%) equal minhash_lsh_pairs over the full corpus exactly —
+    signatures are a pure per-document function, so store maintenance
+    has NO drift (contrast: IVF append's frozen centroids)."""
+    from community_detection_flink_spark.operators import dedup as D
+    from community_detection_flink_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store = D.build_minhash_store(
+        docs.where("doc_id % 10 != 9"), table="t_mh_store"
+    )
+    store = D.minhash_store_append(store, docs.where("doc_id % 10 = 9"))
+    got = {
+        (r.doc_a, r.doc_b, r.n_bands)
+        for r in D.minhash_pairs_from_store(spark, store).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.n_bands)
+        for r in D.minhash_lsh_pairs(docs, num_hashes=8, bands=4).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_minhash_store_read_is_exchange_free(spark):
+    """The bucketed store read feeds the (band, bucket) aggregate with
+    NO shuffle exchange before it — the point of persisting bucketed."""
+    from community_detection_flink_spark.operators import dedup as D
+    from community_detection_flink_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store = D.build_minhash_store(docs, table="t_mh_store_plan")
+    plan = (
+        D.minhash_pairs_from_store(spark, store)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly ONE exchange: the final (doc_a, doc_b) aggregate; the
+    # (band, bucket) aggregate reads pre-bucketed files
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_source_caps_matches_python_replay(spark):
+    from community_detection_flink_spark.operators.textual import source_caps
+
+    rows = [(i, f"s{i % 3}", 10) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, source STRING, n_chars LONG")
+    got = {r.doc_id: (r.source, r.pick_rank, r.kept)
+           for r in source_caps(docs, cap=5).collect()}
+    # python replay of the stable-hash rank
+    import collections
+    order = collections.defaultdict(list)
+    for i, s, _ in rows:
+        order[s].append(((i * 2654435761) % (1 << 20), i))
+    want = {}
+    for s, lst in order.items():
+        for rank, (_, i) in enumerate(sorted(lst), 1):
+            want[i] = (s, rank, rank <= 5)
+    assert got == want
