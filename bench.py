@@ -72,6 +72,9 @@ HEADLINE = [
     "emb_kmeans_refine",      # 2 deterministic Lloyd k-means steps
     "ev_histogram_quantiles", # mergeable 256-bin quantiles
     "emb_dup_clusters",       # kNN edges -> CC dedup clusters
+    # round-10 additions
+    "doc_source_caps",        # per-source frequency capping
+    "doc_minhash_store_pairs",# persisted signature store: build+append+read
 ]
 
 # the round-1 HEADLINE (BENCH_r01.json): its subtotal is the
