@@ -106,6 +106,8 @@ AUDIT = [
     ("emb_kmeans_refine", "deterministic Lloyd k-means: centroids broadcast every pass (corpus never shuffles for assignment), recenter is a ≤k·d-row partial-sum shuffle"),
     ("ev_histogram_quantiles", "mergeable histogram quantiles: raw scan feeds ONE bin aggregate; bounds + quantile ranks all broadcast over ≤256-row state"),
     ("emb_dup_clusters", "thresholded kNN edges transitively closed by star-contraction CC: cell-keyed joins only, no cartesian, rounds parquet-materialized"),
+    ("doc_source_caps", "per-source frequency capping: one source-keyed shuffle feeding one rank window, zero joins"),
+    ("doc_minhash_store_pairs", "LSH pairs from the persisted bucketed signature store: the (band,bucket) aggregate reads pre-bucketed files — at most one exchange (the final pair aggregate)"),
 ]
 
 
