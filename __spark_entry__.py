@@ -3250,6 +3250,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return D.minhash_pairs_from_store(spark, store)
 
+    def mm_mp4_metadata(spark, sf):
+        """MP4/ISO-BMFF container metadata via a REAL box walker (r10,
+        multimodal._parse_mp4): spec-shaped synthesized MP4s (full
+        ftyp/moov/trak/stbl/mdat tree, real stco offsets) parsed for
+        timescale/duration/tracks/sample-table — upgrading the r9 'MP4
+        is _fake_decode' gap to real container parsing (codec payload
+        decode stays the documented stub).  Closed-form oracle."""
+        return M.mp4_metadata(
+            M.synthesize_mp4_blobs(load_table(spark, sf, "documents"))
+        )
+
+    def mm_mp4_frame_sample(spark, sf):
+        """Every-2nd-sample extraction through the real sample table
+        (stsz sizes + stco offset → mdat slices; multimodal.
+        mp4_sample_frames): value/checksum come from the EXTRACTED
+        bytes, so a wrong offset or size is a hash mismatch against
+        the closed-form oracle."""
+        return M.mp4_sample_frames(
+            M.synthesize_mp4_blobs(load_table(spark, sf, "documents")),
+            every_k=2,
+        )
+
     # ------------------------------------------------------------------
     # ORDER MATTERS: the driver's correctness gate records exactly the
     # FIRST 50 dict entries.  ROUND 6 executes the rotation VERDICT r4/
@@ -3694,6 +3716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pinned-test evidence, r11 rotation candidates)
         "doc_source_caps": doc_source_caps,
         "doc_minhash_store_pairs": doc_minhash_store_pairs,
+        "mm_mp4_metadata": mm_mp4_metadata,
+        "mm_mp4_frame_sample": mm_mp4_frame_sample,
         # (the 11 r9/r9b operators moved INTO the gate prefix above
         # for their first driver certification)
         "wcc_incremental_localized": wcc_incremental_localized,
@@ -4697,6 +4721,22 @@ banded AS (
 SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_bands
 FROM banded a JOIN banded b2 USING (b, bucket)
 WHERE a.doc_id < b2.doc_id GROUP BY 1, 2""",
+        "mm_mp4_metadata": """
+SELECT doc_id, true AS ok, CAST(1000 AS BIGINT) AS timescale,
+  CAST((3 + doc_id % 5) * 100 AS BIGINT) AS duration_ticks,
+  CAST(1 AS BIGINT) AS n_tracks,
+  CAST(3 + doc_id % 5 AS BIGINT) AS n_samples,
+  CAST((3 + doc_id % 5) * (16 + doc_id % 32) AS BIGINT) AS sample_bytes_total,
+  'raw ' AS codec
+FROM documents""",
+        "mm_mp4_frame_sample": """
+SELECT doc_id, CAST(i AS BIGINT) AS sample_no,
+  CAST(i * (16 + doc_id % 32) AS BIGINT) AS byte_offset,
+  CAST(16 + doc_id % 32 AS BIGINT) AS sample_bytes,
+  CAST((doc_id * 7 + i * 13) % 256 AS BIGINT) AS value,
+  CAST(((doc_id * 7 + i * 13) % 256) * (16 + doc_id % 32) AS BIGINT) AS checksum
+FROM documents, UNNEST(range(3 + doc_id % 5)) AS t(i)
+WHERE i % 2 = 0""",
         "doc_source_caps": """
 SELECT doc_id, source, pick_rank, pick_rank <= 10 AS kept FROM (
   SELECT doc_id, source,

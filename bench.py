@@ -75,6 +75,8 @@ HEADLINE = [
     # round-10 additions
     "doc_source_caps",        # per-source frequency capping
     "doc_minhash_store_pairs",# persisted signature store: build+append+read
+    "mm_mp4_metadata",        # real ISO-BMFF box-tree metadata parse
+    "mm_mp4_frame_sample",    # sample extraction via real stsz/stco tables
 ]
 
 # the round-1 HEADLINE (BENCH_r01.json): its subtotal is the

@@ -16,9 +16,13 @@ which is exactly why WAV/PCM, BMP, and PPM are the honest format
 choices in this container.  ``synthesize_wav_blobs`` /
 ``synthesize_bmp_blobs`` / ``synthesize_ppm_stream_blobs`` give them
 oracle-checkable encode→decode roundtrips (``mm_wav_roundtrip`` /
-``mm_bmp_roundtrip`` / ``mm_ppm_frame_sample``).  Compressed-format
-decode (JPEG/MP4) stays a clearly-marked stub (``_fake_decode``); swap
-it for PIL/ffmpeg in production and nothing else changes.
+``mm_bmp_roundtrip`` / ``mm_ppm_frame_sample``).  Since r10 the MP4
+CONTAINER layer is also real: ``_parse_mp4`` walks the ISO-BMFF box
+tree (mvhd, trak, stsd/stts/stsz/stco) and ``mp4_sample_frames``
+slices samples out of mdat via the actual sample table — only the
+codec payload decode (H.264 entropy coding, JPEG huffman+DCT) remains
+the clearly-marked stub (``_fake_decode``); swap it for PIL/ffmpeg in
+production and nothing else changes.
 """
 
 from __future__ import annotations
@@ -736,6 +740,270 @@ def synthesize_gif_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(0)
         out.append(0x3B)
         return bytes(out)
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for b in batches:
+            yield pd.DataFrame(
+                [(int(i), make(int(i))) for i in b[id_col]],
+                columns=[id_col, "blob"],
+            )
+
+    return docs.select(id_col).mapInPandas(run, f"{id_col} LONG, blob BINARY")
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (r10): REAL container parsing, codec decode still stubbed
+# ---------------------------------------------------------------------------
+
+MP4_META_SCHEMA = (
+    "doc_id LONG, ok BOOLEAN, timescale LONG, duration_ticks LONG, "
+    "n_tracks LONG, n_samples LONG, sample_bytes_total LONG, codec STRING"
+)
+MP4_SAMPLE_SCHEMA = (
+    "doc_id LONG, sample_no LONG, byte_offset LONG, sample_bytes LONG, "
+    "value LONG, checksum LONG"
+)
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"dinf"}
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _parse_mp4(b: bytes):
+    """REAL ISO-BMFF box walker — pure stdlib ``struct``, no codec libs.
+
+    Recursively walks the box tree (size-prefixed fourcc boxes, the
+    actual MP4/MOV container grammar — not fixed offsets), reads
+    ``mvhd`` (timescale, duration), counts ``trak``s, and extracts the
+    first track's sample table: ``stsd`` codec fourcc, ``stsz``
+    per-sample sizes, ``stco`` chunk offset.  This upgrades the r9
+    "MP4 is ``_fake_decode``" gap to the same honesty level as
+    WAV/BMP/PPM/GIF: the CONTAINER layer is genuinely parsed; only the
+    codec payload decode stays out of reach in this library-less
+    sandbox (a real H.264 entropy decoder is not a weekend of stdlib).
+    Returns None for non-BMFF bytes — surfaced as ``ok = false``.
+    """
+    import struct
+
+    if len(b) < 8 or b[4:8] != b"ftyp":
+        return None
+    out = {"n_tracks": 0}
+
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack_from(">I", b, pos)
+            typ = b[pos + 4 : pos + 8]
+            if size < 8 or pos + size > hi:
+                return
+            body_lo, body_hi = pos + 8, pos + size
+            if typ == b"trak":
+                out["n_tracks"] += 1
+            if typ in _MP4_CONTAINERS:
+                # only the FIRST track's sample table is summarized
+                if typ != b"trak" or out["n_tracks"] == 1:
+                    walk(body_lo, body_hi, depth + 1)
+            elif typ == b"mvhd":
+                ver = b[body_lo]
+                if ver == 0:
+                    ts, dur = struct.unpack_from(">II", b, body_lo + 12)
+                else:  # version 1: 64-bit times
+                    ts, = struct.unpack_from(">I", b, body_lo + 20)
+                    dur, = struct.unpack_from(">Q", b, body_lo + 24)
+                out["timescale"], out["duration"] = int(ts), int(dur)
+            elif typ == b"stsd":
+                (cnt,) = struct.unpack_from(">I", b, body_lo + 4)
+                if cnt >= 1:
+                    out["codec"] = b[body_lo + 12 : body_lo + 16].decode(
+                        "ascii", "replace"
+                    )
+            elif typ == b"stsz":
+                fixed, cnt = struct.unpack_from(">II", b, body_lo + 4)
+                if fixed:
+                    out["sizes"] = [int(fixed)] * int(cnt)
+                else:
+                    out["sizes"] = [
+                        struct.unpack_from(">I", b, body_lo + 12 + 4 * i)[0]
+                        for i in range(cnt)
+                    ]
+            elif typ == b"stco":
+                (cnt,) = struct.unpack_from(">I", b, body_lo + 4)
+                if cnt >= 1:
+                    out["chunk_offset"] = struct.unpack_from(
+                        ">I", b, body_lo + 8
+                    )[0]
+            pos += size
+
+    walk(0, len(b))
+    if "timescale" not in out or "sizes" not in out or "chunk_offset" not in out:
+        return None
+    return out
+
+
+def mp4_metadata(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
+    """Per-blob MP4 container metadata via the real box walker — the
+    media-crawl triage pass (what is this file, how long, how many
+    tracks/samples) that at 100 TB runs BEFORE any codec work is
+    scheduled.  Same Arrow ``mapInPandas`` shape as ``wav_pcm_stats``;
+    malformed blobs come back ``ok = false``, never task failures."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for b in batches:
+            rows = []
+            for i, blob in zip(b[id_col], b[blob_col]):
+                p = _parse_mp4(bytes(blob))
+                if p is None:
+                    rows.append((int(i), False, 0, 0, 0, 0, 0, ""))
+                else:
+                    rows.append(
+                        (
+                            int(i), True, p["timescale"], p["duration"],
+                            p["n_tracks"], len(p["sizes"]),
+                            int(sum(p["sizes"])), p.get("codec", ""),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "ok", "timescale", "duration_ticks",
+                    "n_tracks", "n_samples", "sample_bytes_total", "codec",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, MP4_META_SCHEMA)
+
+
+def mp4_sample_frames(
+    df: DataFrame,
+    every_k: int = 2,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Frame sampling through the REAL sample table: every ``k``-th
+    sample's bytes are located via stsz sizes + the stco chunk offset
+    (the actual mdat file offsets, not assumptions) and sliced out of
+    the blob.  ``byte_offset`` is reported relative to the media
+    payload so it is layout-independent; ``value``/``checksum`` are
+    computed from the EXTRACTED bytes — a wrong offset or size shows
+    up as a hash mismatch against the closed-form oracle, which is the
+    point.  Codec decode of the sample payload stays stubbed (see
+    ``_parse_mp4``)."""
+    from collections.abc import Iterator as _It
+
+    k = max(1, int(every_k))
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for b in batches:
+            rows = []
+            for i, blob in zip(b[id_col], b[blob_col]):
+                raw = bytes(blob)
+                p = _parse_mp4(raw)
+                if p is None:
+                    continue
+                base = p["chunk_offset"]
+                off = 0
+                for s_no, size in enumerate(p["sizes"]):
+                    if s_no % k == 0:
+                        data = raw[base + off : base + off + size]
+                        rows.append(
+                            (
+                                int(i), s_no, off, size,
+                                int(data[0]) if data else -1,
+                                int(sum(data)),
+                            )
+                        )
+                    off += size
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_no", "byte_offset", "sample_bytes",
+                    "value", "checksum",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, MP4_SAMPLE_SCHEMA)
+
+
+def synthesize_mp4_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic spec-shaped MP4 synthesis: a full box tree (ftyp,
+    moov[mvhd, trak[tkhd, mdia[mdhd, hdlr, minf[vmhd, dinf[dref[url]],
+    stbl[stsd, stts, stsc, stsz, stco]]]]], mdat) with ``3 + id % 5``
+    samples of ``16 + id % 32`` bytes each, sample ``i`` filled with
+    the constant byte ``(id·7 + i·13) % 256`` and a fake ``raw ``
+    codec fourcc.  The stco chunk offset is the REAL mdat payload
+    offset (computed from the built box sizes), so the parser's
+    extraction path is exercised for real; constant-byte samples give
+    the sampler a closed-form SQL oracle (``value·size`` checksums) —
+    the ``synthesize_wav_blobs`` construction applied to ISO-BMFF."""
+    import struct
+
+    from collections.abc import Iterator as _It
+
+    def make(i: int) -> bytes:
+        n = 3 + i % 5
+        size = 16 + i % 32
+        ftyp = _mp4_box(b"ftyp", b"isom" + b"\x00\x00\x00\x00" + b"isom")
+        mvhd = _mp4_box(
+            b"mvhd",
+            struct.pack(">IIIII", 0, 0, 0, 1000, n * 100)
+            + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+            + b"\x00" * 8
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + b"\x00" * 24
+            + struct.pack(">I", 2),
+        )
+        tkhd = _mp4_box(
+            b"tkhd",
+            struct.pack(">IIIIII", 0x00000007, 0, 0, 1, 0, n * 100)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", 64 << 16, 48 << 16),
+        )
+        mdhd = _mp4_box(
+            b"mdhd", struct.pack(">IIIII", 0, 0, 0, 1000, n * 100)
+            + struct.pack(">HH", 0x55C4, 0)
+        )
+        hdlr = _mp4_box(
+            b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12 + b"\x00"
+        )
+        vmhd = _mp4_box(b"vmhd", struct.pack(">IHHHH", 1, 0, 0, 0, 0))
+        url = _mp4_box(b"url ", struct.pack(">I", 1))
+        dref = _mp4_box(b"dref", struct.pack(">II", 0, 1) + url)
+        dinf = _mp4_box(b"dinf", dref)
+        entry = struct.pack(">I", 16) + b"raw " + b"\x00" * 6 + struct.pack(">H", 1)
+        stsd = _mp4_box(b"stsd", struct.pack(">II", 0, 1) + entry)
+        stts = _mp4_box(b"stts", struct.pack(">III", 0, 1, n) + struct.pack(">I", 100))
+        stsc = _mp4_box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, n, 1))
+        stsz = _mp4_box(
+            b"stsz",
+            struct.pack(">III", 0, 0, n) + b"".join(struct.pack(">I", size) for _ in range(n)),
+        )
+        # stco's chunk offset = real file offset of the mdat payload;
+        # all boxes before it have fixed size once n is known
+        stbl_wo_stco = stsd + stts + stsc + stsz
+        stco_size = 8 + 8 + 4
+        stbl_size = 8 + len(stbl_wo_stco) + stco_size
+        minf_size = 8 + len(vmhd) + len(dinf) + stbl_size
+        mdia_size = 8 + len(mdhd) + len(hdlr) + minf_size
+        trak_size = 8 + len(tkhd) + mdia_size
+        moov_size = 8 + len(mvhd) + trak_size
+        mdat_payload_off = len(ftyp) + moov_size + 8
+        stco = _mp4_box(b"stco", struct.pack(">III", 0, 1, mdat_payload_off))
+        stbl = _mp4_box(b"stbl", stbl_wo_stco + stco)
+        minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        moov = _mp4_box(b"moov", mvhd + trak)
+        payload = b"".join(
+            bytes([(i * 7 + s * 13) % 256]) * size for s in range(n)
+        )
+        return ftyp + moov + _mp4_box(b"mdat", payload)
 
     def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
         for b in batches:
