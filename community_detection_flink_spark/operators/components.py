@@ -129,7 +129,11 @@ def connected_components(
     # broadcast hint, and AQE's runtime size discovery is what turns
     # those joins into broadcasts at small-state scale.  The job-floor
     # rationale only wins where every join is already hint-broadcast.
-    for _ in range(0, max_rounds, batch):
+    for done in range(0, max_rounds, batch):
+        # truncate the last batch so the total never exceeds max_rounds
+        # (r11, closes the r10 ADVICE finding: a full final batch could
+        # overshoot the documented cap by up to batch-1 rounds)
+        batch = min(batch, max_rounds - done)
         prev_e = e
         # one Observation per chained round, ALL riding the single
         # landing job (CollectMetrics is a pass-through node): a fixed

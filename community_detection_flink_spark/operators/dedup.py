@@ -317,7 +317,18 @@ def build_minhash_store(
 
 def minhash_store_append(store: MinHashStore, new_docs: DataFrame) -> MinHashStore:
     """Append new documents' banded signatures to the store — one scan
-    over the DELTA only, same bucket spec, exact by construction."""
+    over the DELTA only, same bucket spec, exact by construction.
+
+    Re-appended doc_ids are GUARDED against (r11, closes the r10
+    ADVICE finding): the delta is anti-joined on the store's distinct
+    doc_ids before shingling, so a retried or overlapping append can
+    never write duplicate signature rows (which would make the bucket
+    pair-explode emit doc_a == doc_b rows and inflate n_bands).  The
+    id-set read is a store-only column scan — the delta text is never
+    re-shingled for already-present ids."""
+    spark = new_docs.sparkSession
+    existing = spark.table(store.table).select("doc_id").distinct()
+    new_docs = new_docs.join(existing, "doc_id", "left_anti")
     banded = _banded(new_docs, store.num_hashes, store.bands, store.shingle_n)
     (
         banded.write.mode("append")

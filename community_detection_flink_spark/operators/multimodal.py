@@ -779,8 +779,14 @@ def _parse_mp4(b: bytes):
     Recursively walks the box tree (size-prefixed fourcc boxes, the
     actual MP4/MOV container grammar — not fixed offsets), reads
     ``mvhd`` (timescale, duration), counts ``trak``s, and extracts the
-    first track's sample table: ``stsd`` codec fourcc, ``stsz``
-    per-sample sizes, ``stco`` chunk offset.  This upgrades the r9
+    first track's FULL sample table: ``stsd`` codec fourcc, ``stsz``
+    per-sample sizes, ``stsc`` sample-to-chunk runs, and EVERY chunk
+    offset from ``stco``/``co64`` (32- and 64-bit) — so multi-chunk
+    files (interleaved A/V, the common real-muxer layout) map each
+    sample to its true file offset via ``_mp4_sample_offsets`` instead
+    of assuming one contiguous chunk (r11, closes the r10 ADVICE
+    finding).  64-bit box sizes (``size == 1`` + largesize) are
+    honored in the walk.  This upgrades the r9
     "MP4 is ``_fake_decode``" gap to the same honesty level as
     WAV/BMP/PPM/GIF: the CONTAINER layer is genuinely parsed; only the
     codec payload decode stays out of reach in this library-less
@@ -798,9 +804,17 @@ def _parse_mp4(b: bytes):
         while pos + 8 <= hi:
             (size,) = struct.unpack_from(">I", b, pos)
             typ = b[pos + 4 : pos + 8]
-            if size < 8 or pos + size > hi:
+            body_lo = pos + 8
+            if size == 0:  # spec: box extends to end of enclosing scope
+                size = hi - pos
+            elif size == 1:  # 64-bit largesize follows the fourcc
+                if pos + 16 > hi:
+                    return
+                (size,) = struct.unpack_from(">Q", b, pos + 8)
+                body_lo = pos + 16
+            if size < (body_lo - pos) or pos + size > hi:
                 return
-            body_lo, body_hi = pos + 8, pos + size
+            body_hi = pos + size
             if typ == b"trak":
                 out["n_tracks"] += 1
             if typ in _MP4_CONTAINERS:
@@ -830,18 +844,70 @@ def _parse_mp4(b: bytes):
                         struct.unpack_from(">I", b, body_lo + 12 + 4 * i)[0]
                         for i in range(cnt)
                     ]
+            elif typ == b"stsc":
+                (cnt,) = struct.unpack_from(">I", b, body_lo + 4)
+                out["stsc"] = [
+                    struct.unpack_from(">II", b, body_lo + 8 + 12 * i)
+                    for i in range(cnt)
+                ]  # (first_chunk, samples_per_chunk); desc idx unused
             elif typ == b"stco":
                 (cnt,) = struct.unpack_from(">I", b, body_lo + 4)
-                if cnt >= 1:
-                    out["chunk_offset"] = struct.unpack_from(
-                        ">I", b, body_lo + 8
-                    )[0]
+                out["chunk_offsets"] = [
+                    struct.unpack_from(">I", b, body_lo + 8 + 4 * i)[0]
+                    for i in range(cnt)
+                ]
+            elif typ == b"co64":
+                (cnt,) = struct.unpack_from(">I", b, body_lo + 4)
+                out["chunk_offsets"] = [
+                    struct.unpack_from(">Q", b, body_lo + 8 + 8 * i)[0]
+                    for i in range(cnt)
+                ]
             pos += size
 
     walk(0, len(b))
-    if "timescale" not in out or "sizes" not in out or "chunk_offset" not in out:
+    if (
+        "timescale" not in out
+        or "sizes" not in out
+        or not out.get("chunk_offsets")
+    ):
         return None
     return out
+
+
+def _mp4_sample_offsets(p: dict):
+    """Map every sample to its absolute FILE offset via the full
+    sample-to-chunk machinery: ``stsc`` runs say how many samples each
+    chunk holds, ``stco``/``co64`` say where each chunk starts, and
+    samples inside a chunk are laid out back-to-back in ``stsz`` order
+    (ISO/IEC 14496-12 §8.7).  A file whose tables do not cover all
+    samples (truncated stco, stsc runs short) returns None — callers
+    skip the blob instead of extracting from wrong bytes.  Files with
+    no ``stsc`` box are treated as one chunk holding every sample,
+    which is exactly the single-chunk layout the r10 parser assumed.
+    """
+    sizes, chunks = p["sizes"], p["chunk_offsets"]
+    stsc = p.get("stsc") or [(1, len(sizes))]
+    if any(first < 1 for first, _ in stsc) or [f for f, _ in stsc] != sorted(
+        {f for f, _ in stsc}
+    ):
+        return None  # non-increasing / duplicate first_chunk: malformed
+    # expand the runs: samples-per-chunk for each real chunk
+    per_chunk = []
+    for i, (first, per) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(chunks)
+        per_chunk.extend([int(per)] * (last - first + 1))
+    if len(per_chunk) != len(chunks):
+        return None
+    offsets, s = [], 0
+    for base, n_in_chunk in zip(chunks, per_chunk):
+        off = 0
+        for _ in range(n_in_chunk):
+            if s == len(sizes):
+                break
+            offsets.append(int(base) + off)
+            off += sizes[s]
+            s += 1
+    return offsets if s == len(sizes) else None
 
 
 def mp4_metadata(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
@@ -885,13 +951,16 @@ def mp4_sample_frames(
     blob_col: str = "blob",
 ) -> DataFrame:
     """Frame sampling through the REAL sample table: every ``k``-th
-    sample's bytes are located via stsz sizes + the stco chunk offset
-    (the actual mdat file offsets, not assumptions) and sliced out of
-    the blob.  ``byte_offset`` is reported relative to the media
-    payload so it is layout-independent; ``value``/``checksum`` are
-    computed from the EXTRACTED bytes — a wrong offset or size shows
-    up as a hash mismatch against the closed-form oracle, which is the
-    point.  Codec decode of the sample payload stays stubbed (see
+    sample's bytes are located via the full stsc→stco/co64 chunk map
+    (``_mp4_sample_offsets`` — actual mdat file offsets for multi-chunk
+    files too, not a single-chunk assumption) and sliced out of the
+    blob.  ``byte_offset`` is reported as the cumulative media-stream
+    offset (sum of preceding sample sizes) so it is layout-independent;
+    ``value``/``checksum`` are computed from the EXTRACTED bytes — a
+    wrong offset or size shows up as a hash mismatch against the
+    closed-form oracle, which is the point.  Blobs whose chunk tables
+    don't cover the sample count are skipped, never mis-extracted.
+    Codec decode of the sample payload stays stubbed (see
     ``_parse_mp4``)."""
     from collections.abc import Iterator as _It
 
@@ -905,11 +974,15 @@ def mp4_sample_frames(
                 p = _parse_mp4(raw)
                 if p is None:
                     continue
-                base = p["chunk_offset"]
+                file_offs = _mp4_sample_offsets(p)
+                if file_offs is None:
+                    continue  # tables don't cover the samples: skip
                 off = 0
-                for s_no, size in enumerate(p["sizes"]):
+                for s_no, (size, fo) in enumerate(
+                    zip(p["sizes"], file_offs)
+                ):
                     if s_no % k == 0:
-                        data = raw[base + off : base + off + size]
+                        data = raw[fo : fo + size]
                         rows.append(
                             (
                                 int(i), s_no, off, size,

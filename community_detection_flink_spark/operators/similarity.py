@@ -439,6 +439,11 @@ def ivf_index_append(index: IVFIndex, new_emb: DataFrame) -> IVFIndex:
     Returns the same handle (the table is mutated in place).
     """
     spark = new_emb.sparkSession
+    # guard against re-appending vec_ids already in the index (r11,
+    # mirrors minhash_store_append): duplicate rows would double-count
+    # in cell-keyed reads; the id-set read is an index-only column scan
+    existing = spark.table(index.table).select("vec_id").distinct()
+    new_emb = new_emb.join(existing, "vec_id", "left_anti")
     assign = _ivf_cell_udf(index.Cn, 1)
     delta = new_emb.select(
         "vec_id",
@@ -450,7 +455,19 @@ def ivf_index_append(index: IVFIndex, new_emb: DataFrame) -> IVFIndex:
         # index handle from an earlier session: bucket spec rides the
         # catalog entry
         desc = spark.sql(f"DESCRIBE EXTENDED {index.table}").collect()
-        nb = int(next(r["data_type"] for r in desc if r["col_name"] == "Num Buckets"))
+        raw = next(
+            (r["data_type"] for r in desc if r["col_name"] == "Num Buckets"),
+            None,
+        )
+        if raw is None:
+            raise ValueError(
+                f"ivf_index_append: table {index.table!r} has no 'Num "
+                "Buckets' row in DESCRIBE EXTENDED — it is not a "
+                "bucketed table, so appends cannot preserve the "
+                "exchange-free cell-keyed read; rebuild the index with "
+                "build_ivf_index"
+            )
+        nb = int(raw)
     (
         delta.write.mode("append")
         .format("parquet")

@@ -158,12 +158,27 @@ def apply_cdc_batch(state: WCCState, batch_df: DataFrame, mat=None) -> WCCState:
     upsert reading).  On an unweighted edge set the pre-delete of an
     EXISTING edge composes with its re-insert to a no-op — exactly the
     parity `cdc_invariants` pins against a direct recompute.
+
+    SEMANTICS NOTE (r11, pins the r10 ADVICE finding): ordering is
+    SET-BASED, not log-ordered — within one batch all U-deletes apply,
+    then I∪U inserts, then D last, regardless of row order (DataFrames
+    carry no row order to honor).  A D followed by a "later" U of the
+    same edge inside one batch therefore nets to ABSENT; callers that
+    need sequential replay must split the log into per-op micro-batches
+    (``max_files_per_trigger=1`` over per-op files does this).  Unknown
+    op codes are an ERROR, not a silent drop.
     """
     from community_detection_flink_spark.operators.incremental import (
         incremental_delete,
         incremental_update,
     )
 
+    bad = batch_df.where(~F.col("op").isin("I", "D", "U")).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"apply_cdc_batch: unknown op {bad[0]['op']!r} — "
+            "expected one of 'I', 'D', 'U'"
+        )
     ups = batch_df.where("op = 'U'").select("src", "dst")
     ins = batch_df.where("op = 'I'").select("src", "dst")
     dels = batch_df.where("op = 'D'").select("src", "dst")

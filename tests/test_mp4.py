@@ -84,3 +84,120 @@ def test_mp4_parser_handles_version1_mvhd():
     assert p is not None
     assert p["timescale"] == 90000 and p["duration"] == 123456789
     assert p["sizes"] == [4, 4]  # fixed-size stsz branch
+
+
+def _build_mp4(chunks, stsc_runs, use_co64=False, largesize_mdat=False):
+    """Hand-rolled multi-chunk MP4: ``chunks`` is a list of lists of
+    per-sample byte strings; ``stsc_runs`` the (first_chunk,
+    samples_per_chunk) table.  Chunks are laid into one mdat separated
+    by garbage bytes, so a parser that assumes contiguity reads the
+    garbage — this is exactly the r10 ADVICE failure mode."""
+    import struct
+
+    sizes = [len(s) for c in chunks for s in c]
+    gap = b"\xde\xad\xbe\xef" * 3
+
+    def build(offs):
+        ftyp = M._mp4_box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+        mvhd = M._mp4_box(
+            b"mvhd",
+            b"\x00" * 4 + struct.pack(">IIII", 0, 0, 1000, 100 * len(sizes))
+            + b"\x00" * 80,
+        )
+        stsd = M._mp4_box(b"stsd", struct.pack(">II", 0, 1)
+                          + struct.pack(">I", 16) + b"raw " + b"\x00" * 6
+                          + struct.pack(">H", 1))
+        stts = M._mp4_box(b"stts", struct.pack(">II", 0, 1)
+                          + struct.pack(">II", len(sizes), 100))
+        stsc = M._mp4_box(
+            b"stsc",
+            struct.pack(">II", 0, len(stsc_runs))
+            + b"".join(struct.pack(">III", f, n, 1) for f, n in stsc_runs),
+        )
+        stsz = M._mp4_box(
+            b"stsz",
+            struct.pack(">III", 0, 0, len(sizes))
+            + b"".join(struct.pack(">I", s) for s in sizes),
+        )
+        if use_co64:
+            co = M._mp4_box(b"co64", struct.pack(">II", 0, len(offs))
+                            + b"".join(struct.pack(">Q", o) for o in offs))
+        else:
+            co = M._mp4_box(b"stco", struct.pack(">II", 0, len(offs))
+                            + b"".join(struct.pack(">I", o) for o in offs))
+        stbl = M._mp4_box(b"stbl", stsd + stts + stsc + stsz + co)
+        trak = M._mp4_box(b"trak", M._mp4_box(b"mdia", M._mp4_box(b"minf", stbl)))
+        moov = M._mp4_box(b"moov", mvhd + trak)
+        payload = gap.join(b"".join(c) for c in chunks)
+        if largesize_mdat:
+            mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(
+                ">Q", 16 + len(payload)
+            ) + payload
+            hdr = 16
+        else:
+            mdat = struct.pack(">I", 8 + len(payload)) + b"mdat" + payload
+            hdr = 8
+        return ftyp, moov, mdat, hdr
+
+    # two-pass: measure with zero offsets, then patch in the real ones
+    ftyp, moov, mdat, hdr = build([0] * len(chunks))
+    base = len(ftyp) + len(moov) + hdr
+    offs, pos = [], base
+    for c in chunks:
+        offs.append(pos)
+        pos += sum(len(s) for s in c) + len(gap)
+    ftyp, moov, mdat, _ = build(offs)
+    return ftyp + moov + mdat
+
+
+def test_mp4_multi_chunk_extraction(spark):
+    # 5 samples over 2 chunks (2 + 3), garbage between chunks: a
+    # contiguity-assuming parser extracts garbage for samples 2..4
+    samples = [bytes([10 + j] * (4 + j)) for j in range(5)]
+    blob = _build_mp4([samples[:2], samples[2:]], [(1, 2), (2, 3)])
+    df = spark.createDataFrame([(7, bytearray(blob))], "doc_id LONG, blob BINARY")
+    rows = {r.sample_no: r for r in M.mp4_sample_frames(df, every_k=1).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    off = 0
+    for j, s in enumerate(samples):
+        r = rows[j]
+        assert r.sample_bytes == len(s)
+        assert r.byte_offset == off  # media-stream offset, layout-free
+        assert r.value == s[0] and r.checksum == sum(s)
+        off += len(s)
+    meta = M.mp4_metadata(df).collect()[0]
+    assert meta.ok and meta.n_samples == 5
+
+
+def test_mp4_co64_and_largesize_boxes(spark):
+    # 64-bit chunk offsets + 64-bit mdat largesize — modern muxers
+    # emit both for >4 GiB files; the walker must honor them
+    samples = [bytes([99 - j] * 6) for j in range(4)]
+    blob = _build_mp4(
+        [samples[:1], samples[1:3], samples[3:]],
+        [(1, 1), (2, 2), (3, 1)],
+        use_co64=True,
+        largesize_mdat=True,
+    )
+    df = spark.createDataFrame([(3, bytearray(blob))], "doc_id LONG, blob BINARY")
+    rows = sorted(M.mp4_sample_frames(df, every_k=1).collect(),
+                  key=lambda r: r.sample_no)
+    assert [r.checksum for r in rows] == [sum(s) for s in samples]
+    assert [r.value for r in rows] == [s[0] for s in samples]
+
+
+def test_mp4_short_chunk_table_skips_not_misreads(spark):
+    # stco advertises ONE chunk but stsc maps two: tables don't cover
+    # the samples — the blob must be skipped, not extracted wrongly
+    samples = [b"\x01\x01", b"\x02\x02", b"\x03\x03"]
+    blob = _build_mp4([samples[:1], samples[1:]], [(1, 1), (2, 2)])
+    import struct
+
+    # truncate the stco table in place: count 2 -> 1
+    idx = blob.index(b"stco")
+    cnt_pos = idx + 4 + 4  # fourcc + version/flags
+    assert struct.unpack_from(">I", blob, cnt_pos)[0] == 2
+    broken = bytearray(blob)
+    struct.pack_into(">I", broken, cnt_pos, 1)
+    df = spark.createDataFrame([(1, broken)], "doc_id LONG, blob BINARY")
+    assert M.mp4_sample_frames(df).count() == 0

@@ -1,0 +1,105 @@
+"""Round-11 hardening: the four r10 ADVICE findings pinned as tests —
+CDC unknown-op rejection, store re-append idempotence (minhash + IVF),
+and the connected-components max_rounds cap.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_apply_cdc_batch_rejects_unknown_op(spark, golden_edges):
+    from community_detection_flink_spark.operators.incremental import prepare
+    from community_detection_flink_spark.sources.edges import symmetrize_edges
+    from community_detection_flink_spark.streaming.incremental_stream import (
+        apply_cdc_batch,
+    )
+
+    state = prepare(symmetrize_edges(golden_edges))
+    batch = spark.createDataFrame(
+        [(1, 2, "I"), (3, 4, "X")], "src LONG, dst LONG, op STRING"
+    )
+    with pytest.raises(ValueError, match="unknown op 'X'"):
+        apply_cdc_batch(state, batch)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+def test_minhash_store_reappend_is_idempotent(spark):
+    """Appending the SAME delta twice (a retried ingest job — the
+    normal failure mode of any at-least-once pipeline) must not write
+    duplicate signature rows: pairs still equal the full recompute and
+    no self-pair (doc_a == doc_b) appears."""
+    from community_detection_flink_spark.operators import dedup as D
+    from community_detection_flink_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    delta = docs.where("doc_id % 10 = 9")
+    store = D.build_minhash_store(
+        docs.where("doc_id % 10 != 9"), table="t_mh_store_reapp"
+    )
+    store = D.minhash_store_append(store, delta)
+    store = D.minhash_store_append(store, delta)  # retry: must no-op
+    got = {
+        (r.doc_a, r.doc_b, r.n_bands)
+        for r in D.minhash_pairs_from_store(spark, store).collect()
+    }
+    assert all(a != b for a, b, _ in got)
+    want = {
+        (r.doc_a, r.doc_b, r.n_bands)
+        for r in D.minhash_lsh_pairs(docs, num_hashes=8, bands=4).collect()
+    }
+    assert got == want and len(want) > 0
+    # the store holds exactly one signature row set per doc
+    n_docs = docs.count()
+    from pyspark.sql import functions as F
+
+    per_doc = (
+        spark.table(store.table).groupBy("doc_id").count()
+        .agg(F.max("count"), F.countDistinct("doc_id")).first()
+    )
+    assert per_doc[0] <= store.bands and per_doc[1] == n_docs
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+def test_ivf_index_reappend_is_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from community_detection_flink_spark.operators import similarity as S
+    from community_detection_flink_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = S.build_ivf_index(emb.where("vec_id % 10 != 9"), table="t_ivf_reapp")
+    delta = emb.where("vec_id % 10 = 9")
+    idx = S.ivf_index_append(idx, delta)
+    idx = S.ivf_index_append(idx, delta)  # retry: must no-op
+    dup = (
+        spark.table(idx.table).groupBy("vec_id").count().where("count > 1")
+    )
+    assert dup.isEmpty()
+    assert spark.table(idx.table).count() == emb.count()
+
+
+def test_cc_max_rounds_cap_not_overshot(spark, monkeypatch):
+    """rounds_per_landing=2 with max_rounds=3 must run EXACTLY 3
+    star-contraction rounds, not 4 — the last batch is truncated."""
+    from community_detection_flink_spark.operators import components as C
+
+    calls = {"n": 0}
+    real = C._small_star
+
+    def counting(df):
+        calls["n"] += 1
+        return real(df)
+
+    monkeypatch.setattr(C, "_small_star", counting)
+    # a long path needs many rounds, so the cap (not convergence) stops
+    # the loop
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "u LONG, v LONG"
+    )
+    C.connected_components(edges, max_rounds=3, rounds_per_landing=2)
+    assert calls["n"] == 3
