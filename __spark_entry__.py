@@ -1424,6 +1424,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         blobs = M.synthesize_gif_blobs(load_table(spark, sf, "documents"))
         return M.gif_frame_stats(blobs)
 
+    def mm_jpeg_roundtrip(spark, sf):
+        """REAL lossy-codec decode, end-to-end (r11 — closes the last
+        image-decode stub): synthesize a baseline JFIF per document
+        THROUGH the real encoder (FDCT, Annex-K quantization, canonical
+        Huffman coding, byte stuffing, per-doc restart intervals), then
+        decode with the full baseline decoder (operators/jpeg.py —
+        marker/DQT/DHT parsing, bit-level Huffman with RSTn handling,
+        dequant + IDCT, YCbCr→RGB).  Images are tiled from constant 8×8
+        blocks of EVEN gray values, which survive the lossy pipeline
+        BIT-EXACTLY (DC-only blocks, q00=16 — jpeg.py docstring), so
+        dimensions, component count, pixel checksum, and mean are all
+        closed-form in doc_id — exact SQL oracle.  Even docs exercise
+        the 3-component color path, odd docs grayscale; doc_id % 4 is
+        the restart interval, so DRI/RSTn handling is gate-certified
+        too.  The AC / 4:2:0 paths are pinned by differential tests
+        (tests/test_jpeg.py) against an independent numpy
+        reconstruction."""
+        from community_detection_flink_spark.operators import jpeg as J
+
+        blobs = J.synthesize_jpeg_blobs(load_table(spark, sf, "documents"))
+        return J.jpeg_stats(blobs)
+
     # ---------------- graph metrics beyond the reference ---------------
 
     def g_pagerank(spark, sf):
@@ -3718,6 +3740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_store_pairs": doc_minhash_store_pairs,
         "mm_mp4_metadata": mm_mp4_metadata,
         "mm_mp4_frame_sample": mm_mp4_frame_sample,
+        # r11 addition: the real baseline-JPEG codec roundtrip
+        "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
         # (the 11 r9/r9b operators moved INTO the gate prefix above
         # for their first driver certification)
         "wcc_incremental_localized": wcc_incremental_localized,
@@ -5099,6 +5123,28 @@ SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
   CAST((7 * v) % 256 AS DOUBLE) AS mean_g,
   CAST((13 * v) % 256 AS DOUBLE) AS mean_b
 FROM frames""",
+        "mm_jpeg_roundtrip": """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS txn, 1 + (doc_id // 3) % 3 AS tyn,
+    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ncomp
+  FROM documents
+),
+tiles AS (
+  SELECT doc_id, txn, tyn, ncomp,
+    ((7 * doc_id + 11 * tx.v + 13 * ty.v) % 128) * 2 AS val
+  FROM d, UNNEST(range(txn)) tx(v), UNNEST(range(tyn)) ty(v)
+),
+agg AS (
+  SELECT doc_id, txn, tyn, ncomp, SUM(val) AS sv
+  FROM tiles GROUP BY ALL
+)
+SELECT doc_id, TRUE AS ok,
+  CAST(8 * txn AS BIGINT) AS width, CAST(8 * tyn AS BIGINT) AS height,
+  CAST(ncomp AS BIGINT) AS n_components,
+  CAST(sv * 64 * ncomp AS DOUBLE) / CAST(8 * txn * 8 * tyn * ncomp AS DOUBLE)
+    AS mean_pixel,
+  CAST(sv * 64 * ncomp AS BIGINT) AS checksum
+FROM agg""",
         "g_pagerank": _G + ",\n" + _pagerank_sql(5),
         "g_kcore": _G + ",\n" + _kcore_sql(80, 12),
         "g_pagerank_weighted": """

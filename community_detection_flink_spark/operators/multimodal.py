@@ -18,11 +18,15 @@ choices in this container.  ``synthesize_wav_blobs`` /
 oracle-checkable encode→decode roundtrips (``mm_wav_roundtrip`` /
 ``mm_bmp_roundtrip`` / ``mm_ppm_frame_sample``).  Since r10 the MP4
 CONTAINER layer is also real: ``_parse_mp4`` walks the ISO-BMFF box
-tree (mvhd, trak, stsd/stts/stsz/stco) and ``mp4_sample_frames``
-slices samples out of mdat via the actual sample table — only the
-codec payload decode (H.264 entropy coding, JPEG huffman+DCT) remains
-the clearly-marked stub (``_fake_decode``); swap it for PIL/ffmpeg in
-production and nothing else changes.
+tree (mvhd, trak, stsd/stts/stsc/stsz/stco/co64) and
+``mp4_sample_frames`` slices samples out of mdat via the actual
+sample-to-chunk map.  Since r11 JPEG decodes for REAL too
+(``operators/jpeg.py``: baseline huffman + dequant + IDCT + chroma
+upsampling, with the matching encoder for synthesis) — the only codec
+payload still out of reach in this library-less container is H.264
+entropy decoding, covered by the clearly-marked
+``_fallback_features``; swap it for ffmpeg in production and nothing
+else changes.
 """
 
 from __future__ import annotations
@@ -60,13 +64,18 @@ def blob_metadata(docs: DataFrame) -> DataFrame:
     return with_blob(docs).select("doc_id", "byte_len", "sha256")
 
 
-def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
-    """STUB decode: deterministic fake image features from raw bytes.
-
-    A real implementation would do ``PIL.Image.open(io.BytesIO(b))``;
-    this container has no codecs (``pip install`` unavailable), so the
-    features are pure functions of the byte stream — which keeps the
-    operator oracle-checkable end-to-end.
+def _fallback_features(batch: pd.DataFrame) -> pd.DataFrame:
+    """Unknown-codec FALLBACK (demoted from the r1–r10 ``_fake_decode``
+    stub): deterministic features that are pure functions of the byte
+    stream, used ONLY for blobs no in-engine decoder claims.  As of
+    r11 every image format the engine synthesizes decodes for REAL
+    (JPEG via ``operators/jpeg.py`` — huffman+dequant+IDCT; GIF via the
+    LZW decoder; BMP/PPM via the pixel parsers; WAV/MP4 via the
+    container walkers) — the only codec still out of reach in this
+    library-less container is H.264 entropy decoding, which is what
+    this fallback now stands in for.  Keeping the fallback a pure
+    byte-stream function keeps ``decode_features`` oracle-checkable
+    end-to-end for arbitrary payloads.
     """
     lens = batch["blob"].map(len).astype("int64")
     return pd.DataFrame(
@@ -81,17 +90,58 @@ def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def decode_features(docs: DataFrame, batch_limit: int = 1024) -> DataFrame:
-    """Arrow-batched decode/feature-extract over binary blobs.
+    """Arrow-batched decode/feature-extract over binary blobs, with
+    magic-byte dispatch: JPEG blobs (SOI ``FF D8``) go through the REAL
+    baseline decoder (``operators/jpeg.py``) and report true
+    dimensions/channels plus a pixel-sum checksum; anything else falls
+    to ``_fallback_features`` (format-specific operators —
+    ``gif_frame_stats``, ``bmp_stats``, ``wav_pcm_stats``,
+    ``ppm_frame_sample``, ``mp4_*`` — are the real paths for those
+    formats).
 
     ``mapInPandas`` so each Python worker sees whole Arrow batches
     (never row-at-a-time), the normal shape for CPU-bound media decode
     at scale.  ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
     batch memory when blobs are large.
     """
+    from community_detection_flink_spark.operators import jpeg as _J
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for b in batches:
-            yield _fake_decode(b)
+            is_jpeg = b["blob"].map(
+                lambda x: bytes(x[:2]) == b"\xff\xd8" if x is not None else False
+            )
+            parts = []
+            if (~is_jpeg).any():
+                parts.append(_fallback_features(b[~is_jpeg]))
+            if is_jpeg.any():
+                rows = []
+                for i, blob in zip(
+                    b.loc[is_jpeg, "doc_id"], b.loc[is_jpeg, "blob"]
+                ):
+                    try:
+                        d = _J.decode_jpeg(bytes(blob))
+                        rows.append(
+                            (
+                                int(i), d["width"], d["height"],
+                                d["n_components"],
+                                int(d["pixels"].astype(np.int64).sum()),
+                            )
+                        )
+                    except (_J.JpegError, EOFError, IndexError):
+                        rows.append((int(i), 0, 0, 0, -1))
+                parts.append(
+                    pd.DataFrame(
+                        rows,
+                        columns=[
+                            "doc_id", "width", "height", "channels",
+                            "checksum",
+                        ],
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
 
     return with_blob(docs).select("doc_id", "blob").mapInPandas(run, FEATURE_SCHEMA)
 
