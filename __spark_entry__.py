@@ -1744,11 +1744,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assign = comp.select(
             F.col("vId").alias("vec_id"), F.col("comp").alias("cluster_id")
         )
-        sizes = assign.groupBy("cluster_id").agg(
-            F.count("*").cast("long").alias("cluster_size")
-        )
-        return assign.join(sizes, "cluster_id").select(
-            "vec_id", "cluster_id", "cluster_size"
+        # sizes via ONE window pass (r11): the groupBy-then-join shape
+        # executed the CC tail twice; a count window is one shuffle on
+        # cluster_id over a single execution of the assignment
+        from pyspark.sql import Window
+
+        return assign.select(
+            "vec_id",
+            "cluster_id",
+            F.count("*")
+            .over(Window.partitionBy("cluster_id"))
+            .cast("long")
+            .alias("cluster_size"),
         )
 
     def g_pagerank_weighted(spark, sf):

@@ -36,7 +36,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from community_detection_flink_spark.plans.iteration import Materializer
+from community_detection_flink_spark.plans.iteration import (
+    Materializer,
+    scoped_shuffle_partitions,
+)
 
 MAX_ROUNDS = 50
 
@@ -113,13 +116,32 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    # The init landing stays a PARQUET landing: an r11 A/B replaced it
+    # with persist() and CC got 75% SLOWER (36 vs 20 s at sf0.1) —
+    # persist caches DATA but not the LOGICAL PLAN, so round 1's
+    # chained star tree carried the caller's full input plan (the kNN
+    # self-join) at every edge leaf and Catalyst's super-linear
+    # chained-star cost (plans/iteration.py) ate the saving.  What WAS
+    # real in that experiment: all_v must be built from the LANDED
+    # edges — built from the raw input it silently re-executed the
+    # caller's whole pipeline once more at final-join time (r11).
+    e = mat(e, "cc-edges")
+    init_e = e  # its files back all_v in the RETURNED plan: never drop
+    # loop-width sizing (r11, the refinement.py:136 rule): the loop
+    # shuffles the same known-size edge state every round; ~300k rows
+    # per partition, clamped at the session value so cluster-scale
+    # runs keep their width.  The count is a parquet-metadata read of
+    # the landed state, not a recompute.  AQE stays ON in this loop
+    # (the r10 A/B: non-adaptive was 2× slower here — the stars'
+    # min-label sides need runtime broadcast discovery).
+    session_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_sp = max(1, min(session_sp, e.count() // 300_000 + 1))
     all_v = e.select(F.col("u").alias("vId")).union(e.select(F.col("v").alias("vId")))
     if vertices is not None:
         vc = vertices.columns[0]
         all_v = all_v.union(vertices.select(F.col(vc).cast("long").alias("vId")))
     all_v = all_v.distinct()
 
-    e = mat(e, "cc-edges")
     prev_sig = None
     batch = max(1, int(rounds_per_landing))
     # NOTE (r10): this loop deliberately KEEPS adaptive planning,
@@ -129,41 +151,43 @@ def connected_components(
     # broadcast hint, and AQE's runtime size discovery is what turns
     # those joins into broadcasts at small-state scale.  The job-floor
     # rationale only wins where every join is already hint-broadcast.
-    for done in range(0, max_rounds, batch):
-        # truncate the last batch so the total never exceeds max_rounds
-        # (r11, closes the r10 ADVICE finding: a full final batch could
-        # overshoot the documented cap by up to batch-1 rounds)
-        batch = min(batch, max_rounds - done)
-        prev_e = e
-        # one Observation per chained round, ALL riding the single
-        # landing job (CollectMetrics is a pass-through node): a fixed
-        # point reached at any round boundary INSIDE the batch shows as
-        # two equal consecutive checksums, so the loop stops without a
-        # confirmation landing (the extra landing is only paid when the
-        # fixed point lands exactly on the batch's last round).
-        # checksum terms are bounded to [0, 2^31) so the ANSI sum can't
-        # overflow long before ~4e9 edges per partition-tree
-        obss = []
-        nxt = e
-        for _r in range(batch):
-            nxt = _small_star(_large_star(nxt))
-            ob = Observation()
-            nxt = nxt.observe(
-                ob,
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.pmod(F.xxhash64("u", "v"), F.lit(2147483647))
-                ).alias("h"),
-            )
-            obss.append(ob)
-        e = mat(nxt, "cc-edges")
-        mat.drop(prev_e)
-        sigs = [(ob.get["n"], ob.get["h"]) for ob in obss]
-        if any(
-            a == b for a, b in zip([prev_sig] + sigs[:-1], sigs)
-        ):
-            break
-        prev_sig = sigs[-1]
+    with scoped_shuffle_partitions(spark, loop_sp):
+        for done in range(0, max_rounds, batch):
+            # truncate the last batch so the total never exceeds max_rounds
+            # (r11, closes the r10 ADVICE finding: a full final batch could
+            # overshoot the documented cap by up to batch-1 rounds)
+            batch = min(batch, max_rounds - done)
+            prev_e = e
+            # one Observation per chained round, ALL riding the single
+            # landing job (CollectMetrics is a pass-through node): a fixed
+            # point reached at any round boundary INSIDE the batch shows as
+            # two equal consecutive checksums, so the loop stops without a
+            # confirmation landing (the extra landing is only paid when the
+            # fixed point lands exactly on the batch's last round).
+            # checksum terms are bounded to [0, 2^31) so the ANSI sum can't
+            # overflow long before ~4e9 edges per partition-tree
+            obss = []
+            nxt = e
+            for _r in range(batch):
+                nxt = _small_star(_large_star(nxt))
+                ob = Observation()
+                nxt = nxt.observe(
+                    ob,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.pmod(F.xxhash64("u", "v"), F.lit(2147483647))
+                    ).alias("h"),
+                )
+                obss.append(ob)
+            e = mat(nxt, "cc-edges")
+            if prev_e is not init_e:
+                mat.drop(prev_e)
+            sigs = [(ob.get["n"], ob.get["h"]) for ob in obss]
+            if any(
+                a == b for a, b in zip([prev_sig] + sigs[:-1], sigs)
+            ):
+                break
+            prev_sig = sigs[-1]
 
     # fixed point: e is (child → root) stars; roots/isolated map to self
     return (
