@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from community_detection_flink_spark.plans.iteration import Materializer, no_aqe
+from community_detection_flink_spark.plans.iteration import (
+    Materializer,
+    no_aqe,
+    scoped_shuffle_partitions,
+)
 
 MAX_ITERATIONS = 50  # DistributedWCC.scala:143
 
@@ -117,8 +121,15 @@ def initial_partition(
     # per-round queries are loop-state-sized semi/anti joins over
     # Materializer-landed roots and persisted frontiers — AQE only
     # multiplies the driver-blocking job count here (see plans.no_aqe;
-    # r9 A/B at sf0.1: wall unchanged, per-round job count collapses)
-    with no_aqe(vertices.sparkSession):
+    # r9 A/B at sf0.1: wall unchanged, per-round job count collapses).
+    # Loop width (r11, VERDICT r10 #4): the same ~300k-rows rule as the
+    # refinement loop, sized on the landed clean-edge count (a parquet
+    # metadata read — run_wcc lands clean_edges before calling here)
+    # and clamped at the session width so cluster-scale runs keep it.
+    spark = vertices.sparkSession
+    session_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_sp = max(4, min(session_sp, clean_edges.count() // 300_000 + 1))
+    with no_aqe(spark), scoped_shuffle_partitions(spark, loop_sp):
         undecided = mat(v.select("vId"), "mis-undec")
         undec_files.append(undecided)
         for _ in range(max_iterations):
