@@ -725,7 +725,10 @@ def mixture_sample(
 
 
 def source_caps(
-    docs: DataFrame, cap: int = 10, key: str = "source"
+    docs: DataFrame,
+    cap: int = 10,
+    key: str = "source",
+    skew_buckets: int | None = None,
 ) -> DataFrame:
     """Per-source frequency capping (r10) — the RefinedWeb/CCNet-style
     domain cap: keep at most ``cap`` documents per source, chosen in a
@@ -734,21 +737,74 @@ def source_caps(
     the identical subset) rather than by position, which would bias
     toward crawl order.
 
-    One shuffle on the source key, one rank window.  Skew note for
-    100 TB: a window over a mega-source serializes that source through
-    one partition — the standard mitigation is a two-pass pre-prune
-    (per-source hash quantile bounds the top-``cap`` candidates before
-    the exact window); at ``cap`` ≪ source sizes the pre-prune keeps
-    ~cap·ε rows per source.  Not pre-pruned here because the exactness
-    contract (hash-ranked top-cap) is the oracle-pinned semantics and
-    the gate corpora are far from the skew regime — the docstring is
-    the documented lever, as with ``rel_fuzzy_part_match``'s blocks.
+    One shuffle on the source key, one rank window — and a SKEW LEVER
+    (``skew_buckets``, r11 — implements the mitigation r10 only
+    documented): a window over a mega-source serializes that source
+    through one partition.  With ``skew_buckets = B`` the rank is
+    computed EXACTLY but distributed: the hash domain (2²⁰) is split
+    into B static ranges, per-(source, bucket) counts prefix-sum into
+    bucket offsets (a window over ≤ B rows per source), and the final
+    rank is offset + row_number within (source, bucket) — the
+    mega-source now spreads over B partitions instead of one.  Bucket
+    ranges are monotone in the hash, so rank-by-(hash, doc_id) is
+    IDENTICAL to the single-window path by construction (pinned
+    hash-equal on a 50%-skew fixture in tests/test_round11_ops.py).
+
+    MEASURED regimes (SCALING.md r11, 20M rows / 50% mega-source):
+    when the FULL ranking is consumed, the bucketed path is ~5×
+    faster (6.6 vs 33 s — the mega-source sort serializes).  When
+    only ``kept`` rows are consumed downstream, leave the default:
+    Spark's WindowGroupLimit pushes ``pick_rank <= cap`` below the
+    window as a per-partition top-cap pre-prune, which solves the
+    skew natively (2 s) and beats the bucketed path's extra
+    aggregate+join (6 s).  The default single window is also the
+    oracle-pinned gate path.
 
     Output: ``(doc_id, source, pick_rank, kept)`` for every document.
     """
     from pyspark.sql import Window
 
     h = F.pmod(F.col("doc_id").cast("long") * F.lit(2654435761), F.lit(1 << 20))
+    if skew_buckets and int(skew_buckets) > 1:
+        B = int(skew_buckets)
+        width = (1 << 20) // B + 1
+        base = docs.select(
+            "doc_id",
+            F.col(key).alias("source"),
+            h.alias("_h"),
+            F.floor(h / F.lit(width)).cast("long").alias("_b"),
+        )
+        w_off = (
+            Window.partitionBy("source")
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = (
+            base.groupBy("source", "_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(
+                "source",
+                "_b",
+                F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+            )
+        )
+        w_in = Window.partitionBy("source", "_b").orderBy(
+            F.col("_h").asc(), F.col("doc_id").asc()
+        )
+        # no broadcast hint on offs: it is (sources × B) rows — tiny
+        # here, but at 100 TB sources run to millions; AQE may still
+        # broadcast it when runtime stats allow
+        return (
+            base.join(offs, ["source", "_b"])
+            .select(
+                "doc_id",
+                "source",
+                (F.col("_off") + F.row_number().over(w_in))
+                .cast("long")
+                .alias("pick_rank"),
+            )
+            .withColumn("kept", F.col("pick_rank") <= int(cap))
+        )
     w = Window.partitionBy(key).orderBy(h.asc(), F.col("doc_id").asc())
     return docs.select(
         "doc_id",

@@ -90,3 +90,27 @@ def clustered_graph(
         )
         .distinct()
     )
+
+
+def skewed_sources(
+    spark: SparkSession,
+    n: int = 1_000_000,
+    mega_frac: float = 0.5,
+    n_small: int = 200,
+) -> DataFrame:
+    """``(doc_id long, source string)`` with ONE mega-source holding
+    ``mega_frac`` of all rows and the rest spread over ``n_small``
+    small sources — the adversarial regime for any per-source window
+    (the mega-source serializes through one partition).  Generated
+    JVM-side from a range (no driver-side row list at this n); fully
+    deterministic in (n, mega_frac, n_small).  Used by the
+    ``source_caps`` skew A/B (VERDICT r10 #6), not by gate queries."""
+    cut = int(n * mega_frac)
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < cut, F.lit("mega"))
+        .otherwise(
+            F.concat(F.lit("src_"), (F.col("id") % n_small).cast("string"))
+        )
+        .alias("source"),
+    )

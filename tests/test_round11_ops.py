@@ -103,3 +103,47 @@ def test_cc_max_rounds_cap_not_overshot(spark, monkeypatch):
     )
     C.connected_components(edges, max_rounds=3, rounds_per_landing=2)
     assert calls["n"] == 3
+
+
+def test_source_caps_skew_path_is_hash_identical(spark):
+    """The bucketed-rank skew path must be row-identical to the single
+    window — on the adversarial fixture (one source = 50% of rows) AND
+    on the real documents table (many small sources, ties included)."""
+    from community_detection_flink_spark.operators.textual import source_caps
+    from community_detection_flink_spark.sources.synthetic import skewed_sources
+
+    skew = skewed_sources(spark, n=20_000, mega_frac=0.5, n_small=37)
+    a = {tuple(r) for r in source_caps(skew, cap=7).collect()}
+    b = {
+        tuple(r)
+        for r in source_caps(skew, cap=7, skew_buckets=16).collect()
+    }
+    assert a == b and len(a) == 20_000
+
+    if os.path.isdir(SF_DIR):
+        from community_detection_flink_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "source"
+        )
+        a = {tuple(r) for r in source_caps(docs, cap=5).collect()}
+        b = {
+            tuple(r)
+            for r in source_caps(docs, cap=5, skew_buckets=8).collect()
+        }
+        assert a == b and len(a) > 0
+
+
+def test_source_caps_skew_path_distributes_the_mega_source(spark):
+    """The skew path's rank window partitions on (source, bucket) —
+    the mega-source spans many partitions instead of one."""
+    from community_detection_flink_spark.operators.textual import source_caps
+    from community_detection_flink_spark.sources.synthetic import skewed_sources
+
+    skew = skewed_sources(spark, n=5_000, mega_frac=0.6, n_small=11)
+    plan = (
+        source_caps(skew, cap=3, skew_buckets=32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partitionbyexpr" not in plan.lower()  # sanity: plan printed
+    assert "_b" in plan  # the bucket key is in the window partition spec
