@@ -3757,41 +3757,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_incremental": wcc_incremental,
         "wcc_cdc": wcc_cdc,
     }
-    # --- r10 gate prefix (the driver certifies the FIRST 50 entries;
-    # composition per VERDICT r9 #6): 5 anchors; the env-proofed
-    # doc_mixture_sample (the r9 red, re-gated); the 4 operators whose
-    # CODE changed this round (cell cap / de-broadcast / batched CC /
-    # kmeans landing — re-certified, not just locally swept); the 18
-    # judge-sweep-green entries with no driver artifact since r6/r7;
-    # and the 22 remaining oldest (r6) entries — which empties the r6
-    # cohort except the 12 listed at the end of the registry above,
-    # left for the r11 rotation.  Everything rotated below the cap is
-    # r8/r9-gate-green and keeps per-round full-sweep evidence. ---
-    _R10_PREFIX = [
+    # --- r11 gate prefix (the driver certifies the FIRST 50 entries;
+    # composition per VERDICT r10 #1): 5 anchors; the new r11 operator
+    # (mm_jpeg_roundtrip — the real JPEG codec's first certification);
+    # the 4 r10 operators with local-sweep-only evidence, now first
+    # driver-certified (doc_source_caps, doc_minhash_store_pairs and
+    # the two mm_mp4_* — whose CODE also changed this round: stsc/co64
+    # chunk mapping, append idempotence guard, skew lever); the 5
+    # entries whose CODE changed this round (emb_dup_clusters landing
+    # fusion + window tail, mm_decode_features JPEG dispatch, and the
+    # three connected_components consumers — re-certified, not just
+    # locally swept); the 12 r6-cohort entries named in the r10
+    # verdict; and 23 of the 37-entry r7 cohort.  The 13 r7 entries
+    # left below the cap for the r12 rotation are the simplest
+    # single-aggregate SQL mirrors (ev_tumbling/sliding/session/
+    # user_running/json_props, rel_nation_revenue/parts_in_lineitem/
+    # cube_orders/customers_without_orders, rel_q12/q13/q19/q22) —
+    # every one green in the committed full-registry sweeps at both
+    # SFs every round since r7.  Everything rotated below the cap is
+    # r8-r10-gate-green and keeps per-round full-sweep evidence. ---
+    _R11_PREFIX = [
+        # anchors
         "g_edges", "wcc_invariants", "ev_funnel", "cdc_invariants",
         "emb_ann_quality",
-        "doc_mixture_sample",
-        "emb_semantic_dedup", "emb_knn_graph", "emb_dup_clusters",
-        "emb_kmeans_refine",
-        "rel_q2_min_cost_supplier", "rel_q9_product_profit",
-        "rel_q11_important_stock", "rel_q16_supplier_part_counts",
-        "rel_q20_potential_promotion", "doc_winnow_pairs",
-        "doc_cdc_chunk_dedup", "doc_simhash_near_dups",
-        "emb_jl_projection", "emb_truncation_recall",
-        "ev_resample_ffill", "ev_attribution", "ev_late_audit",
-        "ev_cep_strict", "ev_heartbeat_gaps", "g_sssp_weighted",
-        "g_random_walks", "g_rich_club",
-        "g_assortativity", "ev_transitions", "doc_repeated_passages",
-        "emb_norm_stats", "rel_q7_volume_shipping",
-        "g_label_propagation", "emb_covariance", "doc_minhash_quality",
-        "rel_q4_order_priority", "ev_interval_join", "doc_unigram_nll",
-        "rel_q6_forecast_revenue", "ev_rolling_features",
-        "g_landmark_distances", "emb_pq_ann", "ev_debounce",
-        "g_snapshot_edges", "g_graph_summary", "rel_q14_promo_revenue",
-        "rel_q17_small_qty_revenue", "g_ktruss", "rel_q15_top_supplier",
+        # first certification: r11 + r10 operators
+        "mm_jpeg_roundtrip",
+        "doc_source_caps", "doc_minhash_store_pairs",
+        "mm_mp4_metadata", "mm_mp4_frame_sample",
+        # code changed this round: re-certify
+        "emb_dup_clusters", "mm_decode_features",
+        "g_connected_components", "g_components_paths",
+        "doc_dedup_groups",
+        # the r6 cohort (newest driver artifact r6)
+        "doc_passage_locations", "ev_trigrams", "rel_monthly_growth",
+        "rel_abc_analysis", "rel_data_quality", "g_degree_histogram",
+        "g_degrees", "g_triangle_counts", "g_vertex_metrics",
+        "g_community_stats", "g_adjacency", "rel_distinct_counts",
+        # 23 of the r7 cohort (newest driver artifact r7)
+        "rel_q21_waiting_suppliers", "doc_containment", "doc_winnowing",
+        "emb_product_quantization", "emb_code_dedup", "mm_frame_sample",
+        "doc_dedup_keep_best", "doc_exact_dedup", "doc_fingerprint",
+        "doc_jaccard_pairs", "doc_lang_id", "doc_minhash_lsh_pairs",
+        "doc_minhash_signatures", "doc_quality", "doc_sample_split",
+        "doc_simhash", "doc_token_stats", "doc_top_ngrams",
+        "ev_asof_prior_purchase", "ev_range_recent_purchases",
+        "g_community_triangles", "g_intra_degree",
+        "g_vertex_community_degrees",
     ]
-    assert len(_R10_PREFIX) == 50 and len(set(_R10_PREFIX)) == 50
-    return {**{k: _registry[k] for k in _R10_PREFIX}, **_registry}
+    assert len(_R11_PREFIX) == 50 and len(set(_R11_PREFIX)) == 50
+    return {**{k: _registry[k] for k in _R11_PREFIX}, **_registry}
 
 
 # ----------------------------------------------------------------------
