@@ -611,13 +611,15 @@ def jpeg_stats(
     so the SQL oracle can reproduce it bit-for-bit."""
     from collections.abc import Iterator as _It
 
+    import struct as _struct
+
     def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
         for b in batches:
             rows = []
             for i, blob in zip(b[id_col], b[blob_col]):
                 try:
                     d = decode_jpeg(bytes(blob))
-                except (JpegError, EOFError, IndexError):
+                except (JpegError, EOFError, IndexError, _struct.error):
                     rows.append((int(i), False, 0, 0, 0, 0.0, 0))
                     continue
                 total = int(d["pixels"].astype(np.int64).sum())

@@ -118,6 +118,8 @@ def decode_features(docs: DataFrame, batch_limit: int = 1024) -> DataFrame:
                 parts.append(_fallback_features(b[~is_jpeg]))
             if is_jpeg.any():
                 rows = []
+                import struct as _struct
+
                 for i, blob in zip(
                     b.loc[is_jpeg, "doc_id"], b.loc[is_jpeg, "blob"]
                 ):
@@ -130,7 +132,7 @@ def decode_features(docs: DataFrame, batch_limit: int = 1024) -> DataFrame:
                                 int(d["pixels"].astype(np.int64).sum()),
                             )
                         )
-                    except (_J.JpegError, EOFError, IndexError):
+                    except (_J.JpegError, EOFError, IndexError, _struct.error):
                         rows.append((int(i), 0, 0, 0, -1))
                 parts.append(
                     pd.DataFrame(
@@ -914,7 +916,13 @@ def _parse_mp4(b: bytes):
                 ]
             pos += size
 
-    walk(0, len(b))
+    try:
+        walk(0, len(b))
+    except (struct.error, IndexError):
+        # a box whose DECLARED table length overruns its actual bytes
+        # (e.g. a truncated stsz with a huge sample count): malformed,
+        # surfaced as ok=false — never a task failure (r11)
+        return None
     if (
         "timescale" not in out
         or "sizes" not in out

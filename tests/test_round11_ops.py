@@ -147,3 +147,35 @@ def test_source_caps_skew_path_distributes_the_mega_source(spark):
     )
     assert "partitionbyexpr" not in plan.lower()  # sanity: plan printed
     assert "_b" in plan  # the bucket key is in the window partition spec
+
+
+def test_malformed_tables_surface_not_crash(spark):
+    """Blobs whose DECLARED table sizes overrun their actual bytes must
+    come back ok=false / skipped, never a task failure: a truncated
+    stsz with a huge count (MP4) and a short SOF segment (JPEG)."""
+    import struct
+
+    from community_detection_flink_spark.operators import jpeg as J
+    from community_detection_flink_spark.operators import multimodal as M
+
+    # MP4: stsz declares 10^6 samples inside a 30-byte box
+    ftyp = M._mp4_box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+    bad_stsz = M._mp4_box(b"stsz", struct.pack(">III", 0, 0, 1_000_000))
+    stbl = M._mp4_box(b"stbl", bad_stsz)
+    moov = M._mp4_box(
+        b"moov", M._mp4_box(b"trak", M._mp4_box(b"mdia", M._mp4_box(b"minf", stbl)))
+    )
+    mp4_blob = ftyp + moov
+    df = spark.createDataFrame(
+        [(0, bytearray(mp4_blob))], "doc_id LONG, blob BINARY"
+    )
+    assert [r.ok for r in M.mp4_metadata(df).collect()] == [False]
+    assert M.mp4_sample_frames(df).count() == 0
+
+    # JPEG: SOI + SOF0 whose declared length matches its 3 bytes, but
+    # the SOF fields need 6 — unpack must surface ok=false, not raise
+    jpeg_blob = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC0, 2 + 3) + b"\x08\x00\x10"
+    df2 = spark.createDataFrame(
+        [(0, bytearray(jpeg_blob))], "doc_id LONG, blob BINARY"
+    )
+    assert [r.ok for r in J.jpeg_stats(df2).collect()] == [False]
