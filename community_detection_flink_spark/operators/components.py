@@ -208,9 +208,19 @@ def dedup_groups(
     pipeline's final step (group, then keep ``group_id``, the minimum
     doc id, as the representative).
     """
+    from pyspark.sql import Window
+
     comp = connected_components(
         pairs.select("doc_a", "doc_b"), vertices=docs.select("doc_id")
     )
     assign = comp.select(F.col("vId").alias("doc_id"), F.col("comp").alias("group_id"))
-    sizes = assign.groupBy("group_id").agg(F.count("*").cast("long").alias("group_size"))
-    return assign.join(sizes, "group_id").select("doc_id", "group_id", "group_size")
+    # sizes via ONE count window (r11, the emb_dup_clusters fix): the
+    # groupBy-then-join shape executed the CC tail twice
+    return assign.select(
+        "doc_id",
+        "group_id",
+        F.count("*")
+        .over(Window.partitionBy("group_id"))
+        .cast("long")
+        .alias("group_size"),
+    )
