@@ -3260,6 +3260,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the identical ROW_NUMBER arithmetic."""
         return T.source_caps(load_table(spark, sf, "documents"), cap=10)
 
+    def doc_source_caps_skew(spark, sf):
+        """The SKEW-LEVER variant of doc_source_caps (r11,
+        textual.source_caps with skew_buckets — the exact bucketed
+        rank that spreads a mega-source over B partitions; ~5× on the
+        50%-skew fixture when the full ranking is consumed,
+        SCALING.md r11).  Hash-identical to the single-window path by
+        bucket monotonicity, so it shares doc_source_caps' oracle
+        verbatim — the gate certifies the distributed-rank machinery
+        (static hash-range buckets, per-(source, bucket) counts
+        prefix-summed into offsets, offset + row_number) cross-engine,
+        not just the plan shape."""
+        return T.source_caps(
+            load_table(spark, sf, "documents"), cap=10, skew_buckets=16
+        )
+
     def doc_minhash_store_pairs(spark, sf):
         """LSH pairs from the PERSISTED banded-signature store (r10,
         dedup.build_minhash_store / minhash_store_append /
@@ -3744,6 +3759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 additions (below the cap this round; local-sweep +
         # pinned-test evidence, r11 rotation candidates)
         "doc_source_caps": doc_source_caps,
+        "doc_source_caps_skew": doc_source_caps_skew,
         "doc_minhash_store_pairs": doc_minhash_store_pairs,
         "mm_mp4_metadata": mm_mp4_metadata,
         "mm_mp4_frame_sample": mm_mp4_frame_sample,
@@ -4783,6 +4799,15 @@ SELECT doc_id, CAST(i AS BIGINT) AS sample_no,
 FROM documents, UNNEST(range(3 + doc_id % 5)) AS t(i)
 WHERE i % 2 = 0""",
         "doc_source_caps": """
+SELECT doc_id, source, pick_rank, pick_rank <= 10 AS kept FROM (
+  SELECT doc_id, source,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY (CAST(doc_id AS BIGINT) * 2654435761) % 1048576, doc_id
+    ) AS BIGINT) AS pick_rank
+  FROM documents)""",
+        # the skew-lever variant is semantically IDENTICAL — same SQL
+        "doc_source_caps_skew": """
 SELECT doc_id, source, pick_rank, pick_rank <= 10 AS kept FROM (
   SELECT doc_id, source,
     CAST(ROW_NUMBER() OVER (
