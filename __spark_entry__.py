@@ -3275,6 +3275,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "documents"), cap=10, skew_buckets=16
         )
 
+    def doc_bpe_pair_counts(spark, sf):
+        """Corpus-weighted adjacent-symbol pair counts over the
+        char+</w> tokenization of the distinct-word table (r11,
+        operators/bpe.py — the first iteration's statistics of BPE
+        tokenizer training, Sennrich et al. 2016).  The corpus
+        collapses to distinct words FIRST (the trick that makes BPE
+        training tractable at 100 TB); one explode + one keyed
+        aggregate.  Exact oracle: DuckDB replays the split/explode
+        arithmetic verbatim."""
+        from community_detection_flink_spark.operators import bpe as B
+
+        return B.pair_counts(
+            B.word_counts(load_table(spark, sf, "documents"))
+        )
+
+    def doc_bpe_merges(spark, sf):
+        """Learned BPE merge rules, 8 ranks (r11, bpe.bpe_learn):
+        iterative and data-dependent (each argmax depends on the
+        previous merge), so — like the wcc_* family — rows-only at the
+        driver gate, with a pure-Python differential oracle pinning
+        the merges EXACTLY (tests/test_bpe.py::ref_bpe, run on this
+        same corpus at sf0.001 plus a self-overlapping-run edge-case
+        fixture).  Per iteration: one weighted pair aggregate, an O(1)
+        driver argmax, one Catalyst merge fold over only the words
+        containing the winning pair, parquet-landed loop state."""
+        from community_detection_flink_spark.operators import bpe as B
+
+        return B.bpe_learn(
+            load_table(spark, sf, "documents"), num_merges=8
+        )
+
     def doc_minhash_store_pairs(spark, sf):
         """LSH pairs from the PERSISTED banded-signature store (r10,
         dedup.build_minhash_store / minhash_store_append /
@@ -3760,6 +3791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pinned-test evidence, r11 rotation candidates)
         "doc_source_caps": doc_source_caps,
         "doc_source_caps_skew": doc_source_caps_skew,
+        # r11: distributed BPE tokenizer training
+        "doc_bpe_pair_counts": doc_bpe_pair_counts,
+        "doc_bpe_merges": doc_bpe_merges,
         "doc_minhash_store_pairs": doc_minhash_store_pairs,
         "mm_mp4_metadata": mm_mp4_metadata,
         "mm_mp4_frame_sample": mm_mp4_frame_sample,
@@ -4806,6 +4840,22 @@ SELECT doc_id, source, pick_rank, pick_rank <= 10 AS kept FROM (
       ORDER BY (CAST(doc_id AS BIGINT) * 2654435761) % 1048576, doc_id
     ) AS BIGINT) AS pick_rank
   FROM documents)""",
+        "doc_bpe_pair_counts": r"""
+WITH w AS (
+  SELECT word, COUNT(*) AS n FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents
+  ) WHERE length(word) > 0 GROUP BY word
+),
+t AS (
+  SELECT n, list_append(string_split(word, ''), '</w>') AS toks FROM w
+),
+p AS (
+  SELECT toks[r.i + 1] AS "left", toks[r.i + 2] AS "right", n
+  FROM t, UNNEST(range(len(toks) - 1)) r(i)
+)
+SELECT "left", "right", CAST(SUM(n) AS BIGINT) AS freq
+FROM p GROUP BY ALL""",
         # the skew-lever variant is semantically IDENTICAL — same SQL
         "doc_source_caps_skew": """
 SELECT doc_id, source, pick_rank, pick_rank <= 10 AS kept FROM (
