@@ -134,6 +134,7 @@ def bpe_learn(
     ties on frequency break on (left, right) lexicographic — pinned by
     the pure-Python differential oracle in tests/test_bpe.py."""
     spark = docs.sparkSession
+    own_mat = mat is None
     mat = mat or Materializer(spark)
     vocab = mat(
         word_counts(docs, text_col).select(
@@ -141,7 +142,6 @@ def bpe_learn(
         ),
         "bpe-vocab",
     )
-    first = vocab
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(int(num_merges)):
         top = (
@@ -170,8 +170,14 @@ def bpe_learn(
             .unionByName(vocab.where(~has_pair)),
             "bpe-vocab",
         )
-        if prev is not first:
-            mat.drop(prev)
+        # the returned merges are a driver-local list, so no landing is
+        # referenced by the result — drop every superseded state
+        # (including the initial one) as soon as its replacement is on
+        # disk, and the final one below
+        mat.drop(prev)
+    mat.drop(vocab)
+    if own_mat:
+        mat.cleanup()
     return spark.createDataFrame(
         merges, "rank LONG, left STRING, right STRING, freq LONG"
     )

@@ -226,7 +226,7 @@ class _BitReader:
         ):
             self.pos += 2
         else:
-            raise ValueError("expected restart marker")
+            raise JpegError("expected restart marker")
 
 
 def _extend(v: int, s: int) -> int:

@@ -143,7 +143,8 @@ def decode_features(docs: DataFrame, batch_limit: int = 1024) -> DataFrame:
                         ],
                     )
                 )
-            yield pd.concat(parts, ignore_index=True)
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     return with_blob(docs).select("doc_id", "blob").mapInPandas(run, FEATURE_SCHEMA)
 

@@ -173,7 +173,13 @@ def apply_cdc_batch(state: WCCState, batch_df: DataFrame, mat=None) -> WCCState:
         incremental_update,
     )
 
-    bad = batch_df.where(~F.col("op").isin("I", "D", "U")).limit(1).collect()
+    bad = (
+        batch_df.where(
+            ~F.col("op").isin("I", "D", "U") | F.col("op").isNull()
+        )
+        .limit(1)
+        .collect()
+    )
     if bad:
         raise ValueError(
             f"apply_cdc_batch: unknown op {bad[0]['op']!r} — "

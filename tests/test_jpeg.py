@@ -117,6 +117,23 @@ def test_corrupt_inputs_raise_jpeg_error():
             J.decode_jpeg(bad)
 
 
+def test_mangled_restart_marker_raises_jpeg_error():
+    # r12 ADVICE fix: a DRI-set stream whose RSTn is rewritten must
+    # raise JpegError (the type decode_features/jpeg_stats catch), not
+    # a bare ValueError that escapes as a Spark task failure
+    img = _rng_plane(21, 32, 40)
+    blob = bytearray(J.encode_jpeg([img], restart_interval=3))
+    for n in range(8):
+        i = blob.find(bytes([0xFF, 0xD0 + n]))
+        if i >= 0:
+            blob[i + 1] = 0xD9  # RSTn -> EOI
+            break
+    else:
+        raise AssertionError("no restart marker emitted")
+    with pytest.raises(J.JpegError, match="restart"):
+        J.decode_jpeg(bytes(blob))
+
+
 def test_progressive_sof_is_rejected_not_misdecoded():
     good = bytearray(J.encode_jpeg([_rng_plane(5, 8, 8)]))
     i = good.find(b"\xff\xc0")
