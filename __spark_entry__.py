@@ -689,6 +689,160 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(k, int(v)) for k, v in rows], "invariant STRING, value LONG"
         )
 
+    def wcc_delete_invariants(spark, sf):
+        """Delete-path invariants in ISOLATION (VERDICT r11 #6).
+        ``cdc_invariants`` wraps the delete between an insert batch and
+        a U-reassert; this query certifies ``incremental_delete``
+        (operators/incremental.py:796) alone: bulk-prepare the FULL
+        graph, delete one deterministic batch (every edge with
+        ``(src + dst) % 7 == 3`` — symmetric under endpoint swap), and
+        compare every carried structure against an INDEPENDENT direct
+        recompute of the remaining graph.  The direct side never sees
+        the engine's semi-join deltas: a triangle survives iff none of
+        its three undirected edges matches the predicate — a pure
+        filter of the full-graph triangle list fed to a fresh
+        ``preprocess`` of the remaining edges."""
+        from community_detection_flink_spark.operators.incremental import (
+            incremental_delete,
+            prepare,
+        )
+        from community_detection_flink_spark.sources.edges import (
+            symmetrize_edges,
+        )
+
+        e, _, _ = _graph(spark, sf)
+        state = prepare(e, tri=_TRI_CACHE[sf])
+        dels = e.where(
+            ((F.col("src") + F.col("dst")) % 7 == 3)
+            & (F.col("src") < F.col("dst"))
+        )
+        n_del_doubled = 2 * dels.count()
+        state = incremental_delete(state, dels)
+
+        comm = state.vertices.select("vId", "cId")
+        n_rows = state.vertices.count()
+        n_vertices = comm.select("vId").distinct().count()
+        sum_sizes = int(
+            comm.groupBy("cId").count().agg(F.sum("count")).first()[0]
+        )
+        orphan_cids = (
+            comm.select("cId")
+            .distinct()
+            .join(
+                comm.select(F.col("vId").alias("cId")).distinct(),
+                "cId",
+                "left_anti",
+            )
+            .count()
+        )
+        sizes = (
+            state.vertices.where("t > 0")
+            .groupBy("cId")
+            .agg(F.count("*").cast("int").alias("n"))
+        )
+        stats_size_mismatch = (
+            state.stats.join(sizes, "cId", "full")
+            .where(
+                F.col("n").isNull()
+                | F.col("r").isNull()
+                | (F.col("n") != F.col("r"))
+            )
+            .count()
+        )
+        deleted_edges_present = state.edges.where(
+            (F.col("src") + F.col("dst")) % 7 == 3
+        ).count()
+        edge_rows = state.edges.count()
+        # a vertex whose last triangle died must revert to a singleton
+        t_zero_label_violations = state.vertices.where(
+            (F.col("t") == 0) & (F.col("cId") != F.col("vId"))
+        ).count()
+
+        # ---- independent direct recompute of the remaining graph ----
+        remaining = e.join(
+            symmetrize_edges(dels), ["src", "dst"], "left_anti"
+        )
+
+        def edge_dead(a, b):
+            return (F.col(a) + F.col(b)) % 7 == 3
+
+        tri_direct = _TRI_CACHE[sf].where(
+            ~edge_dead("u", "v") & ~edge_dead("u", "w")
+            & ~edge_dead("v", "w")
+        )
+        v_direct, clean_direct = preprocess(remaining, tri=tri_direct)
+        a = state.vertices.select(
+            "vId",
+            F.col("t").alias("ta"),
+            F.col("vt").alias("vta"),
+            F.round("cc", 9).alias("cca"),
+        )
+        b = v_direct.select(
+            "vId",
+            F.col("t").alias("tb"),
+            F.col("vt").alias("vtb"),
+            F.round("cc", 9).alias("ccb"),
+        )
+        vertex_stats_mismatch = (
+            a.join(b, "vId", "full")
+            .where(
+                F.when(
+                    F.col("tb").isNull(),
+                    (F.col("ta") != 0)
+                    | (F.col("vta") != 0)
+                    | (F.col("cca") != 0.0),
+                )
+                .when(F.col("ta").isNull(), F.lit(True))
+                .otherwise(
+                    (F.col("ta") != F.col("tb"))
+                    | (F.col("vta") != F.col("vtb"))
+                    | (F.col("cca") != F.col("ccb"))
+                )
+            )
+            .count()
+        )
+        clean_edge_diff = (
+            state.clean_edges.join(
+                clean_direct, ["src", "dst"], "left_anti"
+            ).count()
+            + clean_direct.join(
+                state.clean_edges, ["src", "dst"], "left_anti"
+            ).count()
+        )
+
+        def canon_tri(tri):
+            lo = F.least("u", "v", "w")
+            hi = F.greatest("u", "v", "w")
+            return tri.select(
+                lo.alias("u"),
+                (F.col("u") + F.col("v") + F.col("w") - lo - hi).alias("v"),
+                hi.alias("w"),
+            )
+
+        tri_a, tri_b = canon_tri(state.tri), canon_tri(tri_direct)
+        tri_diff = (
+            tri_a.join(tri_b, ["u", "v", "w"], "left_anti").count()
+            + tri_b.join(tri_a, ["u", "v", "w"], "left_anti").count()
+        )
+
+        rows = [
+            ("labeled_rows", n_rows),
+            ("labeled_distinct_vertices", n_vertices),
+            ("sum_community_sizes", sum_sizes),
+            ("orphan_cids", orphan_cids),
+            ("stats_size_mismatch", stats_size_mismatch),
+            ("deleted_edge_rows", n_del_doubled),
+            ("deleted_edges_present", deleted_edges_present),
+            ("edge_rows", edge_rows),
+            ("t_zero_label_violations", t_zero_label_violations),
+            ("vertex_stats_mismatch_vs_direct", vertex_stats_mismatch),
+            ("clean_edge_diff_vs_direct", clean_edge_diff),
+            ("tri_diff_vs_direct", tri_diff),
+        ]
+        return spark.createDataFrame(
+            [(k, int(v)) for k, v in rows], "invariant STRING, value LONG"
+        )
+
     def wcc_incremental_localized(spark, sf):
         """E2 with LOCALIZED micro-batches and batch-neighborhood
         (scoped) refinement — rows-only, iterative (VERDICT r3 #2/#3).
@@ -3801,6 +3955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
         # (the 11 r9/r9b operators moved INTO the gate prefix above
         # for their first driver certification)
+        # r12 addition: delete-path certification in isolation
+        "wcc_delete_invariants": wcc_delete_invariants,
         "wcc_incremental_localized": wcc_incremental_localized,
         "wcc_communities": wcc_communities,
         "wcc_stats": wcc_stats,
@@ -4613,6 +4769,26 @@ UNION ALL SELECT 'tri_diff_vs_direct', CAST(0 AS BIGINT)
 UNION ALL SELECT 'u_reassert_edges',
   (SELECT CAST(COUNT(*) AS BIGINT) FROM remaining
    WHERE src % 97 = 1 AND src < dst)""",
+        # Delete-only variant: the predicate (src+dst)%7=3 is symmetric
+        # under endpoint swap, so the doubled deleted-edge count and
+        # the remaining doubled-edge count derive directly from the
+        # edge CTE; every engine-vs-direct parity row pins to 0.
+        "wcc_delete_invariants": _G + """,
+nv AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n FROM edges),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM edges WHERE (src + dst) % 7 = 3),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM edges WHERE (src + dst) % 7 <> 3)
+SELECT 'labeled_rows' AS invariant, n AS value FROM nv
+UNION ALL SELECT 'labeled_distinct_vertices', n FROM nv
+UNION ALL SELECT 'sum_community_sizes', n FROM nv
+UNION ALL SELECT 'orphan_cids', CAST(0 AS BIGINT)
+UNION ALL SELECT 'stats_size_mismatch', CAST(0 AS BIGINT)
+UNION ALL SELECT 'deleted_edge_rows', c FROM nd
+UNION ALL SELECT 'deleted_edges_present', CAST(0 AS BIGINT)
+UNION ALL SELECT 'edge_rows', c FROM ne
+UNION ALL SELECT 't_zero_label_violations', CAST(0 AS BIGINT)
+UNION ALL SELECT 'vertex_stats_mismatch_vs_direct', CAST(0 AS BIGINT)
+UNION ALL SELECT 'clean_edge_diff_vs_direct', CAST(0 AS BIGINT)
+UNION ALL SELECT 'tri_diff_vs_direct', CAST(0 AS BIGINT)""",
         "g_degrees": _G + "SELECT src AS vId, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src",
         "g_triangle_counts": _G + """
 SELECT v.vId, COALESCE(t.t, 0) AS t
