@@ -201,3 +201,79 @@ def test_mp4_short_chunk_table_skips_not_misreads(spark):
     struct.pack_into(">I", broken, cnt_pos, 1)
     df = spark.createDataFrame([(1, broken)], "doc_id LONG, blob BINARY")
     assert M.mp4_sample_frames(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-MP4 (r12): real video frame decode
+# ---------------------------------------------------------------------------
+
+
+def test_mjpeg_decode_matches_construction(spark):
+    """Every frame of every synthesized MJPEG track decodes to the
+    closed-form pixels: the container walk found the true sample bytes
+    (padded, one-chunk-per-sample layout) AND the JPEG decode of the
+    payload is bit-exact."""
+    docs = spark.createDataFrame([(i,) for i in range(25)], "doc_id LONG")
+    out = M.mp4_video_frame_decode(
+        M.synthesize_mjpeg_mp4_blobs(docs), every_k=1
+    ).collect()
+    from collections import Counter
+
+    per_doc = Counter(r.doc_id for r in out)
+    for i in range(25):
+        assert per_doc[i] == 2 + i % 4
+    for r in out:
+        i, f = r.doc_id, r.sample_no
+        txn, tyn = 2 + i % 3, 1 + (i // 3) % 3
+        ncomp = 3 if i % 2 == 0 else 1
+        sv = sum(
+            (7 * i + 11 * tx + 13 * ty + 17 * f) % 128 * 2
+            for tx in range(txn)
+            for ty in range(tyn)
+        )
+        assert r.ok
+        assert (r.width, r.height, r.n_components) == (8 * txn, 8 * tyn, ncomp)
+        assert r.checksum == sv * 64 * ncomp
+        assert r.mean_pixel == (sv * 64 * ncomp) / (64 * txn * tyn * ncomp)
+
+
+def test_mjpeg_corrupt_frame_fails_its_row_only(spark):
+    """A mangled sample payload yields ok=false for THAT frame; the
+    other frames of the same blob still decode — the resilient-decode
+    contract at frame granularity."""
+    docs = spark.createDataFrame([(2,)], "doc_id LONG")
+    blob = bytearray(
+        M.synthesize_mjpeg_mp4_blobs(docs).collect()[0].blob
+    )
+    p = M._parse_mp4(bytes(blob))
+    offs = M._mp4_sample_offsets(p)
+    assert len(offs) == 4  # 2 + 2%4
+    # kill sample 1's SOI marker (valid BMFF, broken JPEG magic) and
+    # corrupt sample 2's entropy bytes mid-scan (valid SOI, broken scan)
+    blob[offs[1]] = 0x00
+    blob[offs[2] + p["sizes"][2] - 10] = 0xFF
+    blob[offs[2] + p["sizes"][2] - 9] = 0xC2  # progressive SOF: JpegError
+    df = spark.createDataFrame(
+        [(2, bytes(blob))], "doc_id LONG, blob BINARY"
+    )
+    rows = {r.sample_no: r for r in
+            M.mp4_video_frame_decode(df, every_k=1).collect()}
+    assert rows[0].ok and rows[3].ok
+    assert not rows[1].ok and rows[1].checksum == 0
+    assert not rows[2].ok
+
+
+def test_mjpeg_non_jpeg_track_is_ok_false_not_error(spark):
+    """A track whose samples are not JPEG (the raw-codec synthetic
+    blobs) yields ok=false rows, never a task failure; non-BMFF bytes
+    are skipped entirely."""
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id LONG")
+    out = M.mp4_video_frame_decode(
+        M.synthesize_mp4_blobs(docs), every_k=1
+    ).collect()
+    assert len(out) == sum(3 + i % 5 for i in range(5))
+    assert all(not r.ok for r in out)
+    junk = spark.createDataFrame(
+        [(0, b"not a container")], "doc_id LONG, blob BINARY"
+    )
+    assert M.mp4_video_frame_decode(junk).count() == 0
