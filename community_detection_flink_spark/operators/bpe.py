@@ -123,16 +123,117 @@ def pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def _learn_over_vocab(rows, num_merges: int) -> list[tuple[int, str, str, int]]:
+    """Driver-local BPE learn with DELTA pair-count maintenance — the
+    classic efficient algorithm: a lazy max-heap over pair frequencies
+    plus a pair→words occurrence index, so each merge touches only the
+    words that actually contain the winning pair and re-ranks in
+    O(log #pairs) instead of re-aggregating the whole vocabulary.
+    ``rows`` is ``(n, toks)`` — the ALREADY-TOKENIZED vocabulary
+    collected from Spark, so character splitting is bit-identical to
+    the distributed loop's ``_char_tokens``.  Tie-break matches it
+    exactly: freq desc, then (left, right) lexicographic asc."""
+    import heapq
+
+    words = [[list(toks), int(n)] for n, toks in rows]
+    counts: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+    for wi, (toks, n) in enumerate(words):
+        for p in zip(toks, toks[1:]):
+            counts[p] = counts.get(p, 0) + n
+            occ.setdefault(p, set()).add(wi)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(int(num_merges)):
+        top = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            # lazy invalidation: every count change pushed a fresh
+            # entry, so a mismatch means this one is stale
+            if -negc > 0 and counts.get(p, 0) == -negc:
+                top = (p, -negc)
+                break
+        if top is None:
+            break
+        (a, b), freq = top
+        merges.append((rank, a, b, freq))
+        ab = a + b
+        touched: set[tuple[str, str]] = set()
+        # occ is a SUPERSET of the words currently containing (a, b)
+        # (entries go stale when a later rewrite removes the pair);
+        # the hit test below makes stale visits exact no-ops
+        for wi in occ.get((a, b), ()):
+            toks, n = words[wi]
+            out, i, hit = [], 0, False
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                    hit = True
+                else:
+                    out.append(toks[i])
+                    i += 1
+            if not hit:
+                continue
+            for p in zip(toks, toks[1:]):
+                counts[p] -= n
+                touched.add(p)
+            for p in zip(out, out[1:]):
+                counts[p] = counts.get(p, 0) + n
+                occ.setdefault(p, set()).add(wi)
+                touched.add(p)
+            words[wi][0] = out
+        occ.pop((a, b), None)
+        for p in touched:
+            c = counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
+            else:
+                counts.pop(p, None)
+                occ.pop(p, None)
+    return merges
+
+
 def bpe_learn(
     docs: DataFrame,
     num_merges: int = 10,
     text_col: str = "text",
     mat: Materializer | None = None,
+    strategy: str = "auto",
+    local_vocab_limit: int = 4_000_000,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merge rules; returns ``(rank, left,
     right, freq)`` with rank the merge order (0-based).  Deterministic:
     ties on frequency break on (left, right) lexicographic — pinned by
-    the pure-Python differential oracle in tests/test_bpe.py."""
+    the pure-Python differential oracle in tests/test_bpe.py, which
+    both strategies must match exactly.
+
+    ``strategy`` picks the learn loop (VERDICT r11 #3 — the measured
+    per-merge job ceiling):
+
+    * ``"distributed"`` — one Spark pair-aggregate + one O(1) argmax
+      collect + one merge-application job PER MERGE.  Correct at any
+      vocabulary size, but driver-job-bound: MEASURED 0.8–1.0 s/merge
+      on the sf0.01 corpus and 2.3 s/merge on a 181k-word synthetic
+      vocabulary (SCALING.md r12) — a production 30k-merge tokenizer
+      would be ~19 hours of job scheduling regardless of cluster size.
+    * ``"local"`` — ONE corpus-sized Spark pass builds the distinct-word
+      table (vocabulary-sized by construction: millions of rows where
+      the corpus is trillions), which is then collected and learned
+      over driver-side with delta pair-count maintenance + a lazy
+      max-heap (``_learn_over_vocab``).  MEASURED ~5 ms marginal per
+      merge at 181k words (1024 merges in 34.3 s INCLUDING the Spark
+      pass and vocab collect, vs 28.3 s for just TEN distributed
+      merges) — ~450× per merge, and the scale-CORRECT choice: after
+      the one distributed pass the problem is no longer big data.
+    * ``"auto"`` (default) — ``"local"`` when the vocabulary row count
+      is ≤ ``local_vocab_limit`` (4M words ≈ a few hundred MB of
+      driver heap, far above any natural-language vocabulary), else
+      ``"distributed"``.
+    """
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     spark = docs.sparkSession
     own_mat = mat is None
     mat = mat or Materializer(spark)
@@ -142,6 +243,21 @@ def bpe_learn(
         ),
         "bpe-vocab",
     )
+    if strategy == "auto":
+        strategy = (
+            "local" if vocab.count() <= int(local_vocab_limit) else "distributed"
+        )
+    if strategy == "local":
+        merges = _learn_over_vocab(
+            ((r["n"], r["toks"]) for r in vocab.toLocalIterator()),
+            num_merges,
+        )
+        mat.drop(vocab)
+        if own_mat:
+            mat.cleanup()
+        return spark.createDataFrame(
+            merges, "rank LONG, left STRING, right STRING, freq LONG"
+        )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(int(num_merges)):
         top = (

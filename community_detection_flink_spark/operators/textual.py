@@ -728,7 +728,8 @@ def source_caps(
     docs: DataFrame,
     cap: int = 10,
     key: str = "source",
-    skew_buckets: int | None = None,
+    skew_buckets: int | str | None = None,
+    auto_target_rows: int = 2_000_000,
 ) -> DataFrame:
     """Per-source frequency capping (r10) — the RefinedWeb/CCNet-style
     domain cap: keep at most ``cap`` documents per source, chosen in a
@@ -760,9 +761,41 @@ def source_caps(
     aggregate+join (6 s).  The default single window is also the
     oracle-pinned gate path.
 
+    ``skew_buckets="auto"`` (r12, VERDICT r11 #8) derives the lever
+    from the DATA instead of a caller flag: one exact per-source count
+    aggregate (map-side combinable, tiny result — the corpus never
+    shuffles) finds the largest source; if it exceeds
+    ``auto_target_rows`` (the rows one task should sort), the bucketed
+    path activates with ``B = ceil(max_source / auto_target_rows)``
+    clamped to [2, 64], else the plan is the UNMODIFIED single window
+    (balanced data pays one cheap aggregate, nothing else — A/B'd in
+    SCALING.md r12).  The measured kept-only rule still stands: auto
+    is for FULL-ranking consumers; kept-only consumers should keep the
+    default (WindowGroupLimit already pre-prunes per partition).
+
     Output: ``(doc_id, source, pick_rank, kept)`` for every document.
     """
     from pyspark.sql import Window
+
+    if skew_buckets == "auto":
+        mx = (
+            docs.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n"))
+            .first()[0]
+            or 0
+        )
+        # floor of 16: the offsets window is over <= B rows per source
+        # (free), so once the lever activates, spreading wider is
+        # all win until task counts explode — 16 is the r11-measured
+        # sweet spot, and B grows with the mega source past 32M rows
+        skew_buckets = (
+            min(64, max(16, -(-int(mx) // int(auto_target_rows))))
+            if mx > int(auto_target_rows)
+            else None
+        )
+    elif isinstance(skew_buckets, str):
+        raise ValueError(f"unknown skew_buckets mode {skew_buckets!r}")
 
     h = F.pmod(F.col("doc_id").cast("long") * F.lit(2654435761), F.lit(1 << 20))
     if skew_buckets and int(skew_buckets) > 1:

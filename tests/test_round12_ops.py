@@ -54,3 +54,43 @@ def test_bpe_learn_drops_all_vocab_landings(spark):
         assert left == [], f"leaked checkpoint landings: {left}"
     finally:
         mat.cleanup()
+
+
+def test_source_caps_auto_picks_single_window_on_balanced(spark):
+    """auto with no source above the target leaves the plan the
+    UNMODIFIED single window (no bucket key anywhere) and the result
+    identical to the default path."""
+    from community_detection_flink_spark.operators.textual import source_caps
+    from community_detection_flink_spark.sources.synthetic import skewed_sources
+
+    docs = skewed_sources(spark, n=5_000, mega_frac=0.0, n_small=23)
+    auto = source_caps(docs, cap=5, skew_buckets="auto")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "_b" not in plan
+    a = {tuple(r) for r in source_caps(docs, cap=5).collect()}
+    assert {tuple(r) for r in auto.collect()} == a
+
+
+def test_source_caps_auto_buckets_the_mega_source(spark):
+    """auto with a source past the target activates the bucketed path
+    (bucket key in the window spec) and stays hash-identical."""
+    from community_detection_flink_spark.operators.textual import source_caps
+    from community_detection_flink_spark.sources.synthetic import skewed_sources
+
+    skew = skewed_sources(spark, n=20_000, mega_frac=0.5, n_small=37)
+    auto = source_caps(
+        skew, cap=7, skew_buckets="auto", auto_target_rows=1_000
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "_b" in plan
+    a = {tuple(r) for r in source_caps(skew, cap=7).collect()}
+    assert {tuple(r) for r in auto.collect()} == a and len(a) == 20_000
+
+
+def test_source_caps_rejects_unknown_mode(spark):
+    from community_detection_flink_spark.operators.textual import source_caps
+    from community_detection_flink_spark.sources.synthetic import skewed_sources
+
+    docs = skewed_sources(spark, n=100, mega_frac=0.0, n_small=5)
+    with pytest.raises(ValueError, match="unknown skew_buckets"):
+        source_caps(docs, skew_buckets="magic")
