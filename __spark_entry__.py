@@ -3451,9 +3451,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         driver gate, with a pure-Python differential oracle pinning
         the merges EXACTLY (tests/test_bpe.py::ref_bpe, run on this
         same corpus at sf0.001 plus a self-overlapping-run edge-case
-        fixture).  Per iteration: one weighted pair aggregate, an O(1)
-        driver argmax, one Catalyst merge fold over only the words
-        containing the winning pair, parquet-landed loop state."""
+        fixture).  Since r12 the default ``auto`` strategy learns
+        DRIVER-LOCALLY over the collected distinct-word table (one
+        corpus-sized Spark pass, then delta pair-count maintenance at
+        ~1 ms/merge — the measured fix for the one-Spark-job-per-merge
+        ceiling, SCALING.md r12); the distributed loop remains for
+        vocabularies past ``local_vocab_limit`` and is pinned equal to
+        the local path by tests/test_bpe.py strategy-parity tests."""
         from community_detection_flink_spark.operators import bpe as B
 
         return B.bpe_learn(
@@ -3985,55 +3989,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_incremental": wcc_incremental,
         "wcc_cdc": wcc_cdc,
     }
-    # --- r11 gate prefix (the driver certifies the FIRST 50 entries;
-    # composition per VERDICT r10 #1): 5 anchors; the new r11 operator
-    # (mm_jpeg_roundtrip — the real JPEG codec's first certification);
-    # the 4 r10 operators with local-sweep-only evidence, now first
-    # driver-certified (doc_source_caps, doc_minhash_store_pairs and
-    # the two mm_mp4_* — whose CODE also changed this round: stsc/co64
-    # chunk mapping, append idempotence guard, skew lever); the 5
-    # entries whose CODE changed this round (emb_dup_clusters landing
-    # fusion + window tail, mm_decode_features JPEG dispatch, and the
-    # three connected_components consumers — re-certified, not just
-    # locally swept); the 12 r6-cohort entries named in the r10
-    # verdict; and 23 of the 37-entry r7 cohort.  The 13 r7 entries
-    # left below the cap for the r12 rotation are the simplest
-    # single-aggregate SQL mirrors (ev_tumbling/sliding/session/
-    # user_running/json_props, rel_nation_revenue/parts_in_lineitem/
-    # cube_orders/customers_without_orders, rel_q12/q13/q19/q22) —
-    # every one green in the committed full-registry sweeps at both
-    # SFs every round since r7.  Everything rotated below the cap is
-    # r8-r10-gate-green and keeps per-round full-sweep evidence. ---
-    _R11_PREFIX = [
+    # --- r12 gate prefix (the driver certifies the FIRST 50 entries;
+    # composition per VERDICT r11 #1/#6): 5 anchors; first driver
+    # certification for the 4 never-gated entries (wcc_delete_invariants
+    # — the delete path in isolation, mm_video_frame_decode — real
+    # MJPEG-in-MP4 frame decode, doc_source_caps_skew — closing the r11
+    # commit/claim mismatch, doc_bpe_pair_counts); 2 re-certs whose CODE
+    # changed since their r11 gating (mm_jpeg_roundtrip — jpeg.py
+    # restart-marker error type b287f04, mm_decode_features —
+    # multimodal.py empty-batch guard b287f04); the full 13-entry r7
+    # remainder (newest driver artifact r7, named by the r11 rotation
+    # comment); and 26 of the 34-entry r8 cohort.  The 8 r8 entries left
+    # below the cap for the r13 rotation are the simplest single-pass
+    # relational mirrors (rel_pricing_summary, rel_top_orders,
+    # rel_percentiles, rel_profile_orders, rel_rollup_orders,
+    # rel_parts_intersect, rel_parts_never_ordered,
+    # rel_window_top_customers) — every one green in the committed
+    # full-registry sweeps at both SFs every round since r8.
+    # doc_bpe_merges stays below the cap deliberately: rows-only at the
+    # gate (iterative), pinned instead by the pure-Python differential
+    # oracle + strategy-parity tests (tests/test_bpe.py).  Everything
+    # rotated below the cap is r9-r11-gate-green and keeps per-round
+    # full-sweep evidence. ---
+    _R12_PREFIX = [
         # anchors
         "g_edges", "wcc_invariants", "ev_funnel", "cdc_invariants",
         "emb_ann_quality",
-        # first certification: r11 + r10 operators
-        "mm_jpeg_roundtrip",
-        "doc_source_caps", "doc_minhash_store_pairs",
-        "mm_mp4_metadata", "mm_mp4_frame_sample",
-        # code changed this round: re-certify
-        "emb_dup_clusters", "mm_decode_features",
-        "g_connected_components", "g_components_paths",
-        "doc_dedup_groups",
-        # the r6 cohort (newest driver artifact r6)
-        "doc_passage_locations", "ev_trigrams", "rel_monthly_growth",
-        "rel_abc_analysis", "rel_data_quality", "g_degree_histogram",
-        "g_degrees", "g_triangle_counts", "g_vertex_metrics",
-        "g_community_stats", "g_adjacency", "rel_distinct_counts",
-        # 23 of the r7 cohort (newest driver artifact r7)
-        "rel_q21_waiting_suppliers", "doc_containment", "doc_winnowing",
-        "emb_product_quantization", "emb_code_dedup", "mm_frame_sample",
-        "doc_dedup_keep_best", "doc_exact_dedup", "doc_fingerprint",
-        "doc_jaccard_pairs", "doc_lang_id", "doc_minhash_lsh_pairs",
-        "doc_minhash_signatures", "doc_quality", "doc_sample_split",
-        "doc_simhash", "doc_token_stats", "doc_top_ngrams",
-        "ev_asof_prior_purchase", "ev_range_recent_purchases",
-        "g_community_triangles", "g_intra_degree",
-        "g_vertex_community_degrees",
+        # first certification: r11/r12 never-gated entries
+        "wcc_delete_invariants", "mm_video_frame_decode",
+        "doc_source_caps_skew", "doc_bpe_pair_counts",
+        # code changed since r11 gating: re-certify
+        "mm_jpeg_roundtrip", "mm_decode_features",
+        # the r7 remainder (newest driver artifact r7)
+        "ev_tumbling", "ev_sliding", "ev_session", "ev_user_running",
+        "ev_json_props", "rel_nation_revenue", "rel_parts_in_lineitem",
+        "rel_cube_orders", "rel_customers_without_orders",
+        "rel_q12_late_priority", "rel_q13_customer_distribution",
+        "rel_q19_discounted_revenue", "rel_q22_global_sales",
+        # 26 of the r8 cohort (newest driver artifact r8)
+        "doc_bm25", "doc_cdc_chunks", "doc_contamination",
+        "doc_cross_dedup", "doc_pack_chunks", "doc_phrase_search",
+        "doc_repetition", "doc_sliding_chunks", "doc_stratified_sample",
+        "doc_tfidf", "emb_cosine_topk", "emb_jl_distortion",
+        "emb_near_dups", "emb_quantize", "ev_ohlc_bars", "ev_retention",
+        "ev_watermark_sizing", "g_bfs", "g_kcore", "g_modularity",
+        "g_pagerank", "g_pagerank_weighted", "mm_blob_meta",
+        "mm_gif_frames", "rel_bloom_prune", "rel_skewed_agg",
     ]
-    assert len(_R11_PREFIX) == 50 and len(set(_R11_PREFIX)) == 50
-    return {**{k: _registry[k] for k in _R11_PREFIX}, **_registry}
+    assert len(_R12_PREFIX) == 50 and len(set(_R12_PREFIX)) == 50
+    return {**{k: _registry[k] for k in _R12_PREFIX}, **_registry}
 
 
 # ----------------------------------------------------------------------
