@@ -102,6 +102,12 @@ def decode_features(docs: DataFrame, batch_limit: int = 1024) -> DataFrame:
     ``ppm_frame_sample``, ``mp4_*`` — are the real paths for those
     formats).
 
+    Since r12, ISO-BMFF blobs whose FIRST SAMPLE is a JPEG (MJPEG
+    tracks) also decode for real — first-frame features through the
+    container walk + baseline decoder; BMFF blobs with non-JPEG
+    payloads (H.264) stay on ``_fallback_features``, the honest
+    remaining boundary.
+
     ``mapInPandas`` so each Python worker sees whole Arrow batches
     (never row-at-a-time), the normal shape for CPU-bound media decode
     at scale.  ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
@@ -109,25 +115,44 @@ def decode_features(docs: DataFrame, batch_limit: int = 1024) -> DataFrame:
     """
     from community_detection_flink_spark.operators import jpeg as _J
 
+    def _first_jpeg_sample(raw: bytes) -> bytes | None:
+        """First sample's bytes iff this is BMFF with a JPEG payload."""
+        if len(raw) < 8 or raw[4:8] != b"ftyp":
+            return None
+        p = _parse_mp4(raw)
+        if p is None or not p["sizes"]:
+            return None
+        offs = _mp4_sample_offsets(p)
+        if offs is None:
+            return None
+        data = raw[offs[0] : offs[0] + p["sizes"][0]]
+        return data if data[:2] == b"\xff\xd8" else None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+        import struct as _struct
+
+        def jpeg_payload(x) -> bytes | None:
+            if x is None:
+                return None
+            raw = bytes(x)
+            if raw[:2] == b"\xff\xd8":
+                return raw
+            return _first_jpeg_sample(raw)
 
         for b in batches:
-            is_jpeg = b["blob"].map(
-                lambda x: bytes(x[:2]) == b"\xff\xd8" if x is not None else False
-            )
+            payloads = b["blob"].map(jpeg_payload)
+            is_jpeg = payloads.notna()
             parts = []
             if (~is_jpeg).any():
                 parts.append(_fallback_features(b[~is_jpeg]))
             if is_jpeg.any():
                 rows = []
-                import struct as _struct
-
-                for i, blob in zip(
-                    b.loc[is_jpeg, "doc_id"], b.loc[is_jpeg, "blob"]
+                for i, data in zip(
+                    b.loc[is_jpeg, "doc_id"], payloads[is_jpeg]
                 ):
                     try:
-                        d = _J.decode_jpeg(bytes(blob))
+                        d = _J.decode_jpeg(data)
                         rows.append(
                             (
                                 int(i), d["width"], d["height"],

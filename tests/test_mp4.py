@@ -277,3 +277,63 @@ def test_mjpeg_non_jpeg_track_is_ok_false_not_error(spark):
         [(0, b"not a container")], "doc_id LONG, blob BINARY"
     )
     assert M.mp4_video_frame_decode(junk).count() == 0
+
+
+def test_decode_features_dispatches_mjpeg_mp4(spark):
+    """decode_features on a raw binary frame: an MJPEG MP4 blob gets
+    REAL first-frame features (dims + pixel checksum), a raw-codec MP4
+    falls back, a bare JPEG still decodes — all in one batch."""
+    from community_detection_flink_spark.operators import jpeg as J
+
+    ids = spark.createDataFrame([(4,)], "doc_id LONG")
+    mjpeg = bytes(M.synthesize_mjpeg_mp4_blobs(ids).collect()[0].blob)
+    rawmp4 = bytes(M.synthesize_mp4_blobs(ids).collect()[0].blob)
+    jpg = bytes(J.synthesize_jpeg_blobs(ids).collect()[0].blob)
+
+    # drive the mapInPandas body directly on a pre-built blob frame:
+    # decode_features wraps with_blob (text->bytes), so reuse its
+    # runner via a minimal docs frame is not possible for binary
+    # payloads — instead go through mp4_video_frame_decode's sibling
+    # path by monkey-feeding blobs through a one-column text table is
+    # wrong; the operator contract we pin here is the DISPATCH rule,
+    # so call the internal runner through a real Spark pass:
+    df = spark.createDataFrame(
+        [(0, mjpeg), (1, rawmp4), (2, jpg)], "doc_id LONG, blob BINARY"
+    )
+    import pandas as pd_  # noqa: F401
+    from community_detection_flink_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+    )
+
+    # rebuild the runner exactly as decode_features does, minus the
+    # with_blob text wrapper (binary inputs come from media crawls)
+    import community_detection_flink_spark.operators.multimodal as MM
+
+    captured = {}
+    orig = MM.with_blob
+
+    def fake_with_blob(_docs):
+        captured["used"] = True
+        return df
+
+    MM.with_blob = fake_with_blob
+    try:
+        out = {r.doc_id: r for r in MM.decode_features(df).collect()}
+    finally:
+        MM.with_blob = orig
+
+    # doc 0: real first-frame decode of the MJPEG track — frame 0 of
+    # id 4: txn=2+4%3=0+... txn=2+1=3? compute: txn = 2 + 4 % 3 = 3,
+    # tyn = 1 + (4 // 3) % 3 = 2, ncomp = 3 (even id)
+    txn, tyn, ncomp = 3, 2, 3
+    sv = sum(
+        (7 * 4 + 11 * tx + 13 * ty) % 128 * 2
+        for tx in range(txn)
+        for ty in range(tyn)
+    )
+    assert out[0].width == 8 * txn and out[0].height == 8 * tyn
+    assert out[0].channels == ncomp and out[0].checksum == sv * 64 * ncomp
+    # doc 1: raw-codec MP4 -> fallback (length-derived features)
+    assert out[1].width == len(rawmp4) % 256
+    # doc 2: bare JPEG still real
+    assert out[2].channels == 3 and out[2].checksum >= 0
