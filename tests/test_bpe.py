@@ -179,3 +179,33 @@ def test_bpe_learn_rejects_unknown_strategy(spark):
     docs = spark.createDataFrame([(0, "a b")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError, match="unknown strategy"):
         B.bpe_learn(docs, strategy="magic")
+
+
+def test_local_learn_property_matches_reference():
+    """Property: the delta-maintenance + lazy-heap learn equals the
+    recompute-everything reference on random word multisets — the
+    invariants under test are exactly the ones delta updates can
+    silently break (stale heap entries, stale occurrence-index hits,
+    pairs whose count returns to a previous value)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from community_detection_flink_spark.operators.bpe import (
+        END,
+        _learn_over_vocab,
+    )
+
+    words = st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(words, st.integers(min_value=1, max_value=24))
+    def check(wc, m):
+        rows = [(n, list(w) + [END]) for w, n in wc.items()]
+        assert _learn_over_vocab(rows, m) == ref_bpe(wc, m)
+
+    check()
