@@ -108,6 +108,9 @@ AUDIT = [
     ("emb_dup_clusters", "thresholded kNN edges transitively closed by star-contraction CC: cell-keyed joins only, no cartesian, rounds parquet-materialized"),
     ("doc_source_caps", "per-source frequency capping: one source-keyed shuffle feeding one rank window, zero joins"),
     ("doc_minhash_store_pairs", "LSH pairs from the persisted bucketed signature store: the (band,bucket) aggregate reads pre-bucketed files — at most one exchange (the final pair aggregate)"),
+    # round 12
+    ("doc_source_caps_skew", "exact bucketed rank: per-(source, bucket) counts prefix-sum into offsets (window over ≤B rows/source), offset + in-bucket row_number — the mega-source spreads over B partitions"),
+    ("mm_video_frame_decode", "MJPEG-in-MP4 frame decode: two chained Arrow mapInPandas in the scan stage (mux, then demux+JPEG decode), slim stat rows only downstream — blobs never shuffle"),
 ]
 
 
