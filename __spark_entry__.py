@@ -3526,6 +3526,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             every_k=2,
         )
 
+    def mm_h264_ipcm_roundtrip(spark, sf):
+        """REAL H.264 decode for the spec's uncompressed mode (r12,
+        operators/h264.py): avc1 tracks of I_PCM-only IDR frames built
+        by the real encoder (NAL framing with emulation-prevention
+        bytes, exp-Golomb ue/se headers, SPS/PPS parameter sets,
+        per-macroblock PCM), muxed with a proper VisualSampleEntry +
+        avcC record and AVCC length-prefixed samples, then decoded by
+        walking the container and parsing every bitstream layer except
+        residual entropy coding — which is exactly the boundary that
+        remains labeled (`_fallback_features` now stands in for
+        CAVLC/CABAC residuals ONLY, not 'H.264').  I_PCM is lossless
+        pass-through, so every decoded pixel is closed-form in
+        (doc_id, sample_no, macroblock) — exact SQL oracle."""
+        return M.mp4_video_frame_decode(
+            M.synthesize_avc_mp4_blobs(load_table(spark, sf, "documents")),
+            every_k=1,
+        )
+
     # ------------------------------------------------------------------
     # ORDER MATTERS: the driver's correctness gate records exactly the
     # FIRST 50 dict entries.  ROUND 6 executes the rotation VERDICT r4/
@@ -3977,6 +3995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp4_metadata": mm_mp4_metadata,
         "mm_mp4_frame_sample": mm_mp4_frame_sample,
         "mm_video_frame_decode": mm_video_frame_decode,
+        "mm_h264_ipcm_roundtrip": mm_h264_ipcm_roundtrip,
         # r11 addition: the real baseline-JPEG codec roundtrip
         "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
         # (the 11 r9/r9b operators moved INTO the gate prefix above
@@ -5063,6 +5082,34 @@ SELECT doc_id, CAST(fno AS BIGINT) AS sample_no, TRUE AS ok,
   CAST(sv * 64 * ncomp AS DOUBLE) / CAST(8 * txn * 8 * tyn * ncomp AS DOUBLE)
     AS mean_pixel,
   CAST(sv * 64 * ncomp AS BIGINT) AS checksum
+FROM agg""",
+        # I_PCM is lossless pass-through with neutral chroma: RGB = Y
+        # exactly, so checksum = 3 * 256 * sum of per-MB luma values
+        "mm_h264_ipcm_roundtrip": """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nf, 1 + doc_id % 3 AS mbw,
+    1 + (doc_id // 3) % 2 AS mbh
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, mbw, mbh, f.v AS fno
+  FROM d, UNNEST(range(nf)) f(v)
+),
+mbs AS (
+  SELECT doc_id, fno, mbw, mbh,
+    (5 * doc_id + 7 * mb.v + 11 * fno) % 256 AS val
+  FROM frames, UNNEST(range(mbw * mbh)) mb(v)
+),
+agg AS (
+  SELECT doc_id, fno, mbw, mbh, SUM(val) AS sv
+  FROM mbs GROUP BY ALL
+)
+SELECT doc_id, CAST(fno AS BIGINT) AS sample_no, TRUE AS ok,
+  CAST(16 * mbw AS BIGINT) AS width, CAST(16 * mbh AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS n_components,
+  CAST(sv * 256 * 3 AS DOUBLE) / CAST(16 * mbw * 16 * mbh * 3 AS DOUBLE)
+    AS mean_pixel,
+  CAST(sv * 256 * 3 AS BIGINT) AS checksum
 FROM agg""",
         "doc_source_caps": """
 SELECT doc_id, source, pick_rank, pick_rank <= 10 AS kept FROM (
