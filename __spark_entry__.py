@@ -4010,9 +4010,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # --- r12 gate prefix (the driver certifies the FIRST 50 entries;
     # composition per VERDICT r11 #1/#6): 5 anchors; first driver
-    # certification for the 4 never-gated entries (wcc_delete_invariants
+    # certification for the 5 never-gated entries (wcc_delete_invariants
     # — the delete path in isolation, mm_video_frame_decode — real
-    # MJPEG-in-MP4 frame decode, doc_source_caps_skew — closing the r11
+    # MJPEG-in-MP4 frame decode, mm_h264_ipcm_roundtrip — the H.264
+    # I_PCM codec, doc_source_caps_skew — closing the r11
     # commit/claim mismatch, doc_bpe_pair_counts); 2 re-certs whose CODE
     # changed since their r11 gating (mm_jpeg_roundtrip — jpeg.py
     # restart-marker error type b287f04, mm_decode_features —
@@ -4023,8 +4024,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # relational mirrors (rel_pricing_summary, rel_top_orders,
     # rel_percentiles, rel_profile_orders, rel_rollup_orders,
     # rel_parts_intersect, rel_parts_never_ordered,
-    # rel_window_top_customers) — every one green in the committed
-    # full-registry sweeps at both SFs every round since r8.
+    # rel_window_top_customers, plus rel_skewed_agg displaced by the
+    # late-round mm_h264_ipcm_roundtrip first-certification) — every
+    # one green in the committed full-registry sweeps at both SFs
+    # every round since r8.
     # doc_bpe_merges stays below the cap deliberately: rows-only at the
     # gate (iterative), pinned instead by the pure-Python differential
     # oracle + strategy-parity tests (tests/test_bpe.py).  Everything
@@ -4036,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_quality",
         # first certification: r11/r12 never-gated entries
         "wcc_delete_invariants", "mm_video_frame_decode",
+        "mm_h264_ipcm_roundtrip",
         "doc_source_caps_skew", "doc_bpe_pair_counts",
         # code changed since r11 gating: re-certify
         "mm_jpeg_roundtrip", "mm_decode_features",
@@ -4053,7 +4057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups", "emb_quantize", "ev_ohlc_bars", "ev_retention",
         "ev_watermark_sizing", "g_bfs", "g_kcore", "g_modularity",
         "g_pagerank", "g_pagerank_weighted", "mm_blob_meta",
-        "mm_gif_frames", "rel_bloom_prune", "rel_skewed_agg",
+        "mm_gif_frames", "rel_bloom_prune",
     ]
     assert len(_R12_PREFIX) == 50 and len(set(_R12_PREFIX)) == 50
     return {**{k: _registry[k] for k in _R12_PREFIX}, **_registry}
