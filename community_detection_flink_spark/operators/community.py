@@ -373,11 +373,15 @@ def best_movement(
     )
     # `own` is referenced twice below (cand derives from it, decided
     # joins it back) — caching it keeps the movement job from
-    # recomputing the aggregate AND gives the planner real (small)
-    # sizes for the downstream joins; measured: dropping this cache
-    # made movement rounds ~4x slower, the extra action is cheap.
+    # recomputing the aggregate (measured r10: dropping this cache made
+    # movement rounds ~4x slower).  force=False (r12): the cache fills
+    # inside the landing job's first consumer instead of paying its own
+    # count job — one job per round gone (A/B at sf0.1: 188 → 172 jobs
+    # per 16-round refine, identical results and per-round plan shape;
+    # the downstream join strategies don't hinge on the cached size,
+    # the stats sides carry explicit broadcast hints).
     if mat is not None:
-        own = mat.cache(own, "own")
+        own = mat.cache(own, "own", force=False)
 
     cand = (
         vcd.where(F.col("cId") != F.col("c_own"))

@@ -157,6 +157,12 @@ def _refine_partition_impl(
     if tri is None:
         tri = mat(triangles(clean_edges, mat=mat), "tri-static")
         mat.release()
+    # the static triangle list is scanned once per round by the WCC
+    # eval (intra_triangle_counts) — persist it for the loop like
+    # loop_edges below, so rounds read the cache instead of re-decoding
+    # the parquet 16+ times (r12; same MEMORY_AND_DISK treatment and
+    # lifetime as the edge state, released with it at loop exit)
+    tri = tri.persist()
     global_cc_total = vertices.agg(F.sum("cc").alias("s")).first()["s"] or 0.0
     global_cc = float(global_cc_total) / float(vertex_count)  # DistributedWCC.scala:261-262
 
@@ -262,6 +268,7 @@ def _refine_partition_impl(
     cached_cs.unpersist(False)
     best_vcd.unpersist(False)
     loop_edges.unpersist(False)
+    tri.unpersist(False)
     return best, best_cs, best_wcc, global_cc, rounds
 
 

@@ -27,6 +27,26 @@ import tempfile
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+
+def _as_nullable(dt):
+    """Recursively nullable-normalize a datatype — exactly what parquet
+    schema inference reports (Spark converts all parquet columns to
+    nullable on read), so the explicit-schema fast path below is
+    bit-identical to the inferred one."""
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _as_nullable(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_as_nullable(dt.keyType), _as_nullable(dt.valueType), True)
+    return dt
 
 
 @contextmanager
@@ -105,7 +125,12 @@ class Materializer:
         path = os.path.join(self.base, f"{name}-{self._i:04d}")
         self._i += 1
         df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
+        # read back with the KNOWN schema (r12): schema inference runs a
+        # 1-task footer-read job per landing — pure driver latency that
+        # the loops pay hundreds of times per pipeline.  The writer's
+        # schema IS the reader's schema (same df), so nothing changes
+        # except the job disappearing.
+        out = self.spark.read.schema(_as_nullable(df.schema)).parquet(path)
         self._by_df[id(out)] = (out, path)
         return out
 
