@@ -15,6 +15,8 @@ Input conventions:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -380,8 +382,12 @@ def best_movement(
     # per 16-round refine, identical results and per-round plan shape;
     # the downstream join strategies don't hinge on the cached size,
     # the stats sides carry explicit broadcast hints).
+    # CDFS_AB_FORCE_OWN_COUNT restores the pre-r12 forced count for
+    # tools/ab_refine.py same-session A/Bs.
     if mat is not None:
-        own = mat.cache(own, "own", force=False)
+        own = mat.cache(
+            own, "own", force=bool(os.environ.get("CDFS_AB_FORCE_OWN_COUNT"))
+        )
 
     cand = (
         vcd.where(F.col("cId") != F.col("c_own"))

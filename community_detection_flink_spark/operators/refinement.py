@@ -18,6 +18,8 @@ driver.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation
@@ -161,8 +163,14 @@ def _refine_partition_impl(
     # eval (intra_triangle_counts) — persist it for the loop like
     # loop_edges below, so rounds read the cache instead of re-decoding
     # the parquet 16+ times (r12; same MEMORY_AND_DISK treatment and
-    # lifetime as the edge state, released with it at loop exit)
-    tri = tri.persist()
+    # lifetime as the edge state, released with it at loop exit).
+    # Persist only when the caller hasn't (so the exit unpersist never
+    # drops a caller's cache); CDFS_AB_NO_TRI_PERSIST restores the
+    # pre-r12 per-round parquet re-read for tools/ab_refine.py.
+    tri_persisted = False
+    if not tri.is_cached and not os.environ.get("CDFS_AB_NO_TRI_PERSIST"):
+        tri = tri.persist()
+        tri_persisted = True
     global_cc_total = vertices.agg(F.sum("cc").alias("s")).first()["s"] or 0.0
     global_cc = float(global_cc_total) / float(vertex_count)  # DistributedWCC.scala:261-262
 
@@ -268,7 +276,8 @@ def _refine_partition_impl(
     cached_cs.unpersist(False)
     best_vcd.unpersist(False)
     loop_edges.unpersist(False)
-    tri.unpersist(False)
+    if tri_persisted:
+        tri.unpersist(False)
     return best, best_cs, best_wcc, global_cc, rounds
 
 

@@ -129,8 +129,14 @@ class Materializer:
         # 1-task footer-read job per landing — pure driver latency that
         # the loops pay hundreds of times per pipeline.  The writer's
         # schema IS the reader's schema (same df), so nothing changes
-        # except the job disappearing.
-        out = self.spark.read.schema(_as_nullable(df.schema)).parquet(path)
+        # except the job disappearing.  CDFS_AB_INFER_LANDING_SCHEMA
+        # restores the pre-r12 inferred read so tools/ab_refine.py can
+        # measure the two variants in one session (results identical —
+        # _as_nullable mirrors what inference reports).
+        if os.environ.get("CDFS_AB_INFER_LANDING_SCHEMA"):
+            out = self.spark.read.parquet(path)
+        else:
+            out = self.spark.read.schema(_as_nullable(df.schema)).parquet(path)
         self._by_df[id(out)] = (out, path)
         return out
 

@@ -3,13 +3,24 @@
 Builds the sf_dir pipeline setup ONCE (edges → triangles → preprocess →
 election), then runs ``refine_partition`` repeatedly, alternating the
 variant knobs exported by the environment-driven switches in
-``operators.refinement`` / ``operators.community``.  Interleaving
-(A,B,A,B,...) is the point: this box draws up to ±60% on identical code
-between sessions, so only same-session alternating draws are comparable.
+``operators.refinement`` / ``operators.community`` /
+``plans.iteration``.  Interleaving (A,B,A,B,...) is the point: this box
+draws up to ±60% on identical code between sessions, so only
+same-session alternating draws are comparable.
 
 Usage:
     PYTHONPATH=/root/repo python tools/ab_refine.py [sf_dir] [reps] \
         [KEY=VAL ...]     # each KEY toggled per-rep: rep i uses VAL if i odd
+
+Recognized switches (each read at call time by the named module; an
+unknown KEY aborts so the harness never silently A/Bs identical code):
+
+    CDFS_AB_FORCE_OWN_COUNT=1      community.best_movement: forced count
+                                   on the `own` cache (pre-r12 behavior)
+    CDFS_AB_NO_TRI_PERSIST=1       refinement loop: re-read the triangle
+                                   parquet every round (pre-r12)
+    CDFS_AB_INFER_LANDING_SCHEMA=1 Materializer: inferred-schema landing
+                                   read-back (pre-r12)
 
 Every rep asserts the SAME wcc value and round count — a variant that
 changes results fails loudly.
@@ -40,6 +51,14 @@ def main():
     rest = args[1:] if args and "=" not in args[0] else args
     reps = int(rest[0]) if rest and "=" not in rest[0] else 6
     toggles = dict(kv.split("=", 1) for kv in rest if "=" in kv)
+    RECOGNIZED = {
+        "CDFS_AB_FORCE_OWN_COUNT",
+        "CDFS_AB_NO_TRI_PERSIST",
+        "CDFS_AB_INFER_LANDING_SCHEMA",
+    }
+    unknown = set(toggles) - RECOGNIZED
+    if unknown:
+        sys.exit(f"unrecognized A/B switches (no operator reads them): {unknown}")
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="ab-refine", master=f"local[{cpus}]",

@@ -3,7 +3,7 @@
 Identifies where the per-round job floor goes: landing writes, broadcast
 exchanges, observation actions, cache forcing.
 
-Usage: PYTHONPATH=/root/repo python tools/dump_round_jobs.py [sf_dir] [rounds]
+Usage: PYTHONPATH=/root/repo python tools/dump_round_jobs.py [sf_dir] [max_retries]
 """
 
 from __future__ import annotations
