@@ -347,18 +347,28 @@ def best_movement(
             F.sum(F.when(F.col("cId") == F.col("c_own"), F.col("dIn"))), F.lit(0)
         ).cast("int").alias("dIn_own"),
     )
+    # joined on an EXPLICIT c_own == cId condition instead of renaming
+    # cId inside the broadcast side (r13, guide §3): the rename made
+    # this broadcast's child plan differ from the candidate join's
+    # broadcast of the SAME stats below, so every movement round built
+    # the stats broadcast TWICE — and because both builds launch
+    # concurrently before the lazy cs cache fills, each one re-ran the
+    # full community-stats aggregate (measured: identical-duration job
+    # pairs of 0.3-2.3 s per round at sf0.1).  With identical broadcast
+    # children the second is a ReusedExchange: one build per round.
+    stats_b = F.broadcast(stats)
     own = (
         per_v.join(
-            F.broadcast(stats.withColumnsRenamed({"cId": "c_own"})), "c_own", "left"
+            stats_b, per_v["c_own"] == stats_b["cId"], "left"
         )
         .select(
-            "vId",
-            "c_own",
-            "degTot",
-            "dIn_own",
-            F.col("r").alias("r_own"),
-            F.col("a").alias("a_own"),
-            F.col("b").alias("b_own"),
+            per_v["vId"],
+            per_v["c_own"],
+            per_v["degTot"],
+            per_v["dIn_own"],
+            stats_b["r"].alias("r_own"),
+            stats_b["a"].alias("a_own"),
+            stats_b["b"].alias("b_own"),
         )
         .withColumn(
             "wccR",

@@ -151,6 +151,7 @@ def connected_components(
     # broadcast hint, and AQE's runtime size discovery is what turns
     # those joins into broadcasts at small-state scale.  The job-floor
     # rationale only wins where every join is already hint-broadcast.
+    n_landed = 0
     with scoped_shuffle_partitions(spark, loop_sp):
         for done in range(0, max_rounds, batch):
             # truncate the last batch so the total never exceeds max_rounds
@@ -179,7 +180,16 @@ def connected_components(
                     ).alias("h"),
                 )
                 obss.append(ob)
-            e = mat(nxt, "cc-edges")
+            # r13: in-loop landings are LIGHT (localCheckpoint — same
+            # logical-plan truncation as parquet, no write/commit/read;
+            # see plans.Materializer) except every 4th, which stays
+            # parquet so estimated-stats drift is reset.  Cheap here
+            # BECAUSE the plan is truncated — the r11 persist() A/B
+            # (75% slower, above) failed on plan growth, which a
+            # LogicalRDD does not have.  AQE stays on: its runtime
+            # sizes make the drifted estimates mostly moot anyway.
+            n_landed += 1
+            e = mat(nxt, "cc-edges", light=n_landed % 4 != 0)
             if prev_e is not init_e:
                 mat.drop(prev_e)
             sigs = [(ob.get["n"], ob.get["h"]) for ob in obss]

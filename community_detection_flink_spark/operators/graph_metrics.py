@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import weakref
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from community_detection_flink_spark.plans.iteration import Materializer
@@ -152,30 +152,38 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
 
     Distribution: each round is one hash aggregate (degrees) and two
     ``left_semi`` joins (induced edges); no driver-side vertex state.
-    The surviving edge set is parquet-landed per round (Materializer),
-    so lineage stays O(1) no matter how many peel rounds run, and the
-    convergence test reads the landed round's row count.  Rounds are
-    data-dependent but bounded by the graph's degeneracy peel depth
-    (``max_rounds`` is a safety valve, not a tuning knob).
+    The surviving edge set is landed per round (Materializer — LIGHT
+    localCheckpoint rounds with an every-4th-parquet cadence since
+    r13), so lineage stays O(1) no matter how many peel rounds run,
+    and the convergence count rides the landing as an Observation.
+    Rounds are data-dependent but bounded by the graph's degeneracy
+    peel depth (``max_rounds`` is a safety valve, not a tuning knob).
     """
     spark = edges.sparkSession
     mat = Materializer(spark)
     cur = mat(edges, "kcore")
     n_edges = cur.count()
-    for _ in range(int(max_rounds)):
+    for _round in range(int(max_rounds)):
         if n_edges == 0:
             break
         keep = cur.groupBy("src").agg(F.count("*").alias("deg")).where(
             F.col("deg") >= k
         )
+        # r13: the convergence count rides the landing as an
+        # Observation (one job per round instead of land + count), and
+        # in-loop rounds land LIGHT with the every-4th-parquet cadence
+        # (plans.Materializer)
+        ob = Observation()
         nxt = mat(
             cur.join(keep.select("src"), "src", "left_semi")
             .join(
                 keep.select(F.col("src").alias("dst")), "dst", "left_semi"
-            ),
+            )
+            .observe(ob, F.count(F.lit(1)).alias("n")),
             "kcore",
+            light=(_round + 1) % 4 != 0,
         )
-        n_next = nxt.count()
+        n_next = int(ob.get["n"] or 0)
         mat.drop(cur)
         cur = nxt
         if n_next == n_edges:
@@ -215,6 +223,10 @@ def bfs_distances(
     )
     frontier = visited
     for d in range(1, int(max_depth) + 1):
+        # r13: emptiness test rides the frontier landing as an
+        # Observation; in-loop rounds land LIGHT with the every-4th-
+        # parquet cadence (plans.Materializer)
+        ob = Observation()
         nxt = mat(
             edges.join(
                 frontier.withColumnsRenamed({"vId": "src"}).select("src"),
@@ -224,13 +236,15 @@ def bfs_distances(
             .select(F.col("dst").alias("vId"))
             .distinct()
             .join(visited, "vId", "left_anti")
-            .select("vId", F.lit(d).cast("long").alias("dist")),
+            .select("vId", F.lit(d).cast("long").alias("dist"))
+            .observe(ob, F.count(F.lit(1)).alias("n")),
             "bfs",
+            light=d % 4 != 0,
         )
-        if nxt.count() == 0:
+        if int(ob.get["n"] or 0) == 0:
             mat.drop(nxt)
             break
-        new_visited = mat(visited.unionByName(nxt), "bfs-vis")
+        new_visited = mat(visited.unionByName(nxt), "bfs-vis", light=d % 4 != 0)
         mat.drop(visited)
         mat.drop(nxt)
         visited = new_visited
@@ -459,8 +473,13 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             .where(F.col("rn") == 1)
             .select(F.col("src").alias("vId"), "label"),
             f"lpa-{r}",
+            # NOT light: measured 2x slower with light landings here
+            # (tools/ab_light_queries.py r13: 7.49 vs 3.66 s min-of-2 —
+            # the per-round edges-x-labels join plans off the landed
+            # stats, and a LogicalRDD's estimates flip it to a shuffle
+            # join that AQE does not fully claw back)
         )
-        mat.drop(labels)  # checkpoint disk stays O(1), not O(rounds)
+        mat.drop(labels)  # checkpoint storage stays O(1), not O(rounds)
         labels = nxt
     return labels
 
@@ -492,7 +511,7 @@ def sssp_weighted(
     dist = mat(
         spark.createDataFrame([(int(source), 0)], "vId LONG, d LONG"), "sssp"
     )
-    for _ in range(int(rounds)):
+    for _round in range(int(rounds)):
         relaxed = (
             edges_w.join(dist.withColumnsRenamed({"vId": "src"}), "src")
             .select(
@@ -503,6 +522,11 @@ def sssp_weighted(
         nxt = mat(
             dist.unionByName(relaxed).groupBy("vId").agg(F.min("d").alias("d")),
             "sssp",
+            # r13: LIGHT in-loop rounds, every 4th on parquet (measured
+            # FLAT here — 11.71 vs 11.81 s min-of-2, kept for the
+            # avoided write/commit litter; the min-aggregate absorbs
+            # the drifted estimates the inner-join loops choke on)
+            light=(_round + 1) % 4 != 0,
         )
         mat.drop(dist)
         dist = nxt
@@ -629,6 +653,14 @@ def landmark_distances(
     )
     frontier = visited
     for d in range(1, int(max_depth) + 1):
+        # r13: emptiness test rides the landing as an Observation (one
+        # job per round instead of land + count).  NOT light: measured
+        # ~2x slower with localCheckpoint landings here (r13
+        # tools/ab_light_queries.py: g_landmark_distances 6.71 vs
+        # 3.53 s, g_centrality_approx 7.25 vs 3.49 s min-of-2) — the
+        # per-round frontier x edges inner join plans off the landed
+        # stats, which a LogicalRDD's estimates wreck.
+        ob = Observation()
         nxt = mat(
             edges.join(
                 frontier.select(F.col("lm"), F.col("vId").alias("src")), "src"
@@ -636,10 +668,11 @@ def landmark_distances(
             .select("lm", F.col("dst").alias("vId"))
             .distinct()
             .join(visited.select("lm", "vId"), ["lm", "vId"], "left_anti")
-            .select("lm", "vId", F.lit(d).cast("long").alias("dist")),
+            .select("lm", "vId", F.lit(d).cast("long").alias("dist"))
+            .observe(ob, F.count(F.lit(1)).alias("n")),
             "lmbfs",
         )
-        if nxt.count() == 0:
+        if int(ob.get["n"] or 0) == 0:
             mat.drop(nxt)
             break
         new_visited = mat(visited.unionByName(nxt), "lmbfs-vis")
@@ -758,7 +791,7 @@ def k_truss(edges: DataFrame, k: int = 4, max_rounds: int = 50) -> DataFrame:
         # support from an inner wedge aggregate, which silently drops
         # support-0 edges regardless of k (ADVICE r4).
         return cur
-    for _ in range(int(max_rounds)):
+    for _round in range(int(max_rounds)):
         if n == 0:
             break
         sym = cur.unionByName(
@@ -777,8 +810,17 @@ def k_truss(edges: DataFrame, k: int = 4, max_rounds: int = 50) -> DataFrame:
             .where(F.col("c") >= k - 2)
             .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         )
-        nxt = mat(support, "ktruss")
-        n_next = nxt.count()
+        # r13: convergence count rides the landing as an Observation
+        # (one job per round instead of land + count).  NOT light:
+        # measured 15% slower with localCheckpoint landings (r13
+        # tools/ab_light_queries.py: 96.6 vs 83.6 s min-of-2) — the
+        # wedge join multiplies off the landed stats.
+        ob = Observation()
+        nxt = mat(
+            support.observe(ob, F.count(F.lit(1)).alias("n")),
+            "ktruss",
+        )
+        n_next = int(ob.get["n"] or 0)
         mat.drop(cur)
         cur = nxt
         if n_next == n:

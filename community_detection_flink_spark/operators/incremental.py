@@ -385,6 +385,13 @@ def _elect_and_refine(
             .select("cId")
             .distinct()
         )
+    # ONE clean-edge count serves every loop-width sizing in this batch
+    # (r13): the election previously sized its width by count()ing its
+    # scoped semi-join plan — a full extra edge pass per batch — and
+    # the refinement loops re-counted clean_new again below.  The
+    # scoped election's true edge count is ≤ this bound; width sizing
+    # only needs the magnitude (clamped at the session width anyway).
+    n_clean_edges = clean_new.count()
     clean_all = vertices.where(F.col("t") > 0)
     # center election on the cleaned subgraph
     if election_scope == "affected":
@@ -396,7 +403,9 @@ def _elect_and_refine(
                 elect_verts.select(F.col("vId").alias("src")), "src", "left_semi"
             ).join(elect_verts.select(F.col("vId").alias("dst")), "dst", "left_semi")
         )
-        local = initial_partition(elect_verts, elect_edges, mat=mat)
+        local = initial_partition(
+            elect_verts, elect_edges, mat=mat, edge_count=n_clean_edges
+        )
         keep = clean_all.join(
             affected_comms, "cId", "left_anti"
         ).select("vId", "t", "vt", "cc", "cId")
@@ -408,7 +417,11 @@ def _elect_and_refine(
         clean_verts = clean_all.select("vId", "t", "vt", "cc")
         with no_aqe(vertices.sparkSession):
             part = mat(
-                initial_partition(clean_verts, clean_new, mat=mat), "inc-part"
+                initial_partition(
+                    clean_verts, clean_new, mat=mat,
+                    edge_count=n_clean_edges,
+                ),
+                "inc-part",
             )
     mat.release()
 
@@ -422,6 +435,7 @@ def _elect_and_refine(
             vertices, part, clean_new, affected_comms, tri_static,
             full_edges, vertex_count, global_cc, mat, rounds,
             old_stats, old_wccv, pending_unions, diag,
+            n_clean_edges=n_clean_edges,
         )
         if result is not None:
             return result
@@ -448,13 +462,13 @@ def _elect_and_refine(
     # over-splits it (measured there: 8 vs 32 = 57-68s vs 75s)
     _spark = vertices.sparkSession
     _session_sp = int(_spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    _loop_sp = max(4, min(_session_sp, clean_new.count() // 300_000 + 1))
+    _loop_sp = max(4, min(_session_sp, n_clean_edges // 300_000 + 1))
     with no_aqe(_spark), scoped_shuffle_partitions(_spark, _loop_sp):
         cur_vcd = community_adjacency(cur, loop_edges).persist()
         # persisted but not forced: the first broadcast in best_movement
         # materializes it; the second reads the cache (see refine_partition)
         cur_cs = community_stats(cur, loop_edges, vcd=cur_vcd).persist()
-        for _ in range(rounds):
+        for _r in range(rounds):
             obs = Observation()
             nxt = mat(
                 best_movement(
@@ -462,6 +476,9 @@ def _elect_and_refine(
                     mat=mat, vcd=cur_vcd, moves_observation=obs,
                 ),
                 "inc-mv",
+                # NOT light: this loop plans non-adaptively, so the
+                # parquet landing's true file stats are load-bearing
+                # (see refinement.HEAVY_LANDING_EVERY's measured A/B)
             )
             mat.release()
             n_rounds += 1
@@ -512,6 +529,9 @@ def _elect_and_refine(
             ),
             "inc-final",
         )
+    # everything the carried state needs is parquet-landed above — the
+    # last round's (possibly light) labeling is superseded
+    mat.drop(cur)
     return WCCState(
         edges=full_edges,
         clean_edges=clean_new,
@@ -540,6 +560,7 @@ def _refine_scoped(
     old_wccv: DataFrame,
     pending_unions: int,
     diag: dict | None,
+    n_clean_edges: int | None = None,
 ) -> WCCState | None:
     """Batch-neighborhood refinement (VERDICT r3 #2): run the fixed
     movement rounds over only the vertices a batch can influence, and
@@ -682,7 +703,10 @@ def _refine_scoped(
     # session width as everywhere else.
     _spark = vertices.sparkSession
     _session_sp = int(_spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    _est_edges = int(vr_obs.get["n"] or 0) * clean_new.count() // max(1, n_clean)
+    _n_clean_edges = (
+        clean_new.count() if n_clean_edges is None else int(n_clean_edges)
+    )
+    _est_edges = int(vr_obs.get["n"] or 0) * _n_clean_edges // max(1, n_clean)
     _loop_sp = max(1, min(_session_sp, _est_edges // 300_000 + 1))
     with no_aqe(_spark), scoped_shuffle_partitions(_spark, _loop_sp):
         cur_vcd = _vcd(cur).persist()
@@ -699,6 +723,8 @@ def _refine_scoped(
             nxt = mat(
                 cur.join(m_ids, "vId", "left_anti").unionByName(moved_m),
                 "inc-mv",
+                # NOT light: non-adaptive loop, parquet stats are
+                # load-bearing (refinement.HEAVY_LANDING_EVERY's A/B)
             )
             mat.release()
             n_rounds += 1

@@ -57,8 +57,16 @@ def initial_partition(
     clean_edges: DataFrame,
     max_iterations: int = MAX_ITERATIONS,
     mat: Materializer | None = None,
+    edge_count: int | None = None,
 ) -> DataFrame:
-    """Return ``vertices`` + ``cId`` column (center election result)."""
+    """Return ``vertices`` + ``cId`` column (center election result).
+
+    ``edge_count`` (optional): known (or upper-bound) row count of
+    ``clean_edges``, used only to size the loop's shuffle width.  Pass
+    it when ``clean_edges`` is an unlanded plan — the default
+    ``count()`` would execute the whole plan once just for sizing
+    (r13; the incremental election hands in the carried clean-edge
+    count instead of re-running its scoped semi-joins)."""
     mat = mat or Materializer(vertices.sparkSession)
     v = vertices.select("vId", "t", "vt", "cc")
 
@@ -128,11 +136,12 @@ def initial_partition(
     # and clamped at the session width so cluster-scale runs keep it.
     spark = vertices.sparkSession
     session_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    loop_sp = max(4, min(session_sp, clean_edges.count() // 300_000 + 1))
+    n_edges = clean_edges.count() if edge_count is None else int(edge_count)
+    loop_sp = max(4, min(session_sp, n_edges // 300_000 + 1))
     with no_aqe(spark), scoped_shuffle_partitions(spark, loop_sp):
         undecided = mat(v.select("vId"), "mis-undec")
         undec_files.append(undecided)
-        for _ in range(max_iterations):
+        for _round in range(max_iterations):
             blocked = frontier.select(F.col("src").alias("vId"))
             centers_new = undecided.join(blocked, "vId", "left_anti")
             center_parts.append(centers_new)
@@ -145,6 +154,12 @@ def initial_partition(
                 .join(eliminated, "vId", "left_anti")
                 .observe(obs, F.count(F.lit(1)).alias("undec")),
                 "mis-undec",
+                # NOT light: measured 2x slower with localCheckpoint
+                # landings in this non-adaptive loop (r13 interleaved
+                # A/B at sf0.1: light 10.1-13.5 s / 177 jobs vs parquet
+                # 5.4-7.2 s / 57 jobs, identical results) — same
+                # parquet-stats dependence as the refinement loop (see
+                # refinement.HEAVY_LANDING_EVERY's record).
             )
             undec_files.append(undecided)
             if (obs.get["undec"] or 0) == 0:

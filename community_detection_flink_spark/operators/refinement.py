@@ -42,6 +42,19 @@ from community_detection_flink_spark.plans.iteration import (
 
 THRESHOLD = 0.01  # DistributedWCC.scala:28
 MAX_RETRIES = 5  # DistributedWCC.scala:30
+# r13 MEASURED NEGATIVE (kept as a record): landing the movement loop's
+# round states via localCheckpoint instead of parquet was 2.7-3x SLOWER
+# at sf0.1 (interleaved A/B, tools/ab_refine.py: light 136-156 s vs
+# parquet 50 s for identical results and job counts).  The loop plans
+# non-adaptively, so join strategies come from STATIC stats; a
+# LogicalRDD carries the origin plan's ESTIMATED stats, and the
+# movement plan's inner-join estimates (size products) blow past the
+# 64 MB broadcast threshold immediately — the label-map joins flip to
+# shuffle joins inside otherwise-identical jobs.  Parquet's true
+# file-size stats are load-bearing here.  AQE-on loops (connected
+# components, k-core, BFS...) don't have this failure mode and use
+# light landings (plans.Materializer).
+HEAVY_LANDING_EVERY = 4  # cadence used by loops where light IS safe
 
 
 @dataclass
@@ -197,7 +210,23 @@ def _refine_partition_impl(
         wcc = global_wcc(labels, loop_edges, cs, vertex_count, vcd=vcd, tri=tri)
         return vcd, cs, wcc
 
-    best = mat(vertices, "best")
+    # r13 MEASURED NEGATIVE (record): fusing the WCC eval into the
+    # round landing (persist the raw movement output, build vcd/cs/tC
+    # over it, ride the per-vertex WCC sum on the landing as an
+    # Observation) removed one job per round ON PAPER but returned
+    # caches whose ANALYZED plans rooted at the raw movement plan
+    # instead of the landed parquet — each round's cache plan embedded
+    # the previous round's, the analysis tree grew exponentially, and
+    # the driver OOM'd inside Catalyst resolution at sf0.001.  The
+    # eval must build over the LANDED state, which forces the separate
+    # job; the [landing][stats-broadcast-build][eval] round shape
+    # stays.
+    # an already-landed input needs no second landing (r12 callers
+    # re-landed it as "best" unconditionally — one full write+read of
+    # the initial labeling per run for nothing); the loop never drops
+    # caller-owned state (`initial_input` guard below)
+    best = vertices if mat.is_landed(vertices) else mat(vertices, "best")
+    initial_input = best
     best_vcd, best_cs, best_wcc = _eval(best)
     if history is not None:
         history.append(best_wcc)
@@ -249,7 +278,10 @@ def _refine_partition_impl(
             if best_wcc <= 0 or (new_wcc / best_wcc - 1.0) > threshold:
                 retries = max_retries
             pending_unpersist += [best_vcd, best_cs]
-            pending_drop.append(best)
+            if best is not initial_input:
+                # caller-owned input state is never dropped (it may be
+                # reused across calls — tools/ab_refine.py does)
+                pending_drop.append(best)
             best, best_cs, best_wcc, best_vcd = moved, new_cs, new_wcc, new_vcd
             if land:
                 # the accepted state is on parquet: nothing live reads
@@ -264,11 +296,17 @@ def _refine_partition_impl(
             new_cs.unpersist(False)
             mat.drop(moved)     # rejected labeling (no-op when raw)
             improved = False
-    if pending_drop or pending_unpersist:
-        # loop ended on a raw-lineage (or rejected-landing) best: land
-        # it before releasing the states its plan still reads
+    if pending_drop or pending_unpersist or mat.is_light(best):
+        # loop ended on a raw-lineage (or rejected-landing) best, or on
+        # a LIGHT round state: land it on parquet before releasing the
+        # states its plan still reads — returned state must be durable
+        # with true file-size stats (light blocks die with executors
+        # and carry estimated stats)
+        old_best = best
         best = mat(best, "best-final")
         _flush_pending()
+        if mat.is_light(old_best):
+            mat.drop(old_best)
     mat.release()  # any ephemeral caches from a final rejected round
     # the returned stats must outlive the caches they derive from
     cached_cs = best_cs
@@ -343,7 +381,10 @@ def run_wcc(
     # into the returned plans — free the pipeline intermediates (the
     # cleaned graph stays when the caller asked to reuse it, and
     # caller-owned `pre` artifacts are never touched)
-    superseded = [init]
+    # best IS init when the loop accepted no round (refine_partition no
+    # longer re-lands an already-landed input, r13) — the returned
+    # communities plan still reads init's files then
+    superseded = [init] if best is not init else []
     if pre is None and not keep_internals:
         superseded += [tri, clean_edges, vertices]
     for df in superseded:

@@ -121,7 +121,30 @@ class Materializer:
         # files of a superseded state
         self._by_df: dict[int, tuple[DataFrame, str]] = {}
 
-    def __call__(self, df: DataFrame, name: str = "state") -> DataFrame:
+    def __call__(
+        self, df: DataFrame, name: str = "state", light: bool = False
+    ) -> DataFrame:
+        if light and not os.environ.get("CDFS_AB_NO_LIGHT_LANDING"):
+            # LIGHT landing (r13): ``localCheckpoint(eager=True)`` —
+            # one job, no file write/commit/read-back, plan truncated
+            # to a LogicalRDD exactly like a parquet scan truncates it.
+            # The trade (why ``light`` is opt-in, per loop round, never
+            # the default):
+            #   * the LogicalRDD carries the origin plan's ESTIMATED
+            #     stats, and those compound round-over-round (measured
+            #     on 4.1: sizeInBytes bit-length ~2x/round) — callers
+            #     MUST re-land on parquet every few rounds (the loops
+            #     use a short cadence) so estimates never drift far
+            #     from the 64MB broadcast threshold's truth;
+            #   * blocks live in executor memory/disk with lineage cut,
+            #     so an executor loss mid-loop is unrecoverable — fine
+            #     for loop state a restart recomputes, wrong for
+            #     carried/returned state (those stay parquet).
+            # CDFS_AB_NO_LIGHT_LANDING restores parquet-every-round for
+            # tools/ab_refine.py same-session A/Bs.
+            out = df.localCheckpoint(eager=True)
+            self._by_df[id(out)] = (out, None)
+            return out
         path = os.path.join(self.base, f"{name}-{self._i:04d}")
         self._i += 1
         df.write.mode("overwrite").parquet(path)
@@ -141,14 +164,39 @@ class Materializer:
         return out
 
     def drop(self, df: DataFrame) -> None:
-        """Delete the parquet files backing a SUPERSEDED materialized
-        state (loop callers invoke this once a replacement state is on
-        disk, so checkpoint disk stays O(live states) instead of
-        O(rounds) — unbounded for long streaming sessions otherwise).
-        No-op for DataFrames this materializer didn't produce."""
+        """Delete the parquet files (or unpersist the localCheckpoint
+        blocks) backing a SUPERSEDED materialized state (loop callers
+        invoke this once a replacement state is live, so checkpoint
+        storage stays O(live states) instead of O(rounds) — unbounded
+        for long streaming sessions otherwise).  No-op for DataFrames
+        this materializer didn't produce."""
         entry = self._by_df.pop(id(df), None)
-        if entry is not None and entry[1].startswith("/") and os.path.isdir(entry[1]):
+        if entry is None:
+            return
+        if entry[1] is None:
+            # light landing: free the checkpoint blocks now instead of
+            # waiting for the ContextCleaner's GC sweep (the dropped
+            # state is superseded — nothing reads it again)
+            try:
+                entry[0]._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass  # best-effort, like the rmtree below
+            return
+        if entry[1].startswith("/") and os.path.isdir(entry[1]):
             shutil.rmtree(entry[1], ignore_errors=True)
+
+    def is_landed(self, df: DataFrame) -> bool:
+        """True iff ``df`` is a PARQUET landing this materializer
+        produced — loop entries skip re-landing such inputs."""
+        entry = self._by_df.get(id(df))
+        return entry is not None and entry[1] is not None
+
+    def is_light(self, df: DataFrame) -> bool:
+        """True iff ``df`` is a LIGHT landing this materializer produced
+        (localCheckpoint-backed — see ``__call__``); loop exits re-land
+        such state on parquet before returning it to callers."""
+        entry = self._by_df.get(id(df))
+        return entry is not None and entry[1] is None
 
     def cache(self, df: DataFrame, name: str = "tmp", force: bool = True) -> DataFrame:
         """In-memory materialization for WITHIN-round temporaries.

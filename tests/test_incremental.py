@@ -58,6 +58,7 @@ def test_incremental_triangles_match_batch(spark):
     )
 
 
+@pytest.mark.slow
 def test_incremental_new_vertices_join(spark, golden_edges):
     """Attach a new 4-clique sharing one vertex with clique B."""
     state = prepare(symmetrize_edges(golden_edges))
@@ -76,6 +77,7 @@ def test_incremental_new_vertices_join(spark, golden_edges):
     assert state.global_wcc > 0
 
 
+@pytest.mark.slow
 def test_run_edge_batches_invariants(spark):
     edges = spark.createDataFrame(_random_graph(n=30), "src LONG, dst LONG")
     sym = symmetrize_edges(edges)

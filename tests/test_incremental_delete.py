@@ -11,6 +11,7 @@ from community_detection_flink_spark.operators.incremental import (
     prepare,
 )
 from community_detection_flink_spark.sources.edges import symmetrize_edges
+import pytest
 
 
 def _stats_map(state):
@@ -24,6 +25,7 @@ def _clean_set(state):
     return {(r.src, r.dst) for r in state.clean_edges.collect()}
 
 
+@pytest.mark.slow
 def test_delete_inverts_insert(spark, golden_edges):
     """Insert a clique batch, delete the same edges: triangle stats,
     cleaned edges, and the triangle list all revert exactly."""
@@ -88,6 +90,7 @@ def test_delete_absent_edge_is_noop(spark, golden_edges):
     assert got.tri.count() == base.tri.count()
 
 
+@pytest.mark.slow
 def test_state_save_load_roundtrip(spark, golden_edges, tmp_path):
     from community_detection_flink_spark.operators.incremental import (
         load_state,
@@ -109,6 +112,7 @@ def test_state_save_load_roundtrip(spark, golden_edges, tmp_path):
     assert _stats_map(a) == _stats_map(b)
 
 
+@pytest.mark.slow
 def test_cdc_stream_applies_inserts_then_deletes(spark, golden_edges, tmp_path):
     """run_stream(cdc=True): a change batch inserts a clique and a
     later batch deletes part of it; the final state matches applying
@@ -144,6 +148,7 @@ def test_cdc_stream_applies_inserts_then_deletes(spark, golden_edges, tmp_path):
     assert got.tri.count() == want.tri.count()
 
 
+@pytest.mark.slow
 def test_cdc_stream_update_ops_as_delete_plus_insert(spark, golden_edges, tmp_path):
     """run_stream(cdc=True) with U ops (r10, VERDICT r9 #7): a U of an
     existing edge is a no-op, a U of a never-seen edge is an insert,

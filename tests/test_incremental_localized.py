@@ -15,6 +15,8 @@ Three claims, each pinned:
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import random
 
@@ -86,6 +88,7 @@ def _wccv_map(df):
     return {r.cId: (r.s, r.n) for r in df.collect()}
 
 
+@pytest.mark.slow
 def test_scoped_splice_stats_exact(spark):
     """Carried-stat splice == from-scratch recomputation, bit-exact on
     (r, a, b) and within float-sum noise on the WCC sums."""
@@ -150,6 +153,7 @@ def test_localized_batches_shape(spark):
         assert len(labs) == 1
 
 
+@pytest.mark.slow
 def test_scoped_matches_full_after_convergence(spark):
     """From a movement-converged prior state, scoped rounds == the
     reference-shaped whole-graph rounds: every out-of-scope vertex is
@@ -172,6 +176,7 @@ def test_scoped_matches_full_after_convergence(spark):
     assert _stats_map(scoped.stats) == _stats_map(full.stats)
 
 
+@pytest.mark.slow
 def test_scoped_delete_splice_exact(spark):
     """The delete path's scoped splice (pre-delete affected labels,
     singleton reversions) stays exact against recomputation."""
@@ -196,6 +201,7 @@ def test_scoped_delete_splice_exact(spark):
         assert math.isclose(got[c][0], s, rel_tol=1e-9, abs_tol=1e-12)
 
 
+@pytest.mark.slow
 def test_scoped_delete_kills_whole_community(spark):
     """Ghost-community regression (ADVICE r4, medium): delete EVERY
     edge of one community so all its triangles die and every member
@@ -246,6 +252,7 @@ def test_scoped_delete_kills_whole_community(spark):
         assert math.isclose(got[c][0], s, rel_tol=1e-9, abs_tol=1e-12)
 
 
+@pytest.mark.slow
 def test_scoped_vs_full_on_reference_graph(spark, monkeypatch):
     """VERDICT r3 #2 'Done' criterion on the reference's OWN graph
     (SNAP email-Eu-core).  The graph is small-world, so the scope

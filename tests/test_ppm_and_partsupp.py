@@ -19,6 +19,7 @@ from community_detection_flink_spark.operators.multimodal import (
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry_mod  # noqa: E402
+import pytest
 
 
 def _p6(w, h, rgb, comment=False):
@@ -90,6 +91,7 @@ def test_partsupp_is_a_valid_dimension(spark):
     assert float(bounds[4]) >= 1.0 and float(bounds[5]) <= 1000.0
 
 
+@pytest.mark.slow
 def test_cdc_stream_one_file_per_batch(spark, golden_edges):
     """maxFilesPerTrigger=1 must make each source file its own
     micro-batch, carrying WCC state batch-over-batch (the shape the

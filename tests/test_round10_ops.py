@@ -4,6 +4,8 @@ de-broadcast dup-verdict join, and batched CC landings (VERDICT r9 #5).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from community_detection_flink_spark.operators.similarity import (
@@ -72,6 +74,7 @@ def test_knn_graph_capped_stays_within_salt_blocks(spark):
         assert r["nb_id"] in groups[blk] and r["nb_id"] != r["vec_id"]
 
 
+@pytest.mark.slow
 def test_connected_components_batched_matches_single_round(spark):
     from community_detection_flink_spark.operators.components import (
         connected_components,

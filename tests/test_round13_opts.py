@@ -92,6 +92,7 @@ def test_materializer_explicit_schema_read_is_bit_identical(spark, monkeypatch):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_ab_variants_identical_refinement_result(spark, monkeypatch):
     """All three pre-r12 variants together must reproduce the default
     path's (wcc, rounds, labeling) exactly — the property

@@ -21,6 +21,8 @@ unknown KEY aborts so the harness never silently A/Bs identical code):
                                    parquet every round (pre-r12)
     CDFS_AB_INFER_LANDING_SCHEMA=1 Materializer: inferred-schema landing
                                    read-back (pre-r12)
+    CDFS_AB_NO_LIGHT_LANDING=1     Materializer: parquet-land every loop
+                                   round (pre-r13; light=localCheckpoint)
 
 Every rep asserts the SAME wcc value and round count — a variant that
 changes results fails loudly.
@@ -55,6 +57,7 @@ def main():
         "CDFS_AB_FORCE_OWN_COUNT",
         "CDFS_AB_NO_TRI_PERSIST",
         "CDFS_AB_INFER_LANDING_SCHEMA",
+        "CDFS_AB_NO_LIGHT_LANDING",
     }
     unknown = set(toggles) - RECOGNIZED
     if unknown:
