@@ -386,17 +386,18 @@ def best_movement(
     # `own` is referenced twice below (cand derives from it, decided
     # joins it back) — caching it keeps the movement job from
     # recomputing the aggregate (measured r10: dropping this cache made
-    # movement rounds ~4x slower).  force=False (r12): the cache fills
-    # inside the landing job's first consumer instead of paying its own
-    # count job — one job per round gone (A/B at sf0.1: 188 → 172 jobs
-    # per 16-round refine, identical results and per-round plan shape;
-    # the downstream join strategies don't hinge on the cached size,
-    # the stats sides carry explicit broadcast hints).
-    # CDFS_AB_FORCE_OWN_COUNT restores the pre-r12 forced count for
-    # tools/ab_refine.py same-session A/Bs.
+    # movement rounds ~4x slower).  The count is FORCED: r12 made it
+    # lazy to save one job per round, but the r13 interleaved A/B
+    # (tools/ab_refine.py at sf0.1, 3 pairs) measured the lazy variant
+    # 12-15% SLOWER for the whole refine loop (45.7-54.7 s vs
+    # 40.1-45.8 s) — the two consumers launch concurrently before the
+    # lazy cache fills and each recomputes the aggregate, the same race
+    # the shared stats broadcast above had.  One cheap count job that
+    # serializes the fill wins.  CDFS_AB_LAZY_OWN_CACHE restores the
+    # r12 lazy fill for tools/ab_refine.py same-session A/Bs.
     if mat is not None:
         own = mat.cache(
-            own, "own", force=bool(os.environ.get("CDFS_AB_FORCE_OWN_COUNT"))
+            own, "own", force=not os.environ.get("CDFS_AB_LAZY_OWN_CACHE")
         )
 
     cand = (

@@ -3,7 +3,7 @@
 The three r12 loop micro-opts are now A/B-switchable from the
 environment (tools/ab_refine.py drives them); these tests pin that
 
-* the ``force=False`` own-cache change does NOT alter the movement
+* the lazy own-cache variant does NOT alter the movement
   pass's physical join strategies (the r12 ADVICE risk: planning from
   Catalyst estimates instead of actual cached sizes could flip a join
   at a larger SF — the explicit broadcast hints must keep the shape);
@@ -36,11 +36,11 @@ from community_detection_flink_spark.sources.edges import (
 SF = "/root/testdata/sf0.001"
 
 
-def _movement_plan(spark, force_env: bool, monkeypatch) -> list[str]:
-    if force_env:
-        monkeypatch.setenv("CDFS_AB_FORCE_OWN_COUNT", "1")
+def _movement_plan(spark, lazy_env: bool, monkeypatch) -> list[str]:
+    if lazy_env:
+        monkeypatch.setenv("CDFS_AB_LAZY_OWN_CACHE", "1")
     else:
-        monkeypatch.delenv("CDFS_AB_FORCE_OWN_COUNT", raising=False)
+        monkeypatch.delenv("CDFS_AB_LAZY_OWN_CACHE", raising=False)
     mat = Materializer(spark)
     edges = mat(co_purchase_edges(spark, SF), "edges")
     vertex_count = edges.select("src").distinct().count()
@@ -63,11 +63,13 @@ def _movement_plan(spark, force_env: bool, monkeypatch) -> list[str]:
 
 
 def test_force_false_own_cache_plan_shape_invariant(spark, monkeypatch):
-    """force=False (r12) plans the movement joins from estimates, not
-    the forced cache's actual size — the strategies must not differ
-    (the stats sides carry explicit broadcast hints)."""
-    lazy = _movement_plan(spark, force_env=False, monkeypatch=monkeypatch)
-    forced = _movement_plan(spark, force_env=True, monkeypatch=monkeypatch)
+    """The lazy own-cache variant (r12; r13 default is the forced
+    count after the interleaved A/B measured lazy 12-15% slower) plans
+    the movement joins from estimates, not the forced cache's actual
+    size — the strategies must not differ (the stats sides carry
+    explicit broadcast hints)."""
+    forced = _movement_plan(spark, lazy_env=False, monkeypatch=monkeypatch)
+    lazy = _movement_plan(spark, lazy_env=True, monkeypatch=monkeypatch)
     assert lazy == forced
     assert "BroadcastHashJoin" in lazy  # the stats joins broadcast
 
@@ -92,7 +94,6 @@ def test_materializer_explicit_schema_read_is_bit_identical(spark, monkeypatch):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_ab_variants_identical_refinement_result(spark, monkeypatch):
     """All three pre-r12 variants together must reproduce the default
     path's (wcc, rounds, labeling) exactly — the property
@@ -116,7 +117,7 @@ def test_ab_variants_identical_refinement_result(spark, monkeypatch):
 
     base = run()
     for k in (
-        "CDFS_AB_FORCE_OWN_COUNT",
+        "CDFS_AB_LAZY_OWN_CACHE",
         "CDFS_AB_NO_TRI_PERSIST",
         "CDFS_AB_INFER_LANDING_SCHEMA",
     ):

@@ -15,8 +15,9 @@ Usage:
 Recognized switches (each read at call time by the named module; an
 unknown KEY aborts so the harness never silently A/Bs identical code):
 
-    CDFS_AB_FORCE_OWN_COUNT=1      community.best_movement: forced count
-                                   on the `own` cache (pre-r12 behavior)
+    CDFS_AB_LAZY_OWN_CACHE=1       community.best_movement: LAZY fill of
+                                   the `own` cache (the r12 variant;
+                                   r13 default is the forced count)
     CDFS_AB_NO_TRI_PERSIST=1       refinement loop: re-read the triangle
                                    parquet every round (pre-r12)
     CDFS_AB_INFER_LANDING_SCHEMA=1 Materializer: inferred-schema landing
@@ -54,7 +55,7 @@ def main():
     reps = int(rest[0]) if rest and "=" not in rest[0] else 6
     toggles = dict(kv.split("=", 1) for kv in rest if "=" in kv)
     RECOGNIZED = {
-        "CDFS_AB_FORCE_OWN_COUNT",
+        "CDFS_AB_LAZY_OWN_CACHE",
         "CDFS_AB_NO_TRI_PERSIST",
         "CDFS_AB_INFER_LANDING_SCHEMA",
         "CDFS_AB_NO_LIGHT_LANDING",
