@@ -29,6 +29,8 @@ why not ``localCheckpoint``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -141,6 +143,14 @@ def initial_partition(
     with no_aqe(spark), scoped_shuffle_partitions(spark, loop_sp):
         undecided = mat(v.select("vId"), "mis-undec")
         undec_files.append(undecided)
+        # r13 MEASURED NEGATIVE (record): chaining TWO rounds per
+        # landing (raw round in between, the CC-loop pattern) was ~15x
+        # SLOWER here (interleaved A/B at sf0.1: 84.7-95.3 s / 84 jobs
+        # vs 5.5-6.3 s / 57 jobs, identical results) — a raw round's
+        # undecided set is re-derived by ~5 consumers, and each
+        # re-execution re-runs anti/semi joins against the full
+        # frontier, compounding through the chained frontier persists.
+        # One landing per round IS this loop's floor.
         for _round in range(max_iterations):
             blocked = frontier.select(F.col("src").alias("vId"))
             centers_new = undecided.join(blocked, "vId", "left_anti")
@@ -154,12 +164,11 @@ def initial_partition(
                 .join(eliminated, "vId", "left_anti")
                 .observe(obs, F.count(F.lit(1)).alias("undec")),
                 "mis-undec",
-                # NOT light: measured 2x slower with localCheckpoint
-                # landings in this non-adaptive loop (r13 interleaved
-                # A/B at sf0.1: light 10.1-13.5 s / 177 jobs vs parquet
-                # 5.4-7.2 s / 57 jobs, identical results) — same
-                # parquet-stats dependence as the refinement loop (see
-                # refinement.HEAVY_LANDING_EVERY's record).
+                # NOT light either: localCheckpoint landings measured
+                # 2x slower in this non-adaptive loop (A/B at sf0.1:
+                # light 10.1-13.5 s / 177 jobs vs parquet 5.4-7.2 s /
+                # 57 jobs) — same parquet-stats dependence as the
+                # refinement loop (refinement.HEAVY_LANDING_EVERY).
             )
             undec_files.append(undecided)
             if (obs.get["undec"] or 0) == 0:

@@ -40,6 +40,14 @@ def get_spark(
         # results require a UTC session regardless of host TZ
         # (ADVICE r8: resample_ffill's day bucketing).
         .config("spark.sql.session.timeZone", "UTC")
+        # r13 (guide §5 driver): PySpark 4 captures the Python call
+        # site on EVERY DataFrame API call for error context
+        # (pyspark.errors.utils._with_origin) — measured ~1700
+        # traceback inspections per incremental micro-batch on the
+        # plan-construction-heavy loops here.  The engine's errors are
+        # surfaced through its own operator names; the capture is pure
+        # per-call overhead.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # catalog home for bucketed tables (sources/bucketed.py); kept
         # out of the repo tree — on a cluster this is the shared
